@@ -1,0 +1,557 @@
+"""Relational operator inventory (SURVEY.md §2.6) over the testdata star schema.
+
+Every function is a declarative DataFrame plan — scans, joins, aggs,
+windows, set ops, scalar functions — so Catalyst/AQE pick the physical
+strategy: broadcast-hash for the small dims (region/nation/supplier),
+sort-merge for lineitem⋈orders, partial+final hash aggregation,
+parquet predicate pushdown + column pruning.
+
+Scale notes (100 TB posture):
+* Dim tables are explicitly ``broadcast()`` — at TPC-H-like ratios
+  region/nation/part/supplier stay tiny relative to the fact table, so
+  the fact side never shuffles for those joins.
+* Fact⋈fact (lineitem⋈orders) is left to sort-merge on the join key;
+  with AQE skew-join splitting on. At 100 TB both sides would be
+  bucketed by orderkey at write time to elide the shuffle entirely —
+  see engine/io.py:write_bucketed.
+* Aggregations are expressed groupBy().agg() so map-side partial
+  aggregation happens before the exchange.
+* Every computed column is aliased to match ``ORACLE`` (driver hashes
+  sort columns by name); doubles are rounded to fixed precision in
+  BOTH engines to absorb summation-order noise.
+
+Reference parity: the reference has no joins/windows/set-ops (SURVEY
+§2.6 — single-matrix world); this module is the engine surface the
+driver contract (BASELINE.json) requires on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import load_events, table
+
+
+# ---------------------------------------------------------------- aggregations
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → hash-agg → sort.
+
+    Filter pushed to the parquet scan; partial aggregation map-side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped single global aggregate with range predicates —
+    all three filters reach the parquet scan (PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.04, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q18_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + countDistinct per group (expand-based distinct aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; grouping-set nulls coalesced to 'ALL'
+    so the oracle hash is label-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "avg_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------- joins
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q5-shaped): fact ⋈ dims with explicit broadcast
+    of every dim — the lineitem side shuffles only for the final agg.
+    sort-merge is reserved for lineitem⋈orders (both scale with SF).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → join → agg → top-k.
+    Deterministic top-10 via (revenue desc, orderkey) total order."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q07_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast-hash join, no shuffle on either side."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having ≥1 order (EXISTS). No fan-out —
+    the semi join short-circuits on first match."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q10_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: equi part on nationkey keeps it a hash
+    join with a residual predicate — never a raw cross product."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q04_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving orderless customers, counting orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# -------------------------------------------------------------------- windows
+
+def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number over a total order (ties broken
+    by orderkey → deterministic across partitionings)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def q12_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+def q13_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame: rowsBetween(unboundedPreceding, currentRow)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+def q14_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — O(k) per partition, no
+    full sort shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- set ops
+
+def q15_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two segment slices."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers appearing in both order-status slices."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+def q17_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: multiset difference of order-status slices."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)
+
+
+# ------------------------------------------------------------- scalar functions
+
+def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: lower/concat/regexp_extract/split/substring/length."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).alias("brand_num"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_pfx"),
+    )
+
+
+def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date surface: truncate to month, extract year, aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.year(F.col("o_orderdate")).alias("yr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props) + aggregate over it."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q24_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional surface: CASE WHEN, abs/ceil/floor/sqrt/pow/mod."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_discount") > 0.05, F.lit("HIGH"))
+            .when(F.col("l_discount") > 0.02, F.lit("MID"))
+            .otherwise(F.lit("LOW"))
+            .alias("disc_band"),
+            F.round(F.sqrt(F.col("l_quantity")), 6).alias("sqrt_qty"),
+            F.round(F.pow(F.col("l_discount"), F.lit(2)), 8).alias("disc_sq"),
+            (F.col("l_linenumber") % 3).alias("ln_mod3"),
+            F.ceil(F.col("l_quantity")).alias("qty_ceil"),
+            F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        )
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_orders": q03_top_orders,
+    "q04_outer_join_agg": q04_outer_join_agg,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_broadcast_join": q07_broadcast_join,
+    "q08_semi_join": q08_semi_join,
+    "q09_anti_join": q09_anti_join,
+    "q10_theta_join": q10_theta_join,
+    "q11_window_rank": q11_window_rank,
+    "q12_window_lag": q12_window_lag,
+    "q13_window_running_sum": q13_window_running_sum,
+    "q14_topk_orders": q14_topk_orders,
+    "q15_union_all": q15_union_all,
+    "q16_intersect": q16_intersect,
+    "q17_except": q17_except,
+    "q18_distinct_agg": q18_distinct_agg,
+    "q19_rollup": q19_rollup,
+    "q20_cube": q20_cube,
+    "q21_string_funcs": q21_string_funcs,
+    "q22_date_funcs": q22_date_funcs,
+    "q23_json_funcs": q23_json_funcs,
+    "q24_math_case": q24_math_case,
+}
+
+ORACLE = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    "q03_top_orders": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q04_outer_join_agg": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "q06_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q07_broadcast_join": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey
+    """,
+    "q08_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q09_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q10_theta_join": """
+        SELECT s_suppkey, s_name, count(*) AS n_richer_customers
+        FROM customer JOIN supplier
+          ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey
+    """,
+    "q11_window_rank": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+        WHERE rn <= 3
+    """,
+    "q12_window_lag": """
+        SELECT o_custkey, o_orderkey,
+               datediff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate)::int AS days_since_prev
+        FROM orders
+    """,
+    "q13_window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+    """,
+    "q14_topk_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q15_union_all": """
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        UNION ALL
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "q16_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "q17_except": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "q18_distinct_agg": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q19_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q20_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q21_string_funcs": """
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               coalesce(regexp_extract(p_brand, '(\\d+)', 1), '') AS brand_num,
+               split_part(p_type, ' ', 1) AS type_head,
+               concat(p_brand, ':', p_type) AS brand_type,
+               length(p_name) AS name_len,
+               substring(p_name, 1, 5) AS name_pfx
+        FROM part
+    """,
+    "q22_date_funcs": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               year(o_orderdate)::int AS yr,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2
+    """,
+    "q23_json_funcs": """
+        SELECT event_type,
+               round(avg(json_extract_string(props, '$.k')::int), 6) AS avg_k,
+               round(sum(value), 4) AS sum_value,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q24_math_case": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount > 0.05 THEN 'HIGH'
+                    WHEN l_discount > 0.02 THEN 'MID'
+                    ELSE 'LOW' END AS disc_band,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               round(pow(l_discount, 2), 8) AS disc_sq,
+               (l_linenumber % 3)::int AS ln_mod3,
+               ceil(l_quantity)::bigint AS qty_ceil,
+               abs(l_quantity - 25)::double AS qty_dev
+        FROM lineitem
+    """,
+}

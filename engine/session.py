@@ -1,0 +1,85 @@
+"""SparkSession management (reference parity: main.py:209-213 client get-or-create).
+
+The reference bootstraps a Dask ``distributed.Client`` with
+get-or-create semantics; the Spark-native equivalent is
+``SparkSession.builder.getOrCreate()`` with a config tuned for both
+the local[32] test harness and a large-cluster deployment:
+
+* AQE on — runtime re-planning (broadcast conversion, skew-join
+  splitting, partition coalescing) is the scale story for 100 TB.
+* Arrow on — every pandas UDF crosses the JVM↔Python boundary in
+  columnar batches, not rows.
+* shuffle.partitions kept moderate locally; on a real cluster AQE
+  coalesces from a high initial number, so we set the initial high
+  via advisory sizing rather than hand-tuning per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_session(app_name: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
+    """Get-or-create a SparkSession (reference main.py:209-213 pattern)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type — read as long and convert (see load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Parquet scan → column pruning and
+    predicate pushdown come free from the DataSource V2 reader."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to a microsecond timestamp.
+
+    The fixture stores TIMESTAMP(NANOS); under
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as bigint nanos,
+    which we convert JVM-side (no UDF) to Spark's native timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return e
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in _TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
