@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine import relational
+from engine import pipeline, relational, sampling, stats
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [relational]
+    return [relational, sampling, stats, pipeline]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
