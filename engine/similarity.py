@@ -1,0 +1,159 @@
+"""Similarity search over the embedding column (north-star extension).
+
+Three tiers, matching how ANN is actually deployed over 100 TB:
+
+* q60 brute-force cosine top-k — the exactness baseline. The query
+  set is broadcast; the corpus is scanned once; per-partition top-k
+  then global top-k (TakeOrderedAndProject shape) — no all-pairs
+  shuffle. Cost O(|Q| · N); fine for small query batches at any N.
+* q61 LSH-bucketed top-k — the scale path: sign-bit hyperplane LSH
+  (here: axis-aligned planes on dims 0..7 → 256 buckets) turns the
+  cross product into an equi-join on bucket id; shuffle is O(N).
+  Recall < 1 by construction; the bucket key is engine-portable so
+  the DuckDB oracle value-checks it.
+* q62 MLlib BucketedRandomProjectionLSH — the library variant
+  (seeded, rows-only: its random hyperplanes aren't reproducible in
+  SQL).
+
+All dot products run JVM-side via zip_with/aggregate higher-order
+functions — no Python in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import table
+
+N_QUERIES = 5     # fixture query set: vec_id < 5
+TOP_K = 10
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def q60_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < N_QUERIES).
+
+    Query side broadcast ⇒ the corpus never shuffles for the join;
+    ranking is a per-query-key window (k small ⇒ partial top-k
+    map-side under AQE)."""
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = F.expr(_DOT.format(a="emb", b="qemb")) / (
+        F.expr(_NORM.format(a="emb")) * F.expr(_NORM.format(a="qemb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
+def _bucket(col: str) -> str:
+    """Sign-bit LSH bucket over dims 0..7 (axis-aligned hyperplanes)."""
+    return " + ".join(f"(CASE WHEN {col}[{j}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+
+
+def q61_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket — equi-join on bucket id instead of a cross product."""
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket("emb")).cast("int"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")
+    )
+    joined = corpus.join(
+        F.broadcast(queries), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    sim = F.expr(_DOT.format(a="emb", b="qemb")) / (
+        F.expr(_NORM.format(a="emb")) * F.expr(_NORM.format(a="qemb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "bucket", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
+def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approx similarity self-join
+    (seeded). Rows-only: the model's hyperplanes are internal RNG."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    ).fit(e)
+    pairs = lsh.approxSimilarityJoin(e, e, threshold=3.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 6).alias("euclidean_dist"),
+        )
+    )
+
+
+QUERIES = {
+    "q60_knn_brute": q60_knn_brute,
+    "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
+    "q62_brp_lsh_join": q62_brp_lsh_join,
+}
+
+_DUCK_COS = """
+    list_dot_product(a.emb, q.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(q.emb, q.emb)))
+"""
+
+ORACLE = {
+    "q60_knn_brute": f"""
+        WITH c AS (SELECT vec_id, embedding::double[] AS emb FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, a.vec_id, {_DUCK_COS} AS sim
+            FROM c a, c q
+            WHERE q.vec_id < {N_QUERIES} AND a.vec_id <> q.vec_id),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, round(sim, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "q61_knn_lsh_bucketed": f"""
+        WITH c AS (
+            SELECT vec_id, embedding::double[] AS emb,
+                   ({" + ".join(f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))})::int AS bucket
+            FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, a.vec_id, a.bucket, {_DUCK_COS} AS sim
+            FROM c a JOIN c q
+              ON a.bucket = q.bucket AND a.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        ranked AS (
+            SELECT query_id, vec_id, bucket, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, bucket, round(sim, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+}

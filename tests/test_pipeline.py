@@ -1,0 +1,100 @@
+"""ML-pipeline invariants (SURVEY.md §5 strategy #2, reference inline checks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.ml.feature import PCA, StandardScaler
+from pyspark.sql import functions as F
+
+from engine.pipeline import (
+    assemble,
+    evaluate,
+    find_n,
+    fit_feature_pipeline,
+    fit_gaussian_nb,
+    fit_random_forest,
+    inverse_transform,
+    prepare_splits,
+)
+from engine.session import table
+
+
+@pytest.fixture(scope="module")
+def assembled(spark, sf_dir):
+    return assemble(table(spark, sf_dir, "embeddings")).cache()
+
+
+def test_find_n_matches_brute_force():
+    rng = np.random.RandomState(42)
+    ratios = rng.dirichlet(np.ones(64))
+    ratios = np.sort(ratios)[::-1]
+    for tol in (0.95, 0.99):
+        brute = next(k for k in range(1, 65) if ratios[:k].sum() > tol)
+        assert find_n(ratios, tol) == brute
+    assert find_n(np.array([0.5, 0.3, 0.2]), 0.999) == 3  # clamp at dim
+
+
+def test_scaler_centers_and_scales(spark, assembled):
+    scaler = StandardScaler(withMean=True, withStd=True, inputCol="features", outputCol="scaled").fit(
+        assembled
+    )
+    from pyspark.ml.stat import Summarizer
+
+    scaled = scaler.transform(assembled)
+    stats = scaled.select(
+        Summarizer.mean(F.col("scaled")).alias("m"), Summarizer.variance(F.col("scaled")).alias("v")
+    ).first()
+    assert np.allclose(np.array(stats.m), 0.0, atol=1e-9)
+    assert np.allclose(np.array(stats.v), 1.0, atol=1e-6)
+
+
+def test_pca_variance_monotone_and_k_choice(spark, assembled):
+    scaler, full_pca, pca, k = fit_feature_pipeline(assembled, tol=0.95)
+    ratios = np.array(full_pca.explainedVariance)
+    assert (np.diff(ratios) <= 1e-12).all()  # non-increasing
+    assert ratios[:k].sum() > 0.95
+    assert k == find_n(ratios, 0.95)
+    assert pca.getK() == k
+
+
+def test_inverse_transform_roundtrip(spark, assembled):
+    # with k = full dim the round-trip must reconstruct exactly
+    scaler = StandardScaler(withMean=True, withStd=True, inputCol="features", outputCol="scaled").fit(
+        assembled
+    )
+    scaled = scaler.transform(assembled)
+    dim = len(scaler.mean)
+    pca = PCA(k=dim, inputCol="scaled", outputCol="pca").fit(scaled)
+    projected = (
+        pca.transform(scaled)
+        .select("vec_id", F.col("features").alias("orig"), F.col("pca").alias("features"))
+    )
+    recon = inverse_transform(projected, scaler, pca)
+
+    from pyspark.ml.functions import vector_to_array
+
+    err = (
+        recon.withColumn("orig_arr", vector_to_array("orig"))
+        .select(
+            F.expr(
+                "aggregate(zip_with(reconstructed, orig_arr, (x, y) -> abs(x - y)),"
+                " 0D, (a, v) -> greatest(a, v))"
+            ).alias("max_err")
+        )
+        .agg(F.max("max_err"))
+        .first()[0]
+    )
+    assert err < 1e-6
+
+
+def test_models_beat_chance_and_ordering(spark, sf_dir):
+    train, test, *_ = prepare_splits(spark, sf_dir)
+    train = train.cache()
+    nb = evaluate(fit_gaussian_nb(train).transform(test))
+    rf = evaluate(fit_random_forest(train, num_trees=20, max_depth=8).transform(test))
+    n_classes = 10
+    assert nb["accuracy"] > 1.5 / n_classes  # well above chance
+    assert rf["accuracy"] > 1.5 / n_classes
+    # reference ordering claim (main.py:431-433): ensemble >= NB baseline
+    assert rf["f1"] >= nb["f1"] - 0.05

@@ -1,0 +1,27 @@
+"""Streaming batch-equivalence (SURVEY §7 phase 6): the real
+readStream→writeStream run must equal the batch twin exactly."""
+
+from __future__ import annotations
+
+from engine.session import load_events
+from engine.streaming import run_stream_demo, session_counts, tumbling_counts
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    streamed = run_stream_demo(spark, sf_dir, str(tmp_path))
+    batch = tumbling_counts(load_events(spark, sf_dir))
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_sessions_merge_within_gap(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    wide = session_counts(events, "365 days")
+    # with a gap longer than the fixture span, each user has ONE session
+    per_user = wide.groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in per_user)
+    total = sum(r.n_events for r in wide.collect())
+    assert total == events.count()

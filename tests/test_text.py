@@ -1,0 +1,51 @@
+"""Dedup / text-analysis invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.session import table
+from engine.text import (
+    N_MINHASH,
+    minhash_signatures,
+    q52_ngram_jaccard,
+    q54_minhash_candidates,
+    q55_simhash,
+    q57_quality_score,
+)
+
+
+def test_minhash_identical_docs_share_signature(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(20)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)  # same text, new ids
+    sigs = minhash_signatures(d.unionByName(dup))
+    a = {(r.doc_id, r.seed): r.minhash for r in sigs.filter("doc_id < 1000000").collect()}
+    b = {(r.doc_id - 1_000_000, r.seed): r.minhash for r in sigs.filter("doc_id >= 1000000").collect()}
+    assert a == b
+    assert len(a) == 20 * N_MINHASH
+
+
+def test_simhash_stable_and_bounded(spark, sf_dir):
+    rows = q55_simhash(spark, sf_dir).collect()
+    assert all(0 <= r.simhash < (1 << 16) for r in rows)
+    again = {r.doc_id: r.simhash for r in q55_simhash(spark, sf_dir).collect()}
+    assert {r.doc_id: r.simhash for r in rows} == again
+
+
+def test_minhash_candidates_estimate_tracks_true_jaccard(spark, sf_dir):
+    true = {(r.doc_a, r.doc_b): r.jaccard for r in q52_ngram_jaccard(spark, sf_dir).collect()}
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in q54_minhash_candidates(spark, sf_dir).collect()}
+    # banding with 8 sigs is coarse; require candidates to be plausible:
+    # every candidate with est >= 0.5 should have true jaccard >= 0.1
+    strong = {p for p, e in est.items() if e >= 0.5}
+    for p in strong:
+        assert true.get(p, 0.0) >= 0.1, p
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    rows = q57_quality_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 < r.distinct_ratio <= 1.0
+        assert r.bucket in ("high", "mid", "low")
