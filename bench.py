@@ -46,6 +46,11 @@ HEADLINE = [
     "q22_date_funcs",
     "q23_json_funcs",
     "q24_math_case",
+    "q25_correlated_subquery",
+    "q26_grouping_sets",
+    "q27_pivot",
+    "q28_asof_join",
+    "q29_map_array_funcs",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",
@@ -56,6 +61,8 @@ HEADLINE = [
     "q55_simhash",
     "q57_quality_score",
     "q58_token_stats",
+    "q66_embedding_near_dup",
+    "q67_token_counting",
     "q60_knn_brute",
     "q61_knn_lsh_bucketed",
     "q70_stream_tumbling",

@@ -360,6 +360,98 @@ def q24_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's
+    average — Catalyst de-correlates to an aggregate + join."""
+    o = table(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        o.join(F.broadcast(avg_per_cust), o.o_custkey == avg_per_cust.k)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"),
+                F.round("cust_avg", 4).alias("cust_avg"))
+    )
+
+
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q26_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM q26_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: document count per (source, lang) with langs as columns."""
+    d = table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .orderBy("source")
+    )
+    return out.select(
+        "source", *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(f"n_{lg}") for lg in langs]
+    )
+
+
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, SURVEY §2.6 'operator Spark lacks'):
+    for every event, the timestamp of the same user's most recent
+    *prior* purchase. Expressed as a conditional running max over an
+    ordered window — one shuffle on user_id, no self-join blow-up,
+    linear at 100 TB (vs the naive inequality self-join)."""
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w).alias("prev_purchase_ts"),
+    )
+
+
+def q29_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar surface: construction, transform, contains,
+    slicing, element access, map_from / element lookup."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("transform(split(p_type, ' '), t -> upper(t))").alias("type_tokens_upper"),
+        F.array_contains(F.split(F.col("p_type"), " "), "PROMO").alias("is_promo"),
+        F.slice(F.split(F.col("p_name"), " "), 1, 2).alias("name_head2"),
+        F.expr("element_at(split(p_type, ' '), -1)").alias("type_tail"),
+        F.expr("map('brand', p_brand, 'type', p_type)['brand']").alias("brand_via_map"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_name_tokens"),
+    )
+
+
+def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Rows-only: DuckDB's HLL sketch
+    differs; the exact twin is q18. tests assert the error bound."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -384,6 +476,12 @@ QUERIES = {
     "q22_date_funcs": q22_date_funcs,
     "q23_json_funcs": q23_json_funcs,
     "q24_math_case": q24_math_case,
+    "q25_correlated_subquery": q25_correlated_subquery,
+    "q26_grouping_sets": q26_grouping_sets,
+    "q27_pivot": q27_pivot,
+    "q28_asof_join": q28_asof_join,
+    "q29_map_array_funcs": q29_map_array_funcs,
+    "q30_approx_distinct": q30_approx_distinct,
 }
 
 ORACLE = {
@@ -541,6 +639,49 @@ ORACLE = {
                round(sum(value), 4) AS sum_value,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q25_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+               round(a.cust_avg, 4) AS cust_avg
+        FROM orders o
+        JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+              FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+        WHERE o_totalprice > a.cust_avg
+    """,
+    "q26_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q27_pivot": """
+        SELECT source,
+               count(*) FILTER (lang = 'de') AS n_de,
+               count(*) FILTER (lang = 'en') AS n_en,
+               count(*) FILTER (lang = 'es') AS n_es,
+               count(*) FILTER (lang = 'fr') AS n_fr,
+               count(*) FILTER (lang = 'zh') AS n_zh
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "q28_asof_join": """
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'purchase' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_purchase_ts
+        FROM events
+    """,
+    "q29_map_array_funcs": """
+        SELECT p_partkey,
+               list_transform(string_split(p_type, ' '), t -> upper(t)) AS type_tokens_upper,
+               list_contains(string_split(p_type, ' '), 'PROMO') AS is_promo,
+               string_split(p_name, ' ')[1:2] AS name_head2,
+               string_split(p_type, ' ')[-1] AS type_tail,
+               map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_via_map,
+               len(string_split(p_name, ' ')) AS n_name_tokens
+        FROM part
     """,
     "q24_math_case": """
         SELECT l_orderkey, l_linenumber,

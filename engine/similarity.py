@@ -112,10 +112,80 @@ def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded KMeans coarse quantizer (nlist=16),
+    queries probe their 4 nearest centroids, exact cosine re-rank
+    within the probed cells.
+
+    Scale shape: centroid table is tiny (nlist × dim — driver/broadcast
+    scale); the corpus is scanned once to assign cells; search touches
+    only nprobe/nlist of the data. Rows-only (KMeans internals aren't
+    SQL-expressible)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    assigned = km.transform(corpus).select("vec_id", "emb", "cell")
+
+    centroids = np.vstack(km.clusterCenters())  # (16, dim) — model params
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe_rows = []
+    for q in queries:
+        qv = np.array(q.emb)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:4]:
+            probe_rows.append((q.vec_id, int(cell), [float(x) for x in qv]))
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int, qemb array<double>")
+
+    joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    sim = F.expr(_DOT.format(a="emb", b="qemb")) / (
+        F.expr(_NORM.format(a="emb")) * F.expr(_NORM.format(a="qemb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cell", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
+def q66_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    the same sign-bit LSH bucket (O(N) shuffle), global top-20 most
+    similar pairs (deterministic tiebreak). The embedding leg of the
+    dedup suite (text legs: q50–q55)."""
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket("emb")).cast("int"))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    sim = F.expr(_DOT.format(a="a.emb", b="b.emb")) / (
+        F.expr(_NORM.format(a="a.emb")) * F.expr(_NORM.format(a="b.emb"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "q60_knn_brute": q60_knn_brute,
     "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
     "q62_brp_lsh_join": q62_brp_lsh_join,
+    "q65_knn_ivf": q65_knn_ivf,
+    "q66_embedding_near_dup": q66_embedding_near_dup,
 }
 
 _DUCK_COS = """
@@ -123,7 +193,23 @@ _DUCK_COS = """
       / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(q.emb, q.emb)))
 """
 
+_DUCK_COS_AB = """
+    list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+"""
+
 ORACLE = {
+    "q66_embedding_near_dup": f"""
+        WITH c AS (
+            SELECT vec_id, embedding::double[] AS emb,
+                   ({" + ".join(f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))})::int AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_DUCK_COS_AB}, 6) AS cosine
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ORDER BY {_DUCK_COS_AB} DESC, vec_a, vec_b
+        LIMIT 20
+    """,
     "q60_knn_brute": f"""
         WITH c AS (SELECT vec_id, embedding::double[] AS emb FROM embeddings),
         scored AS (

@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .session import load_events
 
@@ -86,6 +87,45 @@ def q73_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- custom stateful operator
+
+def running_user_totals(stream: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total, state expiring after
+    ``timeout_minutes`` of event-time inactivity.
+
+    This is the escape hatch for operators Structured Streaming lacks
+    (SURVEY §2.6 custom-operator rule): state is a tiny fixed-width
+    tuple per key, partitioned by user_id — state size O(active users),
+    bounded by the processing-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 # ----------------------------------------------------- true streaming harness
 
 def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
@@ -120,6 +160,40 @@ def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def run_stateful_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
+    """Real streaming run of the custom stateful operator, plus
+    dropDuplicatesWithinWatermark on the way in. Returns the final
+    per-user state (update mode → keep the last row per user)."""
+    batch = load_events(spark, sf_dir)
+    stage = out_dir or tempfile.mkdtemp(prefix="stream_stateful_")
+    stage_in = os.path.join(stage, "in")
+    batch.write.mode("overwrite").parquet(stage_in)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage_in)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = running_user_totals(stream)
+    name = "stream_stateful_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.table(name)
+    # update mode emits one row per user per micro-batch; final state =
+    # the max-count row per user
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return res.withColumn("rn", w_latest).filter(F.col("rn") == 1).drop("rn")
 
 
 QUERIES = {

@@ -288,6 +288,25 @@ def q59_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.expr(expr).alias("rolling_min_hash"))
 
 
+def q67_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (pre-training budget accounting):
+    whitespace tokens and a BPE-ish regex segmentation
+    (word pieces | digit runs | single punctuation)."""
+    d = table(spark, sf_dir, "documents")
+    # NB: Spark SQL string literals process backslash escapes, so \s
+    # must be doubled to survive to the regex engine
+    bpe_pattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{bpe_pattern}', 0))").alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length("text") / F.expr(f"size(regexp_extract_all(text, '{bpe_pattern}', 0))"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
@@ -299,6 +318,7 @@ QUERIES = {
     "q57_quality_score": q57_quality_score,
     "q58_token_stats": q58_token_stats,
     "q59_char_fingerprint": q59_char_fingerprint,
+    "q67_token_counting": q67_token_counting,
 }
 
 _DUCK_SIG_SQL = f"""
@@ -336,6 +356,17 @@ _LANG_SCORE_STRUCTS = ", ".join(
 )
 
 ORACLE = {
+    "q67_token_counting": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bpe_tokens
+            FROM documents)
+        SELECT doc_id, ws_tokens::int AS ws_tokens, bpe_tokens::int AS bpe_tokens,
+               length(text)::int AS n_chars,
+               round(length(text)::double / bpe_tokens, 6) AS chars_per_token
+        FROM t
+    """,
     "q50_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)

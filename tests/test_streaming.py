@@ -25,3 +25,15 @@ def test_sessions_merge_within_gap(spark, sf_dir):
     assert all(r["count"] == 1 for r in per_user)
     total = sum(r.n_events for r in wide.collect())
     assert total == events.count()
+
+
+def test_stateful_operator_final_counts(spark, sf_dir, tmp_path):
+    from engine.streaming import run_stateful_demo
+
+    final = run_stateful_demo(spark, sf_dir, str(tmp_path / "stateful"))
+    events = load_events(spark, sf_dir)
+    expected = {
+        (r.user_id, r["count"]) for r in events.groupBy("user_id").count().collect()
+    }
+    got = {(r.user_id, r.n_events) for r in final.collect()}
+    assert got == expected
