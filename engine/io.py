@@ -63,3 +63,16 @@ def save_model(model, path: str) -> None:
 
 def load_model(cls, path: str):
     return cls.load(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source (schema-first: at scale, never infer — a full extra
+    pass over the data)."""
+    r = spark.read.option("header", str(header).lower())
+    return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (same schema-first rule as CSV)."""
+    r = spark.read
+    return (r.schema(schema) if schema else r).json(path)

@@ -256,6 +256,24 @@ def q13_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, rolling 30-day order-value sum
+    (value-based frame, vs the row-based frame in q13)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # o_orderdate scans as TIMESTAMP_NTZ which has no direct long
+        # cast; route via TIMESTAMP (session TZ is pinned to UTC)
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d_total"),
+    )
+
+
 def q14_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: TakeOrderedAndProject — O(k) per partition, no
     full sort shuffle."""
@@ -482,6 +500,7 @@ QUERIES = {
     "q28_asof_join": q28_asof_join,
     "q29_map_array_funcs": q29_map_array_funcs,
     "q30_approx_distinct": q30_approx_distinct,
+    "q31_window_range_frame": q31_window_range_frame,
 }
 
 ORACLE = {
@@ -639,6 +658,14 @@ ORACLE = {
                round(sum(value), 4) AS sum_value,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q31_window_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::bigint
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                 AS rolling_30d_total
+        FROM orders
     """,
     "q25_correlated_subquery": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,

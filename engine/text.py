@@ -95,6 +95,10 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-join → per-pair intersection count → |A∪B| from per-doc
     set sizes. This is the exact verification path; at scale you run
     it only on MinHash candidates (q54)."""
+    # NB: measured — caching the exploded shingles here is 5× SLOWER
+    # than recompute (materialization + lost codegen pipelining); at
+    # real scale the shingle/signature stage is checkpointed to
+    # parquet instead (engine/io.py:checkpoint)
     sh = _with_shingles(table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -63,3 +63,28 @@ def test_model_save_load(spark, sf_dir, tmp_path):
     a = model.transform(e).select("vec_id", "prediction").collect()
     b = back.transform(e).select("vec_id", "prediction").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    from engine.io import read_csv, read_json
+
+    df = table(spark, sf_dir, "nation")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    df.write.mode("overwrite").option("header", "true").csv(csv_p)
+    df.write.mode("overwrite").json(json_p)
+    back_csv = read_csv(spark, csv_p, schema=df.schema)
+    back_json = read_json(spark, json_p, schema=df.schema)
+    expect = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == expect
+    assert sorted(map(tuple, back_json.collect())) == expect
+
+
+def test_binary_file_source(spark, tmp_path):
+    from engine.io import read_binary_dir
+
+    for i, payload in enumerate([b"alpha", b"bravo-bytes", b"c"]):
+        (tmp_path / f"blob_{i}.bin").write_bytes(payload)
+    df = read_binary_dir(spark, str(tmp_path), "*.bin")
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"blob_0.bin": b"alpha", "blob_1.bin": b"bravo-bytes", "blob_2.bin": b"c"}
+    assert {f.name for f in df.schema.fields} >= {"path", "modificationTime", "length", "content"}
