@@ -51,6 +51,11 @@ HEADLINE = [
     "q27_pivot",
     "q28_asof_join",
     "q29_map_array_funcs",
+    "q31_window_range_frame",
+    "q32_stat_aggregates",
+    "q33_collect_sorted",
+    "q34_date_arithmetic",
+    "q35_cross_join",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

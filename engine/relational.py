@@ -470,6 +470,64 @@ def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: corr, covariance, population/
+    sample variance & stddev — per return flag."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q33_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set as deterministic sorted arrays (raw
+    collect order is partition-dependent — always sort before compare)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 20)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q34_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: add_months, date_add, last_day,
+    dayofweek, quarter, interval difference."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+    )
+
+
+def q35_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small dims (the one join shape where
+    a cross product is intended — never for scaling tables)."""
+    n = table(spark, sf_dir, "nation").select("n_name")
+    r = table(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -501,6 +559,10 @@ QUERIES = {
     "q29_map_array_funcs": q29_map_array_funcs,
     "q30_approx_distinct": q30_approx_distinct,
     "q31_window_range_frame": q31_window_range_frame,
+    "q32_stat_aggregates": q32_stat_aggregates,
+    "q33_collect_sorted": q33_collect_sorted,
+    "q34_date_arithmetic": q34_date_arithmetic,
+    "q35_cross_join": q35_cross_join,
 }
 
 ORACLE = {
@@ -658,6 +720,37 @@ ORACLE = {
                round(sum(value), 4) AS sum_value,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q32_stat_aggregates": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+               round(var_samp(l_discount), 8) AS var_disc,
+               round(stddev_pop(l_quantity), 6) AS stdp_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q33_collect_sorted": """
+        SELECT o_custkey,
+               list_sort(list(o_orderstatus)) AS statuses,
+               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               count(*) AS n
+        FROM orders WHERE o_custkey < 20
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "q34_date_arithmetic": """
+        SELECT o_orderkey,
+               o_orderdate::date AS order_date,
+               (o_orderdate::date + INTERVAL 3 month)::date AS plus_3m,
+               (o_orderdate::date + 45)::date AS plus_45d,
+               last_day(o_orderdate::date) AS month_end,
+               (dayofweek(o_orderdate::date) + 1)::int AS dow,
+               quarter(o_orderdate::date)::int AS qtr,
+               datediff('day', o_orderdate::date, DATE '2000-01-01')::int AS days_to_y2k
+        FROM orders WHERE o_orderkey < 500
+    """,
+    "q35_cross_join": """
+        SELECT n_name, r_name FROM nation CROSS JOIN region
     """,
     "q31_window_range_frame": """
         SELECT o_custkey, o_orderkey,

@@ -99,11 +99,18 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than recompute (materialization + lost codegen pipelining); at
     # real scale the shingle/signature stage is checkpointed to
     # parquet instead (engine/io.py:checkpoint)
-    sh = _with_shingles(table(spark, sf_dir, "documents"))
+    # The join key is xxhash64(shingle), not the string — same pairs
+    # (collisions ~2⁻⁶⁴), a fraction of the shuffle bytes. The key
+    # never appears in the output, so it doesn't need to be
+    # oracle-portable (measured: md5-based portable key was 45% slower
+    # than xxhash64 — hex parsing dominates).
+    sh = _with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -380,11 +387,13 @@ ORACLE = {
         FROM documents
     """,
     "q52_ngram_jaccard": f"""
-        WITH sh AS ({_DUCK_SHINGLES_SQL}),
+        WITH sh AS (
+            SELECT doc_id, {_DUCK_H60.format(expr="shingle")} AS sh_h
+            FROM ({_DUCK_SHINGLES_SQL}) raw),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
         SELECT doc_a, doc_b,
                round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
