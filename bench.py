@@ -56,6 +56,7 @@ HEADLINE = [
     "q33_collect_sorted",
     "q34_date_arithmetic",
     "q35_cross_join",
+    "q36_rank_functions",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

@@ -231,7 +231,7 @@ def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag(): days since the customer's previous order."""
+    """lag()/lead(): days since previous / until next order."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -240,6 +240,25 @@ def q12_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lag("o_orderdate").over(w)
         ).alias("days_since_prev"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("days_until_next"),
+    )
+
+
+def q36_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank, dense_rank, percent_rank,
+    ntile, cume_dist over order value within status."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -563,6 +582,7 @@ QUERIES = {
     "q33_collect_sorted": q33_collect_sorted,
     "q34_date_arithmetic": q34_date_arithmetic,
     "q35_cross_join": q35_cross_join,
+    "q36_rank_functions": q36_rank_functions,
 }
 
 ORACLE = {
@@ -647,8 +667,23 @@ ORACLE = {
                datediff('day',
                         lag(o_orderdate) OVER (PARTITION BY o_custkey
                                                ORDER BY o_orderdate, o_orderkey),
-                        o_orderdate)::int AS days_since_prev
+                        o_orderdate)::int AS days_since_prev,
+               datediff('day', o_orderdate,
+                        lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey))::int
+                 AS days_until_next
         FROM orders
+    """,
+    "q36_rank_functions": """
+        SELECT o_orderstatus, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               ntile(4) OVER w AS quartile,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
     """,
     "q13_window_running_sum": """
         SELECT o_custkey, o_orderkey,

@@ -1,0 +1,56 @@
+"""Plan-shape regressions: the physical plans we iterated to must not
+silently degrade (SURVEY §4: Catalyst covers the reference's optimizer
+surface — these tests pin the wins)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from engine import relational, text
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_single_shuffle(spark, sf_dir):
+    plan = _plan(relational.q01_pricing_summary(spark, sf_dir))
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial+final agg → exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    plan = _plan(relational.q01_pricing_summary(spark, sf_dir))
+    # 7 of 11 lineitem columns read — never the whole row
+    import re
+
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1).split(",")
+    assert len(cols) == 7
+
+
+def test_q02_dims_broadcast(spark, sf_dir):
+    plan = _plan(relational.q02_revenue_by_nation(spark, sf_dir))
+    # all explicitly-broadcast dims become BroadcastExchange (customer,
+    # nation, region; AQE may add orders at small SF)
+    assert plan.count("BroadcastExchange") >= 3
+    # the fact table never shuffles for the dim joins: at most the
+    # lineitem⋈orders join + final agg produce exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q06_no_shuffle_single_scan(spark, sf_dir):
+    plan = _plan(relational.q06_forecast_revenue(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0  # global agg: partial+final, no hash exchange
+    assert plan.count("FileScan") == 1
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    # dedup/minhash/simhash must not spawn Python workers (hot path)
+    for fn in (text.q50_dedup_exact, text.q54_minhash_candidates, text.q55_simhash):
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, fn.__name__
