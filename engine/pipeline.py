@@ -155,6 +155,29 @@ def misclassified_slice(predictions: DataFrame, scaler, pca, limit: int = 15) ->
     )
 
 
+def build_pipeline(k: int, classifier: str = "rf", num_trees: int = 20, max_depth: int = 8):
+    """The whole reference pipeline as ONE pyspark.ml Pipeline object
+    (scaler → PCA(k) → classifier) — fit/transform/persist as a unit
+    (the reference pickles each fitted object separately,
+    main.py:343-350, 421-423; MLlib persists the composite)."""
+    from pyspark.ml import Pipeline
+
+    stages = [
+        StandardScaler(withMean=True, withStd=True, inputCol="features", outputCol="scaled"),
+        PCA(k=k, inputCol="scaled", outputCol="pca"),
+    ]
+    if classifier == "rf":
+        stages.append(
+            RandomForestClassifier(
+                numTrees=num_trees, maxDepth=max_depth, seed=SEED,
+                featuresCol="pca", labelCol="label",
+            )
+        )
+    else:
+        stages.append(NaiveBayes(modelType="gaussian", featuresCol="pca", labelCol="label"))
+    return Pipeline(stages=stages)
+
+
 # ------------------------------------------------------------ driver queries
 
 def ml_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:

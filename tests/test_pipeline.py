@@ -98,3 +98,22 @@ def test_models_beat_chance_and_ordering(spark, sf_dir):
     assert rf["accuracy"] > 1.5 / n_classes
     # reference ordering claim (main.py:431-433): ensemble >= NB baseline
     assert rf["f1"] >= nb["f1"] - 0.05
+
+
+def test_composite_pipeline_persistence(spark, sf_dir, tmp_path):
+    """Fit the whole pipeline as one object, save, reload, predictions
+    must match exactly (S7/S9 parity at pipeline granularity)."""
+    from pyspark.ml import PipelineModel
+
+    from engine.pipeline import build_pipeline
+    from engine.session import table
+
+    e = assemble(table(spark, sf_dir, "embeddings"))
+    model = build_pipeline(k=8, classifier="nb").fit(e)
+    p = str(tmp_path / "pipe")
+    model.write().overwrite().save(p)
+    back = PipelineModel.load(p)
+    a = sorted((r.vec_id, r.prediction) for r in model.transform(e).select("vec_id", "prediction").collect())
+    b = sorted((r.vec_id, r.prediction) for r in back.transform(e).select("vec_id", "prediction").collect())
+    assert a == b
+    assert len(back.stages) == 3
