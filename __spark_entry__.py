@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine import multimodal, pipeline, relational, sampling, stats, similarity, streaming, text, tuning
+from engine import multimodal, pipeline, relational, sampling, stats, similarity, streaming, text, tuning, udfs
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning]
+    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

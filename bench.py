@@ -57,6 +57,8 @@ HEADLINE = [
     "q34_date_arithmetic",
     "q35_cross_join",
     "q36_rank_functions",
+    "q37_grouped_udaf",
+    "q38_python_udtf",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",
