@@ -54,6 +54,39 @@ def fake_decode(payload: bytes, side: int = 32) -> np.ndarray:
     return np.tile(buf, reps)[: side * side].reshape(side, side)
 
 
+def resize_image(img: np.ndarray, side: int) -> np.ndarray:
+    """Pure-numpy resize (block mean / nearest hybrid): real resize
+    logic with no codec libs. Downscale via block averaging when the
+    ratio is integral, else nearest-neighbor sampling."""
+    h, w = img.shape
+    if h % side == 0 and w % side == 0:
+        fh, fw = h // side, w // side
+        return (
+            img.reshape(side, fh, side, fw).mean(axis=(1, 3)).astype(np.uint8)
+        )
+    ys = (np.arange(side) * h // side).clip(0, h - 1)
+    xs = (np.arange(side) * w // side).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def sample_frames(payload: bytes, n_frames: int, frame_size: int = 256) -> list[np.ndarray]:
+    """Deterministic frame sampling for video-like payloads: treat the
+    byte stream as consecutive fixed-size frames and take n uniformly
+    spaced ones (the standard keyframe-sampling shape; a real codec
+    would decode at the same sampled offsets)."""
+    total = max(len(payload) // frame_size, 1)
+    idx = np.unique((np.arange(n_frames) * total // max(n_frames, 1)).clip(0, total - 1))
+    out = []
+    for i in idx:
+        chunk = payload[i * frame_size : (i + 1) * frame_size]
+        buf = np.frombuffer(chunk, dtype=np.uint8)
+        if len(buf) < frame_size:
+            buf = np.pad(buf, (0, frame_size - len(buf)))
+        side = int(np.sqrt(frame_size))
+        out.append(buf[: side * side].reshape(side, side))
+    return out
+
+
 def with_payload(df: DataFrame) -> DataFrame:
     """Attach the opaque binary column (utf-8 bytes of text here;
     in production: spark.read.format('binaryFile').load(...).content)."""

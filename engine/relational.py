@@ -821,11 +821,14 @@ ORACLE = {
         FROM documents GROUP BY source ORDER BY source
     """,
     "q28_asof_join": """
-        SELECT event_id, user_id, ts, event_type,
-               max(CASE WHEN event_type = 'purchase' THEN ts END)
+        -- ::timestamp casts: events.ts is TIMESTAMP_NS in DuckDB but
+        -- Spark is µs; the cast truncates ns→µs exactly like Spark's
+        -- integer division in load_events
+        SELECT event_id, user_id, ts::timestamp AS ts, event_type,
+               (max(CASE WHEN event_type = 'purchase' THEN ts END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 AS prev_purchase_ts
+                 )::timestamp AS prev_purchase_ts
         FROM events
     """,
     "q29_map_array_funcs": """

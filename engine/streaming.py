@@ -234,7 +234,7 @@ ORACLE = {
                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM ordered)
-        SELECT min(ts) AS session_start, user_id,
+        SELECT min(ts)::timestamp AS session_start, user_id,
                count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM sessions GROUP BY user_id, session_id
     """,

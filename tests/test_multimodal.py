@@ -33,3 +33,30 @@ def test_extract_features_dataflow(spark, sf_dir):
     for r in rows:
         assert r.n_bytes > 0
         assert 0 <= r.byte_mean <= 255
+
+
+def test_resize_block_mean_and_nearest():
+    from engine.multimodal import resize_image
+
+    img = fake_decode(b"0123456789abcdef" * 64, side=32)
+    down = resize_image(img, 16)            # integral ratio -> block mean
+    assert down.shape == (16, 16) and down.dtype == np.uint8
+    odd = resize_image(img, 10)             # non-integral -> nearest
+    assert odd.shape == (10, 10)
+    # resize of a constant image is constant
+    const = np.full((32, 32), 7, dtype=np.uint8)
+    assert (resize_image(const, 8) == 7).all()
+
+
+def test_frame_sampling_deterministic_and_spaced():
+    from engine.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 40        # 40 "frames" of 256 bytes
+    frames = sample_frames(payload, 5)
+    assert 1 <= len(frames) <= 5
+    assert all(f.shape == (16, 16) for f in frames)
+    again = sample_frames(payload, 5)
+    assert all((a == b).all() for a, b in zip(frames, again))
+    # short payload: single padded frame
+    tiny = sample_frames(b"xy", 3)
+    assert len(tiny) == 1 and tiny[0].shape == (16, 16)
