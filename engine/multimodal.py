@@ -176,7 +176,7 @@ QUERIES = {
 
 ORACLE = {
     "q63_multimodal_meta": """
-        SELECT doc_id, octet_length(text::blob) AS n_bytes,
+        SELECT doc_id, octet_length(text::blob)::int AS n_bytes,
                sha256(text) AS payload_sha256, lang,
                len(embedding)::int AS emb_dim
         FROM documents JOIN embeddings ON doc_id = vec_id

@@ -658,7 +658,7 @@ ORACLE = {
     "q11_window_rank": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
         FROM (SELECT *, row_number() OVER
-                (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::int AS rn
               FROM orders) t
         WHERE rn <= 3
     """,
@@ -676,10 +676,10 @@ ORACLE = {
     """,
     "q36_rank_functions": """
         SELECT o_orderstatus, o_orderkey,
-               rank() OVER w AS rnk,
-               dense_rank() OVER w AS drnk,
+               rank() OVER w::int AS rnk,
+               dense_rank() OVER w::int AS drnk,
                round(percent_rank() OVER w, 6) AS prnk,
-               ntile(4) OVER w AS quartile,
+               ntile(4) OVER w::int AS quartile,
                round(cume_dist() OVER w, 6) AS cume
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
@@ -738,7 +738,7 @@ ORACLE = {
                coalesce(regexp_extract(p_brand, '(\\d+)', 1), '') AS brand_num,
                split_part(p_type, ' ', 1) AS type_head,
                concat(p_brand, ':', p_type) AS brand_type,
-               length(p_name) AS name_len,
+               length(p_name)::int AS name_len,
                substring(p_name, 1, 5) AS name_pfx
         FROM part
     """,
@@ -838,7 +838,7 @@ ORACLE = {
                string_split(p_name, ' ')[1:2] AS name_head2,
                string_split(p_type, ' ')[-1] AS type_tail,
                map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_via_map,
-               len(string_split(p_name, ' ')) AS n_name_tokens
+               len(string_split(p_name, ' '))::int AS n_name_tokens
         FROM part
     """,
     "q24_math_case": """
