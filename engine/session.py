@@ -68,9 +68,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture stores TIMESTAMP(NANOS); under
     ``spark.sql.legacy.parquet.nanosAsLong`` it scans as bigint nanos,
     which we convert JVM-side (no UDF) to Spark's native timestamp.
+
+    Both confs are set defensively at runtime: the DRIVER owns the
+    SparkSession passed to the contract and won't have them —
+    without nanosAsLong every events scan dies with
+    PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift
+    day-window boundaries vs the (tz-naive) oracle.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = table(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
         # integer div: double division loses µs exactness at ~1.7e18 ns

@@ -30,7 +30,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
     # stable sort over stringified rows (floats rounded so engine noise
     # doesn't reorder) for order-insensitive compare
     if len(df):
@@ -69,9 +73,17 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as mod
-    from engine.session import get_session
 
-    spark = get_session("oracle_check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-like session: none of engine.session's configs —
+        # catches hidden config dependencies in the contract
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle_check_vanilla").getOrCreate()
+    else:
+        from engine.session import get_session
+
+        spark = get_session("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
