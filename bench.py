@@ -71,6 +71,7 @@ HEADLINE = [
     "q58_token_stats",
     "q66_embedding_near_dup",
     "q67_token_counting",
+    "q68_data_pipeline",
     "q60_knn_brute",
     "q61_knn_lsh_bucketed",
     "q70_stream_tumbling",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .session import table
 
@@ -318,6 +319,39 @@ def q67_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data pipeline as ONE declarative plan:
+    exact dedup (keep-first) → quality filter → language census with
+    token budget. Catalyst fuses the whole chain; one scan of the
+    corpus, two shuffles (dedup group + final census)."""
+    d = table(spark, sf_dir, "documents")
+    w_keep = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tokens)
+        + 0.3 * F.least(
+            F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens / F.lit(10.0),
+            F.lit(1.0),
+        )
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)                      # dedup: keep lowest doc_id
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)               # quality gate
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_budget"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
@@ -330,6 +364,7 @@ QUERIES = {
     "q58_token_stats": q58_token_stats,
     "q59_char_fingerprint": q59_char_fingerprint,
     "q67_token_counting": q67_token_counting,
+    "q68_data_pipeline": q68_data_pipeline,
 }
 
 _DUCK_SIG_SQL = f"""
@@ -367,6 +402,28 @@ _LANG_SCORE_STRUCTS = ", ".join(
 )
 
 ORACLE = {
+    "q68_data_pipeline": """
+        WITH kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM documents) t WHERE rn = 1),
+        scored AS (
+            SELECT lang,
+                   len(string_split_regex(trim(text), ' +')) AS n_tokens,
+                   0.4 * least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+                 + 0.3 * (len(list_distinct(string_split_regex(trim(text), ' +')))::double
+                          / len(string_split_regex(trim(text), ' +')))
+                 + 0.3 * least(length(regexp_replace(trim(text), ' +', '', 'g'))::double
+                               / len(string_split_regex(trim(text), ' +')) / 10.0, 1.0)
+                   AS quality
+            FROM kept)
+        SELECT lang, count(*) AS n_docs,
+               sum(n_tokens)::bigint AS token_budget,
+               round(avg(quality), 6) AS avg_quality
+        FROM scored WHERE quality >= 0.5
+        GROUP BY lang ORDER BY lang
+    """,
     "q67_token_counting": """
         WITH t AS (
             SELECT doc_id, text,
