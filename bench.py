@@ -59,6 +59,7 @@ HEADLINE = [
     "q36_rank_functions",
     "q37_grouped_udaf",
     "q38_python_udtf",
+    "q39_unpivot",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

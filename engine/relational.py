@@ -547,6 +547,19 @@ def q35_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
 
 
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric columns → long (metric, value) rows
+    (the inverse of q27's pivot)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)"
+        ).alias("metric", "value"),
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("value", 4).alias("value"))
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -583,6 +596,7 @@ QUERIES = {
     "q34_date_arithmetic": q34_date_arithmetic,
     "q35_cross_join": q35_cross_join,
     "q36_rank_functions": q36_rank_functions,
+    "q39_unpivot": q39_unpivot,
 }
 
 ORACLE = {
@@ -673,6 +687,17 @@ ORACLE = {
                                                 ORDER BY o_orderdate, o_orderkey))::int
                  AS days_until_next
         FROM orders
+    """,
+    "q39_unpivot": """
+        SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber,
+                            l_quantity AS quantity,
+                            l_extendedprice AS price,
+                            l_discount AS discount
+                     FROM lineitem WHERE l_orderkey < 100)
+            ON quantity, price, discount
+            INTO NAME metric VALUE value) u
     """,
     "q36_rank_functions": """
         SELECT o_orderstatus, o_orderkey,
