@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine import multimodal, pipeline, relational, sampling, stats, similarity, streaming, text, tuning, udfs
+from engine import multimodal, pipeline, relational, sampling, stats, similarity, streaming, text, text_ml, tuning, udfs
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs]
+    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs, text_ml]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

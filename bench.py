@@ -73,6 +73,7 @@ HEADLINE = [
     "q66_embedding_near_dup",
     "q67_token_counting",
     "q68_data_pipeline",
+    "q69_tfidf",
     "q60_knn_brute",
     "q61_knn_lsh_bucketed",
     "q70_stream_tumbling",

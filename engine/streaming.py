@@ -196,6 +196,33 @@ def run_stateful_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = No
     return res.withColumn("rn", w_latest).filter(F.col("rn") == 1).drop("rn")
 
 
+def run_foreach_batch_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """foreachBatch sink: per-micro-batch custom write (the idempotent
+    exactly-once pattern — batch_id keys the write so replays
+    overwrite instead of duplicating)."""
+    batch = load_events(spark, sf_dir)
+    stage_in = os.path.join(out_dir, "in")
+    batch.write.mode("overwrite").parquet(stage_in)
+    sink_dir = os.path.join(out_dir, "sink")
+
+    def _write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # idempotent: path keyed by batch_id; replay overwrites
+        tumbling_counts(bdf).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage_in)
+        .writeStream.foreachBatch(_write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(os.path.join(sink_dir, "*"))
+
+
 QUERIES = {
     "q70_stream_tumbling": q70_stream_tumbling,
     "q71_stream_sliding": q71_stream_sliding,

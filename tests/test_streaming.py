@@ -37,3 +37,12 @@ def test_stateful_operator_final_counts(spark, sf_dir, tmp_path):
     }
     got = {(r.user_id, r.n_events) for r in final.collect()}
     assert got == expected
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    from engine.streaming import run_foreach_batch_demo
+
+    out = run_foreach_batch_demo(spark, sf_dir, str(tmp_path / "fb"))
+    batch = tumbling_counts(load_events(spark, sf_dir))
+    # single availableNow batch over static input → sink equals batch twin
+    assert _as_set(out) == _as_set(batch)
