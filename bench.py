@@ -74,6 +74,7 @@ HEADLINE = [
     "q67_token_counting",
     "q68_data_pipeline",
     "q69_tfidf",
+    "q80_dedup_components",
     "q60_knn_brute",
     "q61_knn_lsh_bucketed",
     "q70_stream_tumbling",

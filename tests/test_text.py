@@ -49,3 +49,14 @@ def test_quality_score_bounds(spark, sf_dir):
         assert 0.0 <= r.quality <= 1.0
         assert 0.0 < r.distinct_ratio <= 1.0
         assert r.bucket in ("high", "mid", "low")
+
+
+def test_connected_components_known_graph(spark):
+    from engine.text import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src bigint, dst bigint",
+    )
+    comps = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
