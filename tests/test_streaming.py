@@ -46,3 +46,63 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     batch = tumbling_counts(load_events(spark, sf_dir))
     # single availableNow batch over static input → sink equals batch twin
     assert _as_set(out) == _as_set(batch)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two availableNow runs over a shared checkpoint: run 1 advances
+    the event-time watermark; run 2 appends events far older than the
+    watermark, which the stateful aggregation must DROP (the late-data
+    semantics a single static replay can never exercise)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stage_in = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage_in)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp, value double")
+            .parquet(stage_in)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: fresh events on Jan 20-21 -> watermark advances to ~Jan 21
+    recent = spark.createDataFrame(
+        [(i, f"2024-01-2{i % 2} 12:00:00", 1.0) for i in range(10)],
+        "event_id bigint, ts string, value double",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    recent.write.mode("append").parquet(stage_in)
+    run_once()
+
+    # run 2: events on Jan 01 — weeks behind the watermark -> dropped
+    late = spark.createDataFrame(
+        [(100 + i, "2024-01-01 12:00:00", 1.0) for i in range(5)],
+        "event_id bigint, ts string, value double",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    late.write.mode("append").parquet(stage_in)
+    run_once()
+
+    out = spark.read.parquet(sink)
+    # If the late rows had entered state, their window (end << watermark)
+    # would have been emitted at the end of run 2 — its absence IS the drop.
+    jan1 = out.filter(F.col("ws") == F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert jan1.count() == 0
+    # append mode emits only windows the watermark has passed: the
+    # Jan-20 window (5 events); Jan-21 is still held in state
+    rows = {(str(r.ws), r.n) for r in out.collect()}
+    assert rows == {("2024-01-20 00:00:00", 5)}
