@@ -60,6 +60,9 @@ HEADLINE = [
     "q37_grouped_udaf",
     "q38_python_udtf",
     "q39_unpivot",
+    "q81_range_join",
+    "q82_time_rollup",
+    "q83_percentiles",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

@@ -879,3 +879,124 @@ ORACLE = {
         FROM lineitem
     """,
 }
+
+
+# ------------------------------------------------- range join / time rollup
+
+def q81_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: band each lineitem by price via
+    ``lo <= l_extendedprice < hi`` against a tiny band dimension.
+
+    The band table is explicitly ``broadcast()`` so the non-equi join
+    is a broadcast probe — the fact side never shuffles and the plan is
+    a single narrow pass at any scale. A big⋈big range join would
+    instead bucketize BOTH sides on ``floor(price / width)``, equi-join
+    on the bucket, and re-check the residual range predicate (turns
+    O(n·m) nested-loop into a co-partitioned hash join)."""
+    bands = spark.createDataFrame(
+        [(i, i * 10000.0, (i + 1) * 10000.0) for i in range(12)],
+        "band_id int, lo double, hi double",
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def q82_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: events aggregated at
+    hour AND day AND grand-total grain in ONE pass via ``rollup`` —
+    partial aggregation happens map-side per grain, one shuffle total
+    (vs. three separate scans at 100 TB). Grain labeled from the
+    rollup's null pattern so the oracle needs no GROUPING_ID dialect."""
+    e = load_events(spark, sf_dir)
+    rolled = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "value",
+        )
+        .rollup("d", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return rolled.select(
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("total"))
+        .alias("grain"),
+        "d",
+        "h",
+        "n",
+        "sum_value",
+    )
+
+
+def q83_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / quartiles / p95) per
+    group — Spark ``percentile`` ≡ DuckDB ``quantile_cont``. At 100 TB
+    prefer ``percentile_approx`` (KLL-style mergeable sketch, bounded
+    memory); the exact form materializes per-group value multisets."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES.update(
+    {
+        "q81_range_join": q81_range_join,
+        "q82_time_rollup": q82_time_rollup,
+        "q83_percentiles": q83_percentiles,
+    }
+)
+
+ORACLE.update(
+    {
+        "q81_range_join": """
+            WITH bands AS (
+                SELECT i::int AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+                FROM range(0, 12) t(i)
+            )
+            SELECT band_id, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN bands
+              ON l_extendedprice >= lo AND l_extendedprice < hi
+            GROUP BY band_id
+        """,
+        "q82_time_rollup": """
+            WITH g AS (
+                SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+                       count(*) AS n, round(sum(value), 4) AS sum_value
+                FROM events GROUP BY ROLLUP (d, h)
+            )
+            SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                        WHEN d IS NOT NULL THEN 'day'
+                        ELSE 'total' END AS grain,
+                   d::timestamp AS d, h::timestamp AS h, n, sum_value
+            FROM g
+        """,
+        "q83_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+                   round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+    }
+)

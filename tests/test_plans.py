@@ -54,3 +54,19 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     for fn in (text.q50_dedup_exact, text.q54_minhash_candidates, text.q55_simhash):
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_q81_range_join_broadcasts_bands(spark, sf_dir):
+    plan = _plan(relational.q81_range_join(spark, sf_dir))
+    # non-equi join against the tiny band dim must be a broadcast
+    # nested-loop probe — the lineitem side shuffles only for the agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q82_rollup_single_shuffle(spark, sf_dir):
+    plan = _plan(relational.q82_time_rollup(spark, sf_dir))
+    # one-pass rollup: expand + partial agg before a single exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+    assert "partial_" in plan
