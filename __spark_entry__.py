@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine import multimodal, pipeline, relational, sampling, stats, similarity, streaming, text, text_ml, tuning, udfs
+from engine import multimodal, pipeline, relational, sampling, sqlapi, stats, similarity, streaming, text, text_ml, tuning, udfs
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs, text_ml]
+    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs, text_ml, sqlapi]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

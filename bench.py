@@ -60,6 +60,8 @@ HEADLINE = [
     "q37_grouped_udaf",
     "q38_python_udtf",
     "q39_unpivot",
+    "q84_sql_shipping_priority",
+    "q85_sql_cte_window_having",
     "q81_range_join",
     "q82_time_rollup",
     "q83_percentiles",

@@ -516,7 +516,7 @@ ORACLE = {
         FROM scored WHERE quality >= 0.5
         GROUP BY lang ORDER BY lang
     """,
-    "q67_token_counting": """
+    "q67_token_counting": r"""
         WITH t AS (
             SELECT doc_id, text,
                    len(string_split_regex(trim(text), ' +')) AS ws_tokens,
