@@ -65,6 +65,8 @@ HEADLINE = [
     "q81_range_join",
     "q82_time_rollup",
     "q83_percentiles",
+    "q86_explode_lateral",
+    "q87_null_semantics",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

@@ -1000,3 +1000,80 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q86_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/table-generating surface: posexplode each part name into
+    (position, token) rows — the row-expanding dual of the array
+    functions in q29. Narrow (no shuffle before the agg): expansion
+    happens inside the scan stage at any scale."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    return (
+        p.select("p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pos"), 6).alias("avg_pos"),
+        )
+    )
+
+
+def q87_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface over a left join that manufactures real
+    nulls (customers with no orders): coalesce, nullif, null-safe
+    equality (<=> ≡ IS NOT DISTINCT FROM), and null-aware counts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    j = c.filter(F.col("c_custkey") <= 1000).join(
+        per_cust, c.c_custkey == per_cust.o_custkey, "left"
+    )
+    return j.select(
+        "c_custkey",
+        F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("spend0"),
+        F.nullif(F.col("n_orders"), F.lit(1)).alias("orders_unless_one"),
+        (F.col("spend").eqNullSafe(F.lit(None).cast("double"))).alias("never_ordered"),
+        F.when(F.col("spend").isNull(), F.lit("none"))
+        .when(F.col("spend") > 200000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("spend_band"),
+    )
+
+
+QUERIES.update(
+    {
+        "q86_explode_lateral": q86_explode_lateral,
+        "q87_null_semantics": q87_null_semantics,
+    }
+)
+
+ORACLE.update(
+    {
+        "q86_explode_lateral": """
+            WITH tok AS (
+                SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token,
+                       generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos
+                FROM part WHERE p_partkey <= 2000
+            )
+            SELECT token, count(*) AS n, round(avg(pos), 6) AS avg_pos
+            FROM tok GROUP BY token
+        """,
+        "q87_null_semantics": """
+            WITH per_cust AS (
+                SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey,
+                   round(coalesce(spend, 0.0), 2) AS spend0,
+                   nullif(n_orders, 1) AS orders_unless_one,
+                   (spend IS NOT DISTINCT FROM NULL) AS never_ordered,
+                   CASE WHEN spend IS NULL THEN 'none'
+                        WHEN spend > 200000 THEN 'big'
+                        ELSE 'small' END AS spend_band
+            FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+            WHERE c_custkey <= 1000
+        """,
+    }
+)
