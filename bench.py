@@ -88,6 +88,7 @@ HEADLINE = [
     "q71_stream_sliding",
     "q72_stream_sessions",
     "q73_stream_dedup_count",
+    "q74_stream_join",
 ]
 
 

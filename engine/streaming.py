@@ -223,11 +223,84 @@ def run_foreach_batch_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> Da
     return spark.read.parquet(os.path.join(sink_dir, "*"))
 
 
+def click_to_purchase(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: each purchase
+    matched to the same user's clicks in the preceding hour.
+
+    Watermarks on BOTH sides plus the time-bound condition let Spark
+    evict join state (without them a stream-stream join buffers
+    forever). The same builder is the batch twin: Catalyst's
+    EliminateEventTimeWatermark drops the watermark nodes on static
+    inputs, so one definition serves oracle-checking AND the real run.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", "1 hour")
+    p = purchases.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    ).withWatermark("purchase_ts", "1 hour")
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "user_id", "purchase_ts", "click_ts")
+
+
+def q74_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (the oracle-checked entry;
+    tests/test_streaming.py runs the real two-readStream version)."""
+    e = load_events(spark, sf_dir)
+    return click_to_purchase(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Real stream-stream join run: two readStreams over the staged
+    events (clicks / purchases), joined with watermarked state, append
+    sink. availableNow single-batch replay → equals the batch twin."""
+    batch = load_events(spark, sf_dir)
+    stage_in = os.path.join(out_dir, "in")
+    batch.write.mode("overwrite").parquet(stage_in)
+
+    def _typed(kind: str) -> DataFrame:
+        return (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage_in)
+            .filter(F.col("event_type") == kind)
+        )
+
+    joined = click_to_purchase(_typed("click"), _typed("purchase"))
+    name = "stream_join_out"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the dim side is broadcast, so
+    each micro-batch joins map-side with NO shuffle and no streaming
+    state — the standard pattern for attaching dimension attributes to
+    a 100 TB/day event stream."""
+    return stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "ts", "event_type", "c_name", "c_mktsegment")
+
+
 QUERIES = {
     "q70_stream_tumbling": q70_stream_tumbling,
     "q71_stream_sliding": q71_stream_sliding,
     "q72_stream_sessions": q72_stream_sessions,
     "q73_stream_dedup_count": q73_stream_dedup_count,
+    "q74_stream_join": q74_stream_join,
 }
 
 ORACLE = {
@@ -268,5 +341,13 @@ ORACLE = {
     "q73_stream_dedup_count": """
         SELECT count(*) AS n_unique, round(sum(value), 4) AS sum_value
         FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id, ts) t
+    """,
+    "q74_stream_join": """
+        SELECT p.event_id, p.user_id,
+               p.ts::timestamp AS purchase_ts, c.ts::timestamp AS click_ts
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }

@@ -106,3 +106,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # Jan-20 window (5 events); Jan-21 is still held in state
     rows = {(str(r.ws), r.n) for r in out.collect()}
     assert rows == {("2024-01-20 00:00:00", 5)}
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    from engine.session import load_events
+    from engine.streaming import click_to_purchase, run_stream_join_demo
+
+    streamed = run_stream_join_demo(spark, sf_dir, str(tmp_path / "ssj"))
+    e = load_events(spark, sf_dir)
+    batch = click_to_purchase(
+        e.filter(e.event_type == "click"), e.filter(e.event_type == "purchase")
+    )
+    assert _as_set(streamed) == _as_set(batch)
+    assert streamed.count() > 0
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from engine.session import load_events, table
+    from engine.streaming import enrich_stream_with_dim
+
+    batch = load_events(spark, sf_dir)
+    stage_in = str(tmp_path / "enrich_in")
+    batch.write.mode("overwrite").parquet(stage_in)
+    dim = table(spark, sf_dir, "customer")
+
+    stream = spark.readStream.schema(batch.schema).parquet(stage_in)
+    name = "stream_enrich_out"
+    q = (
+        enrich_stream_with_dim(stream, dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    want = enrich_stream_with_dim(batch, dim)
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0
