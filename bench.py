@@ -66,6 +66,8 @@ HEADLINE = [
     "q82_time_rollup",
     "q83_percentiles",
     "q86_explode_lateral",
+    "q88_value_window_funcs",
+    "q89_fuzzy_match",
     "q87_null_semantics",
     "q40_balanced_sample",
     "q42_census",

@@ -1042,10 +1042,60 @@ def q87_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first_value / last_value / nth_value
+    over each customer's order history. The frame is pinned to the
+    full partition (rowsBetween unbounded/unbounded) — the default
+    RANGE..CURRENT ROW frame makes last_value degenerate (≡ current
+    row) in both engines, so the explicit frame is the semantics."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+def q89_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein edit distance between part
+    names, blocked on p_brand. Blocking is the scale story — the join
+    fans out per brand bucket instead of all-pairs O(n²); at 100 TB the
+    blocking key would be a cheaper fingerprint (q51/q55) but the plan
+    shape (equi-join on block key + narrow distance filter) is the same."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 25)
+    )
+
+
 QUERIES.update(
     {
         "q86_explode_lateral": q86_explode_lateral,
         "q87_null_semantics": q87_null_semantics,
+        "q88_value_window_funcs": q88_value_window_funcs,
+        "q89_fuzzy_match": q89_fuzzy_match,
     }
 )
 
@@ -1074,6 +1124,27 @@ ORACLE.update(
                         ELSE 'small' END AS spend_band
             FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
             WHERE c_custkey <= 1000
+        """,
+        "q88_value_window_funcs": """
+            SELECT o_custkey, o_orderkey,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER w AS last_price,
+                   nth_value(o_totalprice, 2) OVER w AS second_price
+            FROM orders
+            WHERE o_custkey <= 500
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
+        """,
+        "q89_fuzzy_match": """
+            SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+                   levenshtein(a.p_name, b.p_name) AS edit_dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE a.p_partkey <= 400 AND b.p_partkey <= 400
+              AND levenshtein(a.p_name, b.p_name) <= 25
         """,
     }
 )
