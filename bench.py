@@ -68,6 +68,8 @@ HEADLINE = [
     "q86_explode_lateral",
     "q88_value_window_funcs",
     "q89_fuzzy_match",
+    "q90_histogram",
+    "q91_filtered_agg",
     "q87_null_semantics",
     "q40_balanced_sample",
     "q42_census",

@@ -1090,12 +1090,47 @@ def q89_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via width_bucket: 12 buckets over order
+    value [0, 600k), plus under/overflow buckets 0 and 13. One narrow
+    projection + one hash agg on a ≤14-value key — the distributed
+    histogram pattern (map-side partials make the shuffle O(buckets)
+    per partition regardless of input size)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q91_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/filtered aggregation surface: count_if, sum-where
+    (≡ SQL FILTER clause), bool_and / bool_or — all single-pass
+    map-side-combinable aggregates, no extra scan per condition."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        ).alias("taxed_revenue"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_max_qty"),
+    )
+
+
 QUERIES.update(
     {
         "q86_explode_lateral": q86_explode_lateral,
         "q87_null_semantics": q87_null_semantics,
         "q88_value_window_funcs": q88_value_window_funcs,
         "q89_fuzzy_match": q89_fuzzy_match,
+        "q90_histogram": q90_histogram,
+        "q91_filtered_agg": q91_filtered_agg,
     }
 )
 
@@ -1145,6 +1180,24 @@ ORACLE.update(
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE a.p_partkey <= 400 AND b.p_partkey <= 400
               AND levenshtein(a.p_name, b.p_name) <= 25
+        """,
+        "q90_histogram": """
+            -- DuckDB has no width_bucket; same arithmetic spelled out
+            -- (bucket width 600000/12 = 50000 exactly, so FP-identical)
+            SELECT CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 600000 THEN 13
+                        ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+                   END AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q91_filtered_agg": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                   round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_revenue,
+                   bool_and(l_quantity > 0) AS all_positive_qty,
+                   bool_or(l_quantity > 49) AS any_max_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
     }
 )
