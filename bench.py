@@ -70,6 +70,7 @@ HEADLINE = [
     "q89_fuzzy_match",
     "q90_histogram",
     "q91_filtered_agg",
+    "q92_sessionization",
     "q87_null_semantics",
     "q40_balanced_sample",
     "q42_census",

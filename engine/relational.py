@@ -1123,6 +1123,32 @@ def q91_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when a
+    user's gap since their previous event exceeds 30 minutes; session
+    number = running sum of break flags. The batch dual of streaming
+    session_window (q72) — one shuffle on user_id, then both window
+    passes and the final agg run within the sorted partition. Interval
+    arithmetic on timestamps (not epoch-second casts) keeps sub-second
+    precision identical across engines."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "ts", "value").withColumn(
+        "is_start", is_start
+    ).withColumn("session_no", F.sum("is_start").over(wcum))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
 QUERIES.update(
     {
         "q86_explode_lateral": q86_explode_lateral,
@@ -1131,6 +1157,7 @@ QUERIES.update(
         "q89_fuzzy_match": q89_fuzzy_match,
         "q90_histogram": q90_histogram,
         "q91_filtered_agg": q91_filtered_agg,
+        "q92_sessionization": q92_sessionization,
     }
 )
 
@@ -1198,6 +1225,29 @@ ORACLE.update(
                    bool_and(l_quantity > 0) AS all_positive_qty,
                    bool_or(l_quantity > 49) AS any_max_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q92_sessionization": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts::timestamp AS ts, value FROM events
+            ), marked AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(is_start) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_no
+                FROM marked
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_no
         """,
     }
 )
