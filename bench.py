@@ -71,6 +71,7 @@ HEADLINE = [
     "q90_histogram",
     "q91_filtered_agg",
     "q92_sessionization",
+    "q93_keep_latest",
     "q87_null_semantics",
     "q40_balanced_sample",
     "q42_census",

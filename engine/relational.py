@@ -1149,6 +1149,24 @@ def q92_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-record dedup via max_by / min_by: one hash agg
+    collapses each user's event history to its newest (and oldest)
+    record — the CDC-compaction pattern. Cheaper than the
+    window+filter form at scale: partial max_by state is one row per
+    (partition × user), so the shuffle is O(users), and no sort is
+    needed. Deterministic because (user_id, ts) is unique at
+    microsecond grain in this dataset (verified at every SF)."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.max_by("event_type", "ts").alias("latest_event_type"),
+        F.round(F.max_by("value", "ts"), 4).alias("latest_value"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
 QUERIES.update(
     {
         "q86_explode_lateral": q86_explode_lateral,
@@ -1158,6 +1176,7 @@ QUERIES.update(
         "q90_histogram": q90_histogram,
         "q91_filtered_agg": q91_filtered_agg,
         "q92_sessionization": q92_sessionization,
+        "q93_keep_latest": q93_keep_latest,
     }
 )
 
@@ -1248,6 +1267,15 @@ ORACLE.update(
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q93_keep_latest": """
+            SELECT user_id,
+                   max_by(event_id, ts::timestamp) AS latest_event_id,
+                   max_by(event_type, ts::timestamp) AS latest_event_type,
+                   round(max_by(value, ts::timestamp), 4) AS latest_value,
+                   min_by(event_id, ts::timestamp) AS first_event_id,
+                   max(ts::timestamp) AS latest_ts
+            FROM events GROUP BY user_id
         """,
     }
 )
