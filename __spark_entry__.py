@@ -20,18 +20,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [relational, sampling, stats, pipeline, text, similarity, multimodal, streaming, tuning, udfs, text_ml, sqlapi]
+    # Non-relational families FIRST: the driver's correctness check
+    # covers only the first 50 queries() entries, and round 1 (r1)
+    # spent all 50 on relational+sampling+q42 — every text/similarity/
+    # streaming/sqlapi/udf/ML query shipped unverified. Relational
+    # proved green in r1, so it goes last, with a hand-picked head
+    # (below) for the queries changed this round.
+    return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational]
+
+
+# Relational queries that must re-enter the driver's 50-entry window:
+# the four changed this round (q25 decimal avg, q29/q33 array
+# stringification, q89 composite block key) + three green canaries.
+_RELATIONAL_HEAD = [
+    "q25_correlated_subquery",
+    "q29_map_array_funcs",
+    "q33_collect_sorted",
+    "q89_fuzzy_match",
+    "q01_pricing_summary",
+    "q28_asof_join",
+    "q92_sessionization",
+]
+
+
+def _ordered(table_of: dict[str, dict]) -> dict:
+    out: dict = {}
+    for m in _modules():
+        d = table_of[id(m)]
+        if m is relational:
+            out.update({k: d[k] for k in _RELATIONAL_HEAD if k in d})
+        out.update(d)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for m in _modules():
-        out.update(m.QUERIES)
-    return out
+    return _ordered({id(m): m.QUERIES for m in _modules()})
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for m in _modules():
-        out.update(m.ORACLE)
-    return out
+    return _ordered({id(m): m.ORACLE for m in _modules()})

@@ -1,14 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+The LAST stdout line is one compact JSON object:
+  {"metric": "headline_queries_total_wall", "value": <total sec>,
+   "unit": "sec", "n_queries": N, "sf": <sf>}
+Per-query timings go to stderr (and BENCH_DETAIL.json) — the driver
+captures only a tail window of stdout, and r1's single long line with
+70 embedded timings got its head truncated ("parsed": null).
 
 One SparkSession is reused across all queries (per SURVEY §6 the risk
 at small SF is per-query session overhead, not data volume). Each
-query is timed to action completion via a count-style materialization
-(``df.write.format("noop")`` would skip result production; we use
-a full collect of the aggregate/topk outputs and count for wide ones).
+query is materialized with a ``noop``-format write: unlike ``count()``
+(under which Catalyst prunes the projected expressions away, timing
+projection-only queries as bare scans), the noop sink evaluates every
+output column and discards the rows executor-side — full-plan cost,
+no driver collect.
 """
 
 from __future__ import annotations
@@ -115,18 +120,29 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # compact machine-readable line LAST on stdout (driver tail window)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

@@ -399,16 +399,27 @@ def q24_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders above their customer's
-    average — Catalyst de-correlates to an aggregate + join."""
+    average — Catalyst de-correlates to an aggregate + join.
+
+    The average is computed as exact-decimal sum ÷ count (one IEEE
+    double division) instead of avg(double): double summation is
+    order-dependent, so avg differs by 1 ulp between engines/runs
+    (r1: 28/7540 rows flipped at round-4). Decimal sum is exact and
+    associative — the same value on any partitioning, at any scale.
+    No broadcast hint: the aggregate has one row per customer, which
+    scales with SF — AQE picks the join strategy."""
     o = table(spark, sf_dir, "orders")
     avg_per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.avg("o_totalprice").alias("cust_avg")
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
     )
     return (
-        o.join(F.broadcast(avg_per_cust), o.o_custkey == avg_per_cust.k)
+        o.join(avg_per_cust, o.o_custkey == avg_per_cust.k)
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"),
-                F.round("cust_avg", 4).alias("cust_avg"))
+                "cust_avg")
     )
 
 
@@ -466,13 +477,20 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map scalar surface: construction, transform, contains,
-    slicing, element access, map_from / element lookup."""
+    slicing, element access, map_from / element lookup.
+
+    Array results are emitted as '|'-joined strings: the driver's
+    canonicalizer (pandas sort_values) crashes on raw list columns
+    (r1: TypeError unhashable type 'list'), and the string form is
+    hashable in every harness with identical semantics."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.expr("transform(split(p_type, ' '), t -> upper(t))").alias("type_tokens_upper"),
+        F.array_join(
+            F.expr("transform(split(p_type, ' '), t -> upper(t))"), "|"
+        ).alias("type_tokens_upper"),
         F.array_contains(F.split(F.col("p_type"), " "), "PROMO").alias("is_promo"),
-        F.slice(F.split(F.col("p_name"), " "), 1, 2).alias("name_head2"),
+        F.array_join(F.slice(F.split(F.col("p_name"), " "), 1, 2), "|").alias("name_head2"),
         F.expr("element_at(split(p_type, ' '), -1)").alias("type_tail"),
         F.expr("map('brand', p_brand, 'type', p_type)['brand']").alias("brand_via_map"),
         F.size(F.split(F.col("p_name"), " ")).alias("n_name_tokens"),
@@ -508,14 +526,16 @@ def q32_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q33_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list/collect_set as deterministic sorted arrays (raw
-    collect order is partition-dependent — always sort before compare)."""
+    collect order is partition-dependent — always sort before compare).
+    Output joined to '|' strings: hashable for the driver canonicalizer
+    (raw list columns crash its pandas sort, r1 q29/q33)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_custkey") < 20)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.array_sort(F.collect_list("o_orderstatus")), "|").alias("statuses"),
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias("priorities"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_custkey")
@@ -792,8 +812,8 @@ ORACLE = {
     """,
     "q33_collect_sorted": """
         SELECT o_custkey,
-               list_sort(list(o_orderstatus)) AS statuses,
-               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               array_to_string(list_sort(list(o_orderstatus)), '|') AS statuses,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
                count(*) AS n
         FROM orders WHERE o_custkey < 20
         GROUP BY o_custkey ORDER BY o_custkey
@@ -821,10 +841,13 @@ ORACLE = {
         FROM orders
     """,
     "q25_correlated_subquery": """
+        -- exact decimal sum ÷ count: order-independent, so the double
+        -- result is bit-identical to Spark's (avg(double) is not)
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
-               round(a.cust_avg, 4) AS cust_avg
+               a.cust_avg
         FROM orders o
-        JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+        JOIN (SELECT o_custkey AS k,
+                     sum(o_totalprice::decimal(18,2))::double / count(*) AS cust_avg
               FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
         WHERE o_totalprice > a.cust_avg
     """,
@@ -858,9 +881,10 @@ ORACLE = {
     """,
     "q29_map_array_funcs": """
         SELECT p_partkey,
-               list_transform(string_split(p_type, ' '), t -> upper(t)) AS type_tokens_upper,
+               array_to_string(list_transform(string_split(p_type, ' '), t -> upper(t)), '|')
+                 AS type_tokens_upper,
                list_contains(string_split(p_type, ' '), 'PROMO') AS is_promo,
-               string_split(p_name, ' ')[1:2] AS name_head2,
+               array_to_string(string_split(p_name, ' ')[1:2], '|') AS name_head2,
                string_split(p_type, ' ')[-1] AS type_tail,
                map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_via_map,
                len(string_split(p_name, ' '))::int AS n_name_tokens
@@ -1065,20 +1089,25 @@ def q88_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q89_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: Levenshtein edit distance between part
-    names, blocked on p_brand. Blocking is the scale story — the join
-    fans out per brand bucket instead of all-pairs O(n²); at 100 TB the
-    blocking key would be a cheaper fingerprint (q51/q55) but the plan
-    shape (equi-join on block key + narrow distance filter) is the same."""
-    p = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") <= 400)
-        .select("p_partkey", "p_name", "p_brand")
+    names, blocked on a COMPOSITE key (p_brand, name-length band of
+    width 16). Brand alone has 25 values, so block size — and the
+    per-block quadratic pair count — grows linearly with data; the
+    second key bounds it. Standard blocking trade-off: pairs whose
+    name lengths straddle a band boundary are not compared (recall
+    loss, mirrored exactly in the oracle). The single equi-join on
+    the composite block_key is the 100 TB plan shape."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).select(
+        "p_partkey",
+        "p_name",
+        F.concat_ws(
+            ":", F.col("p_brand"), F.floor(F.length("p_name") / 16).cast("int")
+        ).alias("block_key"),
     )
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
+            (F.col("a.block_key") == F.col("b.block_key"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .select(
@@ -1223,7 +1252,9 @@ ORACLE.update(
             SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
                    levenshtein(a.p_name, b.p_name) AS edit_dist
             FROM part a JOIN part b
-              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              ON a.p_brand = b.p_brand
+             AND floor(length(a.p_name) / 16) = floor(length(b.p_name) / 16)
+             AND a.p_partkey < b.p_partkey
             WHERE a.p_partkey <= 400 AND b.p_partkey <= 400
               AND levenshtein(a.p_name, b.p_name) <= 25
         """,

@@ -33,6 +33,8 @@ def q43_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference samples 12 random columns of 1024 (main.py:217-218)
     driver-side; we fix dims {0, 7, 21, 42} of 64 for determinism.
     Long format (dim, stat aggregates) — one scan, all dims at once.
+    Full describe() stat set incl. the reference's 25%/50%/75% rows
+    (main.py:215-220).
     """
     e = table(spark, sf_dir, "embeddings")
     dims = [0, 7, 21, 42]
@@ -48,8 +50,10 @@ def q43_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("x"), 6).alias("mean"),
             F.round(F.stddev_samp("x"), 6).alias("std"),
             F.round(F.min("x"), 6).alias("min"),
-            F.round(F.max("x"), 6).alias("max"),
+            F.round(F.expr("percentile(x, 0.25)"), 6).alias("p25"),
             F.round(F.expr("percentile(x, 0.5)"), 6).alias("median"),
+            F.round(F.expr("percentile(x, 0.75)"), 6).alias("p75"),
+            F.round(F.max("x"), 6).alias("max"),
         )
         .orderBy("dim")
     )
@@ -108,8 +112,10 @@ ORACLE = {
                round(avg(x), 6) AS mean,
                round(stddev_samp(x), 6) AS std,
                round(min(x), 6) AS min,
-               round(max(x), 6) AS max,
-               round(quantile_cont(x, 0.5), 6) AS median
+               round(quantile_cont(x, 0.25), 6) AS p25,
+               round(quantile_cont(x, 0.5), 6) AS median,
+               round(quantile_cont(x, 0.75), 6) AS p75,
+               round(max(x), 6) AS max
         FROM u GROUP BY dim ORDER BY dim
     """,
     "q44_sparsity": """

@@ -91,11 +91,16 @@ def q51_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- near-dup exact
 
 def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard via inverted-index self-join.
+    """Exact n-gram Jaccard over the q54 LSH candidate pairs — the
+    verification stage of the candidate→verify near-dup pipeline.
 
-    shingle-join → per-pair intersection count → |A∪B| from per-doc
-    set sizes. This is the exact verification path; at scale you run
-    it only on MinHash candidates (q54)."""
+    The pair set comes from MinHash banding (O(docs × bands) shuffle,
+    q54); each candidate pair's exact intersection is then counted by
+    joining the pair list to the shingle index on (doc, shingle-hash).
+    Work is O(candidates × shingles-per-doc) — linear in candidates,
+    never all-pairs, so one viral shingle can no longer fan out k²
+    join rows (that was the r1 corpus-wide shape; the same final
+    jaccard ≥ 0.2 cut applies, restricted to LSH candidates)."""
     # NB: measured — caching the exploded shingles here is 5× SLOWER
     # than recompute (materialization + lost codegen pipelining); at
     # real scale the shingle/signature stage is checkpointed to
@@ -105,14 +110,17 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never appears in the output, so it doesn't need to be
     # oracle-portable (measured: md5-based portable key was 45% slower
     # than xxhash64 — hex parsing dominates).
+    cand = q54_minhash_candidates(spark, sf_dir).select("doc_a", "doc_b")
     sh = _with_shingles(table(spark, sf_dir, "documents")).select(
         "doc_id", F.xxhash64("shingle").alias("sh_h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
     inter = (
-        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
@@ -536,14 +544,23 @@ ORACLE = {
         FROM documents
     """,
     "q52_ngram_jaccard": f"""
-        WITH sh AS (
+        WITH per_doc AS ({_DUCK_PER_DOC_SIG}),
+        bands AS (
+            SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM per_doc),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sh AS (
             SELECT doc_id, {_DUCK_H60.format(expr="shingle")} AS sh_h
             FROM ({_DUCK_SHINGLES_SQL}) raw),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id)
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+            GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b,
                round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
         FROM inter
