@@ -30,20 +30,29 @@ from pyspark.sql import functions as F
 from .session import table
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real media decode — NOT AVAILABLE in this container (no PIL).
+def decode_image(payload: bytes, side: int = 32) -> "np.ndarray":
+    """Real media decode: image bytes → grayscale → center-pad to
+    ``side``×``side`` → flatten (reference parity: to_array,
+    main.py:128-142 decodes, pads to 32×32, flattens).
 
-    Reference parity: to_array (main.py:128-142) decodes an image file,
-    pads to 32×32, flattens. On a real deployment this body is
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` + pad/flatten.
+    Requires PIL; raises NotImplementedError when codec libs are
+    missing (this container), in which case ``fake_decode`` carries
+    the dataflow. tests/test_multimodal.py exercises this body under
+    ``pytest.importorskip("PIL")``.
     """
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "media codecs not installed in this container; use fake_decode for the dataflow"
         ) from exc
-    raise NotImplementedError("real decode path reserved for deployments with codec libs")
+    import io
+
+    img = np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
+    h, w = img.shape
+    ph, pw = max(side - h, 0), max(side - w, 0)
+    img = np.pad(img, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)))
+    return img[:side, :side].ravel()
 
 
 def fake_decode(payload: bytes, side: int = 32) -> np.ndarray:
@@ -99,20 +108,25 @@ _FEATURE_SCHEMA = (
 )
 
 
-def extract_features(df: DataFrame, side: int = 32) -> DataFrame:
-    """mapInPandas media feature extraction: decode each payload with
-    the (stubbed) codec, emit fixed-width numeric features.
+def extract_features(df: DataFrame, side: int = 32, decoder=None) -> DataFrame:
+    """mapInPandas media feature extraction: decode each payload,
+    emit fixed-width numeric features.
+
+    ``decoder`` defaults to ``fake_decode`` (this container has no
+    codec libs); deployments with PIL pass ``decode_image`` for the
+    real path — same (payload, side) → uint8 pixels contract.
 
     Arrow-batched; one Python worker per partition; output schema is
     declared so Catalyst treats downstream ops as ordinary columns.
     """
+    decode = decoder or fake_decode
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = fake_decode(bytes(payload), side)
-                flat = img.astype(np.float64).ravel()
+                img = decode(bytes(payload), side)
+                flat = np.asarray(img, dtype=np.float64).ravel()
                 quarters = np.array_split(flat, 4)
                 rows.append(
                     (

@@ -9,11 +9,6 @@ from engine.multimodal import decode_image, extract_features, fake_decode, with_
 from engine.session import table
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n")
-
-
 def test_fake_decode_shape_and_determinism():
     a = fake_decode(b"hello world", side=32)
     assert a.shape == (32, 32) and a.dtype == np.uint8
@@ -60,3 +55,35 @@ def test_frame_sampling_deterministic_and_spaced():
     # short payload: single padded frame
     tiny = sample_frames(b"xy", 3)
     assert len(tiny) == 1 and tiny[0].shape == (16, 16)
+
+
+def test_decode_image_real_codec_pads_and_flattens():
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from engine.multimodal import decode_image
+
+    img = Image.new("L", (20, 28), 9)       # (w, h) -> 28x20 array
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (1024,) and arr.dtype == np.uint8
+    # padded region is zero, original pixels survive centered
+    assert (arr.reshape(32, 32)[2:30, 6:26] == 9).all()
+    assert arr.reshape(32, 32)[0, 0] == 0
+    assert int((arr > 0).sum()) == 28 * 20
+
+
+def test_decode_image_raises_cleanly_without_codecs():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the real path is tested above")
+    except ImportError:
+        pass
+    from engine.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")

@@ -70,3 +70,20 @@ def test_q82_rollup_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Expand" in plan
     assert "partial_" in plan
+
+def test_q89_joins_on_composite_block_key(spark, sf_dir):
+    plan = _plan(relational.q89_fuzzy_match(spark, sf_dir))
+    # the self-join's equi key is the composite (brand, length-band)
+    # block key — never an unblocked cross/nested-loop pair explosion
+    assert "block_key" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q52_verifies_lsh_candidates_not_all_pairs(spark, sf_dir):
+    plan = _plan(text.q52_ngram_jaccard(spark, sf_dir))
+    # exact-jaccard verification must be driven by the LSH banding
+    # candidate pairs (band_key bucket join), not a corpus-wide
+    # shingle self-join
+    assert "band_key" in plan
+    assert "CartesianProduct" not in plan
