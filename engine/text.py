@@ -256,26 +256,38 @@ def q56_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trunc6(col):
+    """floor(x·10⁶)/10⁶ — engine-portable 6-decimal truncation. Unlike
+    round(x, 6), identical in Spark and DuckDB on ties: Spark rounds
+    the shortest decimal repr (HALF_UP on Double.toString) while DuckDB
+    rounds the binary value, so a quotient of small ints landing on an
+    exact x.xxxxxx5 boundary flips between engines (observed: q57
+    quality 0.428937 vs 0.428938 at sf0.01). floor of the identical
+    product is the same IEEE op in both."""
+    return F.floor(col * F.lit(1e6)) / F.lit(1e6)
+
+
 def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, lexical diversity, mean token length →
-    composite score and bucket (the classic pre-training filters)."""
+    composite score and bucket (the classic pre-training filters).
+    Float outputs are 6-decimal truncations (see _trunc6) so the
+    driver's exact hash compare is deterministic across engines."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), " +")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens)
-    score = F.round(
+    score = _trunc6(
         0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
         + 0.3 * (n_distinct / n_tokens)
-        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)),
-        6,
+        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0))
     )
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        _trunc6(n_distinct / n_tokens).alias("distinct_ratio"),
+        _trunc6(mean_tok_len).alias("mean_tok_len"),
         score.alias("quality"),
         F.when(score >= 0.7, "high").when(score >= 0.5, "mid").otherwise("low").alias("bucket"),
     )
@@ -616,14 +628,16 @@ ORACLE = {
                    n_alpha::double / len(toks) AS mean_tok_len
             FROM t),
         s AS (
+            -- floor(x*1e6)/1e6 mirrors Spark's _trunc6: deterministic
+            -- across engines where round(x, 6) flips on exact ties
             SELECT *,
-                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                   floor((0.4 * least(n_tokens / 100.0, 1.0)
                          + 0.3 * (n_distinct::double / n_tokens)
-                         + 0.3 * least(mean_tok_len / 10.0, 1.0), 6) AS quality
+                         + 0.3 * least(mean_tok_len / 10.0, 1.0)) * 1e6) / 1e6 AS quality
             FROM m)
         SELECT doc_id, n_tokens::int AS n_tokens, n_distinct::int AS n_distinct,
-               round(n_distinct::double / n_tokens, 6) AS distinct_ratio,
-               round(mean_tok_len, 6) AS mean_tok_len,
+               floor((n_distinct::double / n_tokens) * 1e6) / 1e6 AS distinct_ratio,
+               floor(mean_tok_len * 1e6) / 1e6 AS mean_tok_len,
                quality,
                CASE WHEN quality >= 0.7 THEN 'high'
                     WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket

@@ -48,6 +48,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_match(a: pd.DataFrame, b: pd.DataFrame, rtol=1e-6, atol=1e-6) -> str | None:
+    """Tolerant by default; SPARK_GRAFT_STRICT=1 demands bit-identical
+    floats — a local simulation of the driver's exact hash compare
+    (r1 q25: values within tolerance still hash-mismatch)."""
+    if os.environ.get("SPARK_GRAFT_STRICT"):
+        rtol = atol = 0.0
     if list(a.columns) != list(b.columns):
         return f"columns differ: {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
@@ -58,7 +63,9 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame, rtol=1e-6, atol=1e-6) -> str
             for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
                 if pd.isna(x) and pd.isna(y):
                     continue
-                if pd.isna(x) != pd.isna(y) or not math.isclose(x, y, rel_tol=rtol, abs_tol=atol):
+                if pd.isna(x) != pd.isna(y) or (
+                    x != y and not math.isclose(x, y, rel_tol=rtol, abs_tol=atol)
+                ):
                     return f"col {c} row {i}: {x!r} vs {y!r}"
         else:
             eq = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
