@@ -968,15 +968,24 @@ def q83_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / quartiles / p95) per
     group — Spark ``percentile`` ≡ DuckDB ``quantile_cont``. At 100 TB
     prefer ``percentile_approx`` (KLL-style mergeable sketch, bounded
-    memory); the exact form materializes per-group value multisets."""
+    memory); the exact form materializes per-group value multisets.
+
+    The three quartiles share ONE percentile(col, array(...)) buffer —
+    three scalar calls build three identical per-group value maps
+    (measured 2× slower at sf0.1)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
-            F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+            F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+            F.expr("percentile(l_quantity, 0.95D)").alias("p95q"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 4).alias("p25_price"),
+            F.round(F.col("qs")[1], 4).alias("median_price"),
+            F.round(F.col("qs")[2], 4).alias("p75_price"),
+            F.round(F.col("p95q"), 4).alias("p95_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -50,10 +50,20 @@ def q43_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("x"), 6).alias("mean"),
             F.round(F.stddev_samp("x"), 6).alias("std"),
             F.round(F.min("x"), 6).alias("min"),
-            F.round(F.expr("percentile(x, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(x, 0.5)"), 6).alias("median"),
-            F.round(F.expr("percentile(x, 0.75)"), 6).alias("p75"),
+            # one shared value-map buffer for all three quartiles
+            F.expr("percentile(x, array(0.25D, 0.5D, 0.75D))").alias("qs"),
             F.round(F.max("x"), 6).alias("max"),
+        )
+        .select(
+            "dim",
+            "n",
+            "mean",
+            "std",
+            "min",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("median"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            "max",
         )
         .orderBy("dim")
     )
