@@ -55,3 +55,30 @@ def salted_agg(
             for out, (col, func) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    For the case AQE's skew split can't fix — one pathological key on
+    a big⋈medium join where the medium side exceeds the broadcast
+    threshold. The big side gets a random salt ∈ [0, n_salts); the
+    small side is replicated n_salts× (explode over the salt range);
+    the join runs on (key, salt), spreading the hot key's rows over
+    ``n_salts`` reducers. Row-for-row equivalent to ``big.join(small,
+    key, how)`` for inner/left joins; shuffle volume of the small side
+    grows n_salts× — size n_salts to the observed skew ratio, not
+    higher.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salting the right side)")
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    salted_big = big.withColumn("_salt", (F.rand(seed=43) * n_salts).cast("int"))
+    replicated = small.select("*", salts)
+    return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")
