@@ -14,10 +14,11 @@ Scale posture (100 TB):
 * exact dedup = one hash aggregation on the text hash (not the text);
   at scale, group on sha2/md5 so the shuffle carries 16-byte keys,
   not documents.
-* near-dup: the all-pairs shingle join (q52) is the *verification*
-  path; candidate generation at scale is MinHash banding (q54) — the
+* near-dup: candidate generation is MinHash banding (q54) — the
   classic shingle→minhash→band→bucket-join pipeline whose shuffle
-  volume is O(docs × bands), independent of pair count.
+  volume is O(docs × bands), independent of pair count; exact
+  verification (q52) joins the candidate pair list to the shingle
+  index — linear in candidates, never all-pairs.
 * SimHash (q55) gives a 16-bit bucket key; near-dup candidates are
   same-bucket or Hamming-1 buckets — O(docs) shuffle.
 """
