@@ -39,7 +39,6 @@ _RELATIONAL_HEAD = [
     "q89_fuzzy_match",
     "q01_pricing_summary",
     "q28_asof_join",
-    "q92_sessionization",
 ]
 
 

@@ -67,6 +67,7 @@ HEADLINE = [
     "q39_unpivot",
     "q84_sql_shipping_priority",
     "q85_sql_cte_window_having",
+    "q94_recursive_cte",
     "q81_range_join",
     "q82_time_rollup",
     "q83_percentiles",

@@ -87,9 +87,46 @@ def q85_sql_cte_window_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one SQL text, two engines: Spark 4 and DuckDB both run this
+# recursive CTE verbatim. The recursion walks each customer's order
+# history in date order (an acyclic chain, so UNION ALL terminates —
+# Spark does not yet support UNION dedup recursion), accumulating
+# spend hop by hop. Additions happen in the same sequential order in
+# both engines, so the doubles are bit-identical.
+_Q94_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_custkey <= 200
+    ),
+    chain AS (
+        SELECT o_custkey, rn, o_totalprice AS cum_spend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.rn, c.cum_spend + s.o_totalprice
+        FROM seq s JOIN chain c
+          ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1
+    )
+    SELECT o_custkey, rn AS hop, round(cum_spend, 2) AS cum_spend
+    FROM chain
+"""
+
+
+def q94_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): per-customer order-chain
+    traversal with hop-by-hop spend accumulation. Iteration count is
+    bounded by the longest per-customer chain (~tens at TPC-H ratios),
+    each step one co-partitioned equi-join — the linked-list-walk
+    recursion shape. The oracle runs the IDENTICAL SQL text."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q94_SQL)
+
+
 QUERIES = {
     "q84_sql_shipping_priority": q84_sql_shipping_priority,
     "q85_sql_cte_window_having": q85_sql_cte_window_having,
+    "q94_recursive_cte": q94_recursive_cte,
 }
 
 ORACLE = {
@@ -124,4 +161,5 @@ ORACLE = {
         GROUP BY c_nationkey
         HAVING avg(c.c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
     """,
+    "q94_recursive_cte": _Q94_SQL,
 }
