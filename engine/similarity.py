@@ -6,11 +6,14 @@ Three tiers, matching how ANN is actually deployed over 100 TB:
   set is broadcast; the corpus is scanned once; per-partition top-k
   then global top-k (TakeOrderedAndProject shape) — no all-pairs
   shuffle. Cost O(|Q| · N); fine for small query batches at any N.
-* q61 LSH-bucketed top-k — the scale path: sign-bit hyperplane LSH
-  (here: axis-aligned planes on dims 0..7 → 256 buckets) turns the
-  cross product into an equi-join on bucket id; shuffle is O(N).
-  Recall < 1 by construction; the bucket key is engine-portable so
-  the DuckDB oracle value-checks it.
+* q61 multi-probe LSH top-k — the scale path: sign-bit hyperplane LSH
+  (axis-aligned planes on dims 0..7 → 256 buckets) turns the cross
+  product into an equi-join of the corpus against the query's
+  Hamming-≤2 probe set (37 buckets); shuffle is O(N). Recall < 1 by
+  construction and MEASURED (0.38 vs 0.02 single-bucket on this
+  weak-neighbor fixture — recall floors pinned in tests); the bucket
+  key and probe masks are engine-portable so the DuckDB oracle
+  value-checks it.
 * q62 MLlib BucketedRandomProjectionLSH — the library variant
   (seeded, rows-only: its random hyperplanes aren't reproducible in
   SQL).
@@ -70,15 +73,50 @@ def _bucket(col: str) -> str:
     return " + ".join(f"(CASE WHEN {col}[{j}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
 
 
+# multi-probe masks: the query probes its own bucket plus every bucket
+# within Hamming distance 2 of it (1 + 8 + 28 = 37 probes)
+_PROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(8)]
+    + [(1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)]
+)
+
+
 def q61_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket — equi-join on bucket id instead of a cross product."""
+    """Approximate top-k via multi-probe sign-LSH: each query probes
+    its bucket and all buckets within Hamming distance 2 — an equi-join
+    of the corpus against 37 broadcast probe rows per query instead of
+    a cross product; the corpus side still shuffles O(N) once.
+
+    Measured at sf0.001 vs the q60 exact baseline: single-bucket
+    probing recalled 0.02 of the true top-10 (this fixture's nearest
+    neighbors have cosine ≈ 0.25–0.39, so P(all 8 sign bits agree) ≈
+    0.61⁸ ≈ 2%); Hamming-≤2 multi-probe recalls ≈ 0.38 while touching
+    ~15% of the corpus. Sign-LSH earns its keep in the high-similarity
+    regime (near-dup retrieval, q66 — planted duplicates collide with
+    high probability); for moderate-similarity top-k the scale path is
+    IVF (q65) with nprobe as the recall/cost knob. Pinned by
+    tests/test_similarity.py recall floors."""
     corpus = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket("emb")).cast("int"))
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select(
+            "query_id",
+            "qemb",
+            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+            "qbucket",
+        )
+        .withColumn("probe_bucket", F.expr("int(qbucket ^ mask)"))
+        .drop("qbucket", "mask")
     )
     joined = corpus.join(
-        F.broadcast(queries), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     sim = F.expr(_DOT.format(a="emb", b="qemb")) / (
         F.expr(_NORM.format(a="emb")) * F.expr(_NORM.format(a="qemb"))
@@ -112,15 +150,23 @@ def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 6
+
+
 def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: seeded KMeans coarse quantizer (nlist=16),
-    queries probe their 4 nearest centroids, exact cosine re-rank
-    within the probed cells.
+    queries probe their IVF_NPROBE nearest centroids, exact cosine
+    re-rank within the probed cells.
 
     Scale shape: centroid table is tiny (nlist × dim — driver/broadcast
     scale); the corpus is scanned once to assign cells; search touches
-    only nprobe/nlist of the data. Rows-only (KMeans internals aren't
-    SQL-expressible)."""
+    only nprobe/nlist of the data. nprobe is the recall/cost knob —
+    measured vs the q60 exact baseline at sf0.001: recall 0.58 / 0.72 /
+    0.80 at nprobe 4 / 6 / 8 (this fixture's neighbors are weak,
+    cosine ≈ 0.3, the hard regime for any ANN). Rows-only (KMeans
+    internals aren't SQL-expressible); recall floor pinned in
+    tests/test_similarity.py."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
 
@@ -129,16 +175,16 @@ def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    km = KMeans(k=IVF_NLIST, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
     assigned = km.transform(corpus).select("vec_id", "emb", "cell")
 
-    centroids = np.vstack(km.clusterCenters())  # (16, dim) — model params
+    centroids = np.vstack(km.clusterCenters())  # (nlist, dim) — model params
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
     probe_rows = []
     for q in queries:
         qv = np.array(q.emb)
         d = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:4]:
+        for cell in np.argsort(d)[:IVF_NPROBE]:
             probe_rows.append((q.vec_id, int(cell), [float(x) for x in qv]))
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int, qemb array<double>")
 
@@ -229,11 +275,18 @@ ORACLE = {
             SELECT vec_id, embedding::double[] AS emb,
                    ({" + ".join(f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))})::int AS bucket
             FROM embeddings),
-        scored AS (
-            SELECT q.vec_id AS query_id, a.vec_id, a.bucket, {_DUCK_COS} AS sim
-            FROM c a JOIN c q
-              ON a.bucket = q.bucket AND a.vec_id <> q.vec_id
+        probes AS (
+            SELECT q.vec_id AS query_id, q.emb AS qemb,
+                   xor(q.bucket, m.mask)::int AS probe_bucket
+            FROM c q, (SELECT unnest([{", ".join(map(str, _PROBE_MASKS))}]) AS mask) m
             WHERE q.vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT p.query_id, a.vec_id, a.bucket,
+                   list_dot_product(a.emb, p.qemb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(p.qemb, p.qemb))) AS sim
+            FROM c a JOIN probes p
+              ON a.bucket = p.probe_bucket AND a.vec_id <> p.query_id),
         ranked AS (
             SELECT query_id, vec_id, bucket, sim,
                    row_number() OVER (PARTITION BY query_id

@@ -33,3 +33,27 @@ def test_brp_lsh_pairs_canonical(spark, sf_dir):
     rows = q62_brp_lsh_join(spark, sf_dir).collect()
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(r.euclidean_dist >= 0 for r in rows)
+
+
+def _topk_pairs(df):
+    return {(r.query_id, r.vec_id) for r in df.collect()}
+
+
+def test_multiprobe_lsh_recall_floor(spark, sf_dir):
+    # single-bucket probing measured 0.02 recall on this fixture
+    # (neighbors at cosine ~0.3); Hamming<=2 multi-probe measured 0.38.
+    # Floor at 0.25 so the knob can't silently regress.
+    from engine.similarity import q60_knn_brute, q61_knn_lsh_bucketed
+
+    brute = _topk_pairs(q60_knn_brute(spark, sf_dir))
+    lsh = _topk_pairs(q61_knn_lsh_bucketed(spark, sf_dir))
+    assert len(brute & lsh) / len(brute) >= 0.25
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    # measured 0.72 at nprobe=6 (0.58 at 4, 0.80 at 8); floor 0.5
+    from engine.similarity import q60_knn_brute, q65_knn_ivf
+
+    brute = _topk_pairs(q60_knn_brute(spark, sf_dir))
+    ivf = _topk_pairs(q65_knn_ivf(spark, sf_dir))
+    assert len(brute & ivf) / len(brute) >= 0.5

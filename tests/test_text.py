@@ -60,3 +60,28 @@ def test_connected_components_known_graph(spark):
     )
     comps = {r.doc_id: r.component for r in connected_components(edges).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_lsh_candidate_recall(spark, sf_dir):
+    """q54's banded candidates must recall (almost) every true
+    near-dup pair: measured 28/28 pairs with exact jaccard >= 0.5
+    found at sf0.001 (floor 0.85 for seed robustness). This is the
+    guarantee that makes q52's candidate-restricted verification
+    sound."""
+    from engine.text import _with_shingles, q54_minhash_candidates
+    from engine.session import table
+    from collections import defaultdict
+
+    docs = defaultdict(set)
+    for r in _with_shingles(table(spark, sf_dir, "documents")).collect():
+        docs[r.doc_id].add(r.shingle)
+    ids = sorted(docs)
+    exact = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            if inter and inter / len(docs[a] | docs[b]) >= 0.5:
+                exact.add((a, b))
+    cand = {(r.doc_a, r.doc_b) for r in q54_minhash_candidates(spark, sf_dir).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    assert len(exact & cand) / len(exact) >= 0.85
