@@ -45,3 +45,36 @@ def test_q30_approx_distinct_within_error_bound(spark, sf_dir):
     )
     assert abs(approx.approx_orders - exact.orders) / exact.orders < 0.06
     assert abs(approx.approx_parts - exact.parts) / exact.parts < 0.06
+
+
+def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
+    # SCALING.md: "at 100 TB switch q83 to percentile_approx — only the
+    # agg expression changes". Substantiate it: the sketch (accuracy
+    # 1000 => rank error <= 0.1%) must land within 1% relative value
+    # error of the exact quartiles on this data.
+    from pyspark.sql import functions as F
+
+    from engine import relational
+    from engine.session import table
+
+    exact = {r.l_returnflag: r for r in relational.q83_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r
+        for r in (
+            table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)"
+                ).alias("qs"),
+                F.expr("percentile_approx(l_quantity, 0.95D, 1000)").alias("p95q"),
+            )
+            .collect()
+        )
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for i, col in enumerate(["p25_price", "median_price", "p75_price"]):
+            assert abs(a.qs[i] - e[col]) / e[col] < 0.01, (flag, col)
+        assert abs(a.p95q - e.p95_qty) / e.p95_qty < 0.05
