@@ -285,6 +285,89 @@ def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
     return spark.table(name)
 
 
+def _doc_quality_census(docs: DataFrame) -> DataFrame:
+    """Shared batch/stream tail of the training-data ingest pipeline:
+    quality gate + per-lang census. Works on the NORMALIZED text (the
+    ``norm`` column) so every member of a fingerprint-duplicate group
+    scores identically — the aggregate is invariant to which duplicate
+    the dedup stage keeps (batch keep-lowest vs streaming keep-first-
+    arrival)."""
+    toks = F.split(F.col("norm"), " ")
+    n_tokens = F.size(toks)
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tokens)
+        + 0.3 * F.least(
+            F.length(F.regexp_replace(F.col("norm"), " ", "")) / n_tokens / F.lit(10.0),
+            F.lit(1.0),
+        )
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("token_budget"))
+    )
+
+
+def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + normalized text, content fingerprint (q51 semantics)
+    and a synthetic deterministic event time (streaming needs one; the
+    fixture table has none)."""
+    from .session import table
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        F.md5(norm).alias("fingerprint"),
+        F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("ts"),
+    )
+
+
+def doc_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest pipeline: fingerprint dedup →
+    quality gate → per-lang census."""
+    return _doc_quality_census(_staged_docs(spark, sf_dir).dropDuplicates(["fingerprint"]))
+
+
+def run_doc_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """The LLM-training-data ingest pipeline as a REAL stream: document
+    micro-batches → ``dropDuplicatesWithinWatermark`` on the content
+    fingerprint (state bounded by the watermark — the streaming form
+    of exact dedup q50/q51) → quality gate → per-lang census.
+
+    This is the shape a continuous crawl-ingest runs at 100 TB: dedup
+    state holds only the watermark window's fingerprints (16-byte
+    keys), the census is an incremental streaming aggregation."""
+    staged = _staged_docs(spark, sf_dir)
+    stage_in = os.path.join(out_dir, "in")
+    staged.write.mode("overwrite").parquet(stage_in)
+
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .parquet(stage_in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    agg = _doc_quality_census(stream)
+    name = "doc_stream_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: the dim side is broadcast, so
     each micro-batch joins map-side with NO shuffle and no streaming

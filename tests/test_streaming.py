@@ -149,3 +149,23 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     want = enrich_stream_with_dim(batch, dim)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
+
+
+def test_doc_ingest_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming LLM-data ingest (fingerprint dedup within watermark ->
+    quality gate -> census) must equal the batch twin: quality is
+    computed on normalized text, so the aggregate is keeper-invariant
+    and the only degrees of freedom are the dedup/watermark mechanics
+    under test."""
+    from engine.streaming import doc_pipeline_batch, run_doc_stream_demo
+
+    got = {
+        r.lang: (r.n_docs, r.token_budget)
+        for r in run_doc_stream_demo(spark, sf_dir, str(tmp_path)).collect()
+    }
+    want = {
+        r.lang: (r.n_docs, r.token_budget)
+        for r in doc_pipeline_batch(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in want.values()) > 0
