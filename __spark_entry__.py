@@ -37,8 +37,8 @@ _RELATIONAL_HEAD = [
     "q29_map_array_funcs",
     "q33_collect_sorted",
     "q89_fuzzy_match",
+    "q95_variant_shred",
     "q01_pricing_summary",
-    "q28_asof_join",
 ]
 
 

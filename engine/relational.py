@@ -377,6 +377,37 @@ def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via Spark 4 VARIANT: JSON text →
+    ``parse_json`` → typed path extraction (`variant_get`), including a
+    nested object, an array element, and a missing-path probe — the
+    schema-on-read ingest pattern (at 100 TB: parse once into a
+    variant column, shred hot paths into typed columns).
+
+    The JSON input is built row-wise from orders (the fixture has no
+    rich JSON), so the oracle is the direct projection of the source
+    fields — verifying the text→variant→typed round trip is lossless
+    (shortest-repr double printing parses back bit-identical)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("prio")
+            ).alias("meta"),
+            F.array(F.col("o_totalprice")).alias("amounts"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(v.alias("v")).select(
+        F.expr("variant_get(v, '$.id', 'bigint')").alias("o_id"),
+        F.expr("variant_get(v, '$.meta.cust', 'bigint')").alias("cust"),
+        F.expr("variant_get(v, '$.meta.prio', 'string')").alias("prio"),
+        F.round(F.expr("variant_get(v, '$.amounts[0]', 'double')"), 2).alias("amount"),
+        F.expr("try_variant_get(v, '$.missing', 'int') IS NULL").alias("missing_is_null"),
+    )
+
+
 def q24_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math + conditional surface: CASE WHEN, abs/ceil/floor/sqrt/pow/mod."""
     li = table(spark, sf_dir, "lineitem")
@@ -1215,6 +1246,7 @@ QUERIES.update(
         "q91_filtered_agg": q91_filtered_agg,
         "q92_sessionization": q92_sessionization,
         "q93_keep_latest": q93_keep_latest,
+        "q95_variant_shred": q95_variant_shred,
     }
 )
 
@@ -1307,6 +1339,15 @@ ORACLE.update(
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q95_variant_shred": """
+            -- lossless round-trip oracle: the variant extraction must
+            -- reproduce the source fields exactly
+            SELECT o_orderkey AS o_id, o_custkey AS cust,
+                   o_orderpriority AS prio,
+                   round(o_totalprice, 2) AS amount,
+                   TRUE AS missing_is_null
+            FROM orders WHERE o_orderkey < 1000
         """,
         "q93_keep_latest": """
             SELECT user_id,

@@ -78,3 +78,19 @@ def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
         for i, col in enumerate(["p25_price", "median_price", "p75_price"]):
             assert abs(a.qs[i] - e[col]) / e[col] < 0.01, (flag, col)
         assert abs(a.p95q - e.p95_qty) / e.p95_qty < 0.05
+
+
+def test_driver_window_covers_unproven_queries():
+    # The driver's correctness gate checks only the FIRST 50 queries()
+    # entries. Everything not yet proven green by a previous round's
+    # driver run (all non-relational families + the relational queries
+    # changed this round) must sit inside that window.
+    names = list(contract.queries())[:50]
+    import engine.relational as relational
+
+    non_relational = [
+        q for m in contract._modules() if m is not relational for q in m.QUERIES
+    ]
+    required = set(non_relational) | set(contract._RELATIONAL_HEAD)
+    missing = required - set(names)
+    assert not missing, f"queries pushed out of the 50-entry driver window: {sorted(missing)}"
