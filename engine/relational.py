@@ -377,6 +377,27 @@ def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches surface, Spark 3.5+):
+    per-event-type distinct-user sketches, then the GLOBAL distinct
+    estimate by unioning the three group sketches — no second scan.
+
+    This is the 100 TB incremental-cardinality pattern that plain
+    approx_count_distinct (q30) can't do: persist tiny sketch binaries
+    per partition/day, merge on demand for any rollup grain.
+    Rows-only (sketch internals aren't SQL-portable); the error-bound
+    test pins every estimate to its exact twin."""
+    e = load_events(spark, sf_dir)
+    sketches = e.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
+    per_type = sketches.select(
+        "event_type", F.expr("hll_sketch_estimate(s)").alias("approx_users")
+    )
+    overall = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(s))").alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per_type.unionByName(overall).orderBy("event_type")
+
+
 def q95_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured shredding via Spark 4 VARIANT: JSON text →
     ``parse_json`` → typed path extraction (`variant_get`), including a
@@ -1247,6 +1268,7 @@ QUERIES.update(
         "q92_sessionization": q92_sessionization,
         "q93_keep_latest": q93_keep_latest,
         "q95_variant_shred": q95_variant_shred,
+        "q96_hll_sketch_union": q96_hll_sketch_union,
     }
 )
 

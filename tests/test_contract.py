@@ -94,3 +94,26 @@ def test_driver_window_covers_unproven_queries():
     required = set(non_relational) | set(contract._RELATIONAL_HEAD)
     missing = required - set(names)
     assert not missing, f"queries pushed out of the 50-entry driver window: {sorted(missing)}"
+
+
+def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
+    # mergeable-sketch estimates (per type + unioned global) must land
+    # within 5% of exact distinct counts
+    from pyspark.sql import functions as F
+
+    from engine import relational
+    from engine.session import load_events
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in relational.q96_hll_sketch_union(spark, sf_dir).collect()
+    }
+    e = load_events(spark, sf_dir)
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = e.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, k
