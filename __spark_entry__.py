@@ -38,7 +38,6 @@ _RELATIONAL_HEAD = [
     "q33_collect_sorted",
     "q89_fuzzy_match",
     "q95_variant_shred",
-    "q01_pricing_summary",
 ]
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "q44_sparsity",
     "q45_per_class_mean",
     "q50_dedup_exact",
+    "q97_paragraph_dedup",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",
     "q55_simhash",

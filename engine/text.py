@@ -221,6 +221,57 @@ def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- intra-corpus span dedup
+
+CHUNK_TOKENS = 12
+
+
+def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-corpus span dedup: split every document into
+    fixed CHUNK_TOKENS-token chunks (the fixture has no paragraph
+    breaks; on real data the splitter is '\\n\\n'), keep only the
+    globally FIRST occurrence of each chunk (by (doc_id, pos)), and
+    reassemble each document from its surviving chunks in order.
+
+    The dedup decision is one hash-keyed window over the exploded
+    chunk set — shuffle carries (16-byte chunk hash, ids), never
+    documents; reassembly is one ordered aggregation back on doc_id.
+    Output carries md5 of the reassembled text (compact + hashable);
+    per-doc kept/total counts quantify the dedup."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = (
+        d.select("doc_id", toks.alias("t"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"posexplode(transform(sequence(0, nc - 1),"
+                f" i -> concat_ws(' ', slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))))"
+            ).alias("pos", "chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "pos")
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN rn = 1"
+                        " THEN struct(pos, chunk) END)), s -> s.chunk)"
+                    ),
+                    " ",
+                )
+            ).alias("dedup_text_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------------------------- SimHash
 
 def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +521,7 @@ QUERIES = {
     "q67_token_counting": q67_token_counting,
     "q68_data_pipeline": q68_data_pipeline,
     "q80_dedup_components": q80_dedup_components,
+    "q97_paragraph_dedup": q97_paragraph_dedup,
 }
 
 _DUCK_SIG_SQL = f"""
@@ -578,6 +630,26 @@ ORACLE = {
     "q50_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    "q97_paragraph_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        chunks AS (
+            -- fixed series + WHERE (DuckDB lateral generate_series
+            -- can't reference outer columns)
+            SELECT doc_id, g.i::int AS pos,
+                   array_to_string(t[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})], ' ') AS chunk
+            FROM toks, generate_series(0, 100000) AS g(i)
+            WHERE g.i < ceil(len(t) / {CHUNK_TOKENS}.0)),
+        marked AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+                                         ORDER BY doc_id, pos) AS rn
+            FROM chunks)
+        SELECT doc_id, count(*) AS n_chunks,
+               count(*) FILTER (WHERE rn = 1) AS n_kept,
+               md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                              FILTER (WHERE rn = 1), '')) AS dedup_text_hash
+        FROM marked GROUP BY doc_id ORDER BY doc_id
     """,
     "q51_fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
