@@ -377,6 +377,39 @@ def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization (training-data storage pattern: 4×
+    less I/O than float32 at 100 TB): per-vector symmetric scale
+    s = max|v|/127, q_i = floor(v_i/s + 0.5) clipped to [-127, 127],
+    plus the dequantization error actually incurred — all JVM
+    higher-order functions, one narrow projection, no shuffle.
+
+    floor(x + 0.5) instead of round(): identical IEEE ops in both
+    engines (Spark's round() differs from DuckDB's on ties — see
+    SCALING.md float-determinism notes). Quantized vectors are emitted
+    '|'-joined (driver canonicalizer can't hash raw arrays)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "s",
+        F.nullif(
+            F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))") / F.lit(127.0),
+            F.lit(0.0),
+        ),
+    )
+    clip = "greatest(-127D, least(127D, floor(x / s + 0.5D)))"
+    return d.select(
+        "vec_id",
+        F.array_join(F.expr(f"transform(v, x -> cast({clip} as int))"), "|").alias("quantized"),
+        F.floor(
+            F.expr(
+                f"aggregate(v, 0D, (acc, x) -> greatest(acc, abs({clip} * s - x)))"
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("max_err_1e6"),
+    )
+
+
 def q96_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches surface, Spark 3.5+):
     per-event-type distinct-user sketches, then the GLOBAL distinct
@@ -1269,6 +1302,7 @@ QUERIES.update(
         "q93_keep_latest": q93_keep_latest,
         "q95_variant_shred": q95_variant_shred,
         "q96_hll_sketch_union": q96_hll_sketch_union,
+        "q98_embedding_quantize": q98_embedding_quantize,
     }
 )
 
@@ -1361,6 +1395,21 @@ ORACLE.update(
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q98_embedding_quantize": """
+            WITH d AS (
+                SELECT vec_id, embedding::double[] AS v,
+                       nullif(list_aggregate(list_transform(embedding, x -> abs(x::double)), 'max')
+                              / 127.0, 0.0) AS s
+                FROM embeddings)
+            SELECT vec_id,
+                   array_to_string(list_transform(v,
+                       x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))::int), '|')
+                     AS quantized,
+                   floor(list_aggregate(list_transform(v,
+                       x -> abs(greatest(-127.0, least(127.0, floor(x / s + 0.5))) * s - x)),
+                       'max') * 1e6)::bigint AS max_err_1e6
+            FROM d
         """,
         "q95_variant_shred": """
             -- lossless round-trip oracle: the variant extraction must
