@@ -377,6 +377,28 @@ def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment + stratification
+    census: split = md5-derived hash of the row key mod 100 (the
+    engine-portable 'randomness' pattern, SURVEY §5) — every engine,
+    run, and partitioning assigns identical rows to identical splits,
+    and adding data never reshuffles existing assignments (the property
+    randomSplit lacks). One narrow projection + one tiny hash agg."""
+    e = table(spark, sf_dir, "embeddings")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('split:', vec_id)), 1, 15), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        e.select(split.alias("split"), "label")
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "label")
+    )
+
+
 def q98_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding int8 quantization (training-data storage pattern: 4×
     less I/O than float32 at 100 TB): per-vector symmetric scale
@@ -1303,6 +1325,7 @@ QUERIES.update(
         "q95_variant_shred": q95_variant_shred,
         "q96_hll_sketch_union": q96_hll_sketch_union,
         "q98_embedding_quantize": q98_embedding_quantize,
+        "q99_deterministic_split": q99_deterministic_split,
     }
 )
 
@@ -1395,6 +1418,17 @@ ORACLE.update(
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 4) AS session_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q99_deterministic_split": """
+            WITH a AS (
+                SELECT CASE WHEN h < 80 THEN 'train'
+                            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+                       label
+                FROM (SELECT (('0x' || substr(md5('split:' || vec_id), 1, 15))::bigint) % 100 AS h,
+                             label
+                      FROM embeddings) t)
+            SELECT split, label, count(*) AS n
+            FROM a GROUP BY split, label ORDER BY split, label
         """,
         "q98_embedding_quantize": """
             WITH d AS (
