@@ -88,3 +88,24 @@ def test_binary_file_source(spark, tmp_path):
     rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
     assert rows == {"blob_0.bin": b"alpha", "blob_1.bin": b"bravo-bytes", "blob_2.bin": b"c"}
     assert {f.name for f in df.schema.fields} >= {"path", "modificationTime", "length", "content"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    # ORC is the second first-class columnar format (built-in, no
+    # package): schema-preserving round trip + predicate pushdown
+    # reaching the ORC scan
+    from engine.session import table
+
+    df = table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    df.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = (
+        back.filter(back.n_nationkey > 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey" in plan

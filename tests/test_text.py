@@ -85,3 +85,34 @@ def test_minhash_lsh_candidate_recall(spark, sf_dir):
     cand = {(r.doc_a, r.doc_b) for r in q54_minhash_candidates(spark, sf_dir).collect()}
     assert exact, "fixture should contain planted near-dups"
     assert len(exact & cand) / len(exact) >= 0.85
+
+
+def test_paragraph_dedup_global_invariants(spark, sf_dir):
+    """Every distinct chunk survives exactly once across the corpus,
+    and the first document (lowest doc_id) keeps all its chunks."""
+    from pyspark.sql import functions as F
+
+    from engine.session import table
+    from engine.text import CHUNK_TOKENS, q97_paragraph_dedup
+
+    out = q97_paragraph_dedup(spark, sf_dir)
+    kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    distinct_chunks = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(t) / {CHUNK_TOKENS}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
+    first = out.orderBy("doc_id").first()
+    assert first.n_kept == first.n_chunks
