@@ -117,3 +117,34 @@ def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, k
+
+
+def test_strict_oracle_smoke_on_flake_classes(spark):
+    """Bit-exact (driver hash-gate) comparison at sf0.001 for the three
+    queries that exercise each historical cross-engine float-flake
+    class: q25 (order-dependent avg -> decimal sum fix), q57
+    (round-tie semantics -> trunc6 fix), q66 (normalized cosine
+    chain). The full strict run lives in tools/oracle_check.py; this
+    guards the classes on every pytest run."""
+    import os
+
+    import duckdb
+
+    os.environ["SPARK_GRAFT_STRICT"] = "1"
+    try:
+        import tools.oracle_check as oc
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in oc.TABLES:
+            p = os.path.join(sf, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"create view {t} as select * from read_parquet('{p}')")
+        qs, oracles = contract.queries(), contract.oracle_sql()
+        for name in ("q25_correlated_subquery", "q57_quality_score", "q66_embedding_near_dup"):
+            sdf = qs[name](spark, sf).toPandas()
+            odf = con.execute(oracles[name]).fetchdf()
+            err = oc._values_match(oc._normalize(sdf), oc._normalize(odf))
+            assert err is None, f"{name}: {err}"
+    finally:
+        os.environ.pop("SPARK_GRAFT_STRICT", None)
