@@ -33,7 +33,9 @@ def q69_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; at scale use a broadcast count
+    # corpus size as a broadcast 1-row aggregate INSIDE the plan — no
+    # separate driver job (r1 ran d.count() eagerly per composition)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("term")
     ).filter(~F.col("term").isin(*_STOPWORDS))
@@ -41,7 +43,11 @@ def q69_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    idf = df_.withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1)
+    idf = (
+        df_.crossJoin(F.broadcast(n))
+        .withColumn("idf", F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
+        .drop("n_docs")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         tf.filter(F.col("doc_id") < 50)
