@@ -187,22 +187,29 @@ def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     km = KMeans(k=IVF_NLIST, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
-    assigned = km.transform(corpus).select("vec_id", "emb", "cell")
+    # rerank on unit vectors: norms computed once per row, one dot per pair
+    assigned = (
+        km.transform(corpus)
+        .withColumn("nrm", F.expr(_NORM.format(a="emb")))
+        .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("emb"), "cell")
+    )
 
     centroids = np.vstack(km.clusterCenters())  # (nlist, dim) — model params
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
+    # probe selection in RAW space (centroids were fit on raw vectors —
+    # measured: angular probing drops recall 0.72 → 0.62 here); the
+    # probe row carries the unit-length query for the dot-product rerank
+    raw_queries = corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect()
     probe_rows = []
-    for q in queries:
+    for q in raw_queries:
         qv = np.array(q.emb)
         d = ((centroids - qv) ** 2).sum(axis=1)
+        qn = qv / np.linalg.norm(qv)
         for cell in np.argsort(d)[:IVF_NPROBE]:
-            probe_rows.append((q.vec_id, int(cell), [float(x) for x in qv]))
+            probe_rows.append((q.vec_id, int(cell), [float(x) for x in qn]))
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int, qemb array<double>")
 
     joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("query_id"))
-    sim = F.expr(_DOT.format(a="emb", b="qemb")) / (
-        F.expr(_NORM.format(a="emb")) * F.expr(_NORM.format(a="qemb"))
-    )
+    sim = F.expr(_DOT.format(a="emb", b="qemb"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("sim", sim)
