@@ -82,18 +82,16 @@ def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
 
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
-    # entries. Everything not yet proven green by a previous round's
-    # driver run (all non-relational families + the relational queries
-    # changed this round) must sit inside that window.
+    # entries. Rotation policy (see __spark_entry__ docstring): the r3
+    # window must hold every query with no r2 driver row (the 46
+    # relational entries outside _R2_GREEN_RELATIONAL — incl. the
+    # never-checked q96/q98/q99) plus everything changed this round.
     names = list(contract.queries())[:50]
-    import engine.relational as relational
-
-    non_relational = [
-        q for m in contract._modules() if m is not relational for q in m.QUERIES
-    ]
-    required = set(non_relational) | set(contract._RELATIONAL_HEAD)
+    required = set(contract._window_head())
     missing = required - set(names)
     assert not missing, f"queries pushed out of the 50-entry driver window: {sorted(missing)}"
+    # Zero-slack guard: the head must itself fit in the window.
+    assert len(required) <= 50, f"window head overflows: {len(required)} > 50"
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
