@@ -105,6 +105,73 @@ HEADLINE = [
 ]
 
 
+def _bucketed_join_ablation(spark, sf_dir: str) -> dict:
+    """SCALING.md evidence: lineitem⋈orders as a shuffle sort-merge
+    join vs the same join over co-bucketed tables (shuffle elided).
+    Broadcast is disabled for the measurement — at 100 TB neither side
+    broadcasts; this models exactly the case bucketing exists for.
+    One-time bucketing write cost is reported too (it amortizes over
+    every subsequent join on the key)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.io import write_bucketed
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    def _join(l, o):
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev"))
+        )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    tmp = tempfile.mkdtemp(prefix="bucket_bench_")
+    out: dict = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        t0 = time.perf_counter()
+        _join(li, od).write.format("noop").mode("overwrite").save()
+        out["join_unbucketed_s"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        write_bucketed(li, "bench_li_b", "l_orderkey", 32, path=os.path.join(tmp, "li"))
+        write_bucketed(od, "bench_od_b", "o_orderkey", 32, path=os.path.join(tmp, "od"))
+        out["bucketing_write_s"] = round(time.perf_counter() - t0, 4)
+
+        lb, ob = spark.table("bench_li_b"), spark.table("bench_od_b")
+        t0 = time.perf_counter()
+        _join(lb, ob).write.format("noop").mode("overwrite").save()
+        out["join_bucketed_s"] = round(time.perf_counter() - t0, 4)
+
+        # the claim itself: no exchange feeds the bucketed join
+        plan = _join(lb, ob)._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        out["bucketed_join_exchanges"] = join_part.count("Exchange hashpartitioning")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("bench_li_b", "bench_od_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -126,12 +193,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    ablations = _bucketed_join_ablation(spark, sf_dir)
+    print(f"# bucketed-join ablation: {ablations}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "ablations": ablations,
         "sf": sf,
     }
     print(json.dumps(detail), file=sys.stderr)

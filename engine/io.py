@@ -37,15 +37,24 @@ def write_partitioned(df: DataFrame, path: str, *cols: str, mode: str = "overwri
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32, sort: bool = True
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Bucket (and sort) by the join key — co-located storage so a
     later sort-merge join on ``bucket_col`` needs no exchange/sort.
-    Saved as a managed table (bucketing metadata lives in the catalog).
+    Saved as a managed table (bucketing metadata lives in the catalog);
+    pass ``path`` to store the files at an external location instead
+    of the warehouse dir.
     """
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table_name)
 
 

@@ -32,27 +32,86 @@ from .session import table
 
 def decode_image(payload: bytes, side: int = 32) -> "np.ndarray":
     """Real media decode: image bytes → grayscale → center-pad to
-    ``side``×``side`` → flatten (reference parity: to_array,
-    main.py:128-142 decodes, pads to 32×32, flattens).
+    ``side``×``side`` → flatten. Reference-INSPIRED, fixed-width
+    variant of to_array (main.py:128-142): the reference adds a fixed
+    2 px border (so only 28×28 inputs land on 32×32) and keeps color
+    channels; this decoder instead guarantees the ``side``×``side``
+    contract for any input (center-pad small, crop large) and
+    luminance-grayscales color — the invariant the downstream
+    fixed-width pipeline actually needs.
 
-    Requires PIL; raises NotImplementedError when codec libs are
-    missing (this container), in which case ``fake_decode`` carries
-    the dataflow. tests/test_multimodal.py exercises this body under
-    ``pytest.importorskip("PIL")``.
+    Codec resolution order: binary PPM/PGM (P5/P6) via the vendored
+    pure-stdlib decoder below — always available, exercised in-suite —
+    then PIL for every other format; raises NotImplementedError only
+    when the bytes are not PPM and PIL is missing (this container),
+    in which case ``fake_decode`` carries the dataflow.
     """
-    try:
-        import PIL.Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media codecs not installed in this container; use fake_decode for the dataflow"
-        ) from exc
-    import io
+    if payload[:2] in (b"P5", b"P6"):
+        img = _decode_ppm(payload)
+    else:
+        try:
+            import PIL.Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "non-PPM media codecs not installed in this container; "
+                "use fake_decode for the dataflow"
+            ) from exc
+        import io
 
-    img = np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
+        img = np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
     h, w = img.shape
     ph, pw = max(side - h, 0), max(side - w, 0)
     img = np.pad(img, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)))
     return img[:side, :side].ravel()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Vendored pure-stdlib decoder for binary netpbm (P5 grayscale /
+    P6 RGB, maxval ≤ 255): header tokens (with ``#`` comment support)
+    then a raw raster. Gives the suite a REAL codec path — header
+    parse + raster decode + channel handling — with zero native deps.
+    RGB collapses to luminance via integer BT.601 weights
+    ((299·R + 587·G + 114·B) / 1000, truncating like PIL's ``L``)."""
+    toks: list[bytes] = []
+    i = 2  # past magic
+    magic = payload[:2]
+    while len(toks) < 3:
+        # skip whitespace / comments
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=i)
+    if magic == b"P5":
+        return raster[: h * w].reshape(h, w)
+    rgb = raster[: h * w * 3].reshape(h, w, 3).astype(np.uint32)
+    return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(
+        np.uint8
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of _decode_ppm for test fixtures: (h, w) uint8 → P5,
+    (h, w, 3) uint8 → P6."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        head = b"P5"
+        h, w = img.shape
+    else:
+        head = b"P6"
+        h, w = img.shape[:2]
+    return head + f"\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
 def fake_decode(payload: bytes, side: int = 32) -> np.ndarray:
@@ -103,7 +162,8 @@ def with_payload(df: DataFrame) -> DataFrame:
 
 
 _FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, byte_mean double, byte_std double, "
+    "doc_id bigint, n_bytes int, n_pixels int, pixel_sum bigint, "
+    "pixel_min int, pixel_max int, byte_mean double, byte_std double, "
     "q1_mean double, q2_mean double, q3_mean double, q4_mean double"
 )
 
@@ -112,9 +172,13 @@ def extract_features(df: DataFrame, side: int = 32, decoder=None) -> DataFrame:
     """mapInPandas media feature extraction: decode each payload,
     emit fixed-width numeric features.
 
-    ``decoder`` defaults to ``fake_decode`` (this container has no
-    codec libs); deployments with PIL pass ``decode_image`` for the
-    real path — same (payload, side) → uint8 pixels contract.
+    ``decoder`` defaults to ``fake_decode`` (deterministic, so the
+    sum/min/max/shape features are value-checkable by the DuckDB
+    oracle — see q64); pass ``decode_image`` for the real codec path —
+    same (payload, side) → uint8 pixels contract. The integer
+    features (pixel_sum/min/max, counts) are EXACT, which is what
+    lets downstream aggregates hash-match across engines; the float
+    moments are convenience columns for feature consumers.
 
     Arrow-batched; one Python worker per partition; output schema is
     declared so Catalyst treats downstream ops as ordinary columns.
@@ -132,6 +196,10 @@ def extract_features(df: DataFrame, side: int = 32, decoder=None) -> DataFrame:
                     (
                         int(doc_id),
                         len(payload),
+                        int(flat.size),
+                        int(np.asarray(img, dtype=np.int64).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
                         float(flat.mean()),
                         float(flat.std()),
                         *(float(q.mean()) for q in quarters),
@@ -140,7 +208,8 @@ def extract_features(df: DataFrame, side: int = 32, decoder=None) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_bytes", "byte_mean", "byte_std",
+                    "doc_id", "n_bytes", "n_pixels", "pixel_sum",
+                    "pixel_min", "pixel_max", "byte_mean", "byte_std",
                     "q1_mean", "q2_mean", "q3_mean", "q4_mean",
                 ],
             )
@@ -168,16 +237,30 @@ def q63_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q64_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dataflow: binary column → mapInPandas
     decode (deterministic fake codec) → fixed-width features →
-    relational aggregation. Rows-only (codec not SQL-expressible)."""
+    relational aggregation.
+
+    VALUE-CHECKED against DuckDB: fake_decode tiles the utf-8 payload
+    bytes into a 32×32 raster, so pixel_sum/min/max are pure integer
+    functions of the text bytes the oracle reproduces in SQL
+    (ASCII fixture ⇒ byte i = ascii of char i+1). The aggregation
+    keeps everything integer-exact except avg_byte_mean, which both
+    engines derive by the SAME IEEE ops (bigint-sum ÷ bigint, then
+    floor-truncate to 6 decimals) — no float-accumulation drift."""
     d = with_payload(table(spark, sf_dir, "documents"))
     feats = extract_features(d)
+    n_px = 32 * 32
     return (
         feats.groupBy((F.col("doc_id") % 10).alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("byte_mean"), 6).alias("avg_byte_mean"),
-            F.round(F.avg("byte_std"), 6).alias("avg_byte_std"),
-            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.min("pixel_min").alias("min_byte"),
+            F.max("pixel_max").alias("max_byte"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (
+                F.floor(F.sum("pixel_sum") / (F.count(F.lit(1)) * F.lit(n_px)) * F.lit(1e6))
+                / F.lit(1e6)
+            ).alias("avg_byte_mean"),
         )
         .orderBy("shard")
     )
@@ -194,5 +277,33 @@ ORACLE = {
                sha256(text) AS payload_sha256, lang,
                len(embedding)::int AS emb_dim
         FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+    # fake_decode in SQL: 1024 tiled byte values per doc — byte i of
+    # the raster = payload byte (i mod n_bytes); ASCII fixture ⇒
+    # ascii(substr(text, pos, 1)) == payload byte
+    "q64_media_features": """
+        WITH px AS (
+            SELECT doc_id,
+                   octet_length(text::blob) AS n_bytes,
+                   list_transform(
+                       generate_series(0, 1023),
+                       i -> ascii(substr(text, (i % octet_length(text::blob))::int + 1, 1))
+                   ) AS vals
+            FROM documents),
+        per_doc AS (
+            SELECT doc_id, n_bytes,
+                   list_sum(vals)::bigint AS pixel_sum,
+                   list_min(vals) AS pixel_min,
+                   list_max(vals) AS pixel_max
+            FROM px)
+        SELECT (doc_id % 10)::bigint AS shard,
+               count(*) AS n,
+               sum(pixel_sum)::bigint AS total_pixel_sum,
+               min(pixel_min)::int AS min_byte,
+               max(pixel_max)::int AS max_byte,
+               sum(n_bytes)::bigint AS total_bytes,
+               floor(sum(pixel_sum)::double / (count(*) * 1024) * 1e6) / 1e6
+                 AS avg_byte_mean
+        FROM per_doc GROUP BY 1 ORDER BY 1
     """,
 }

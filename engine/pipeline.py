@@ -22,8 +22,9 @@ matrix broadcast — O(rows) distributed, not a driver loop.
 Semantic deltas vs the reference (documented, SURVEY §7 risk register):
 * MLlib StandardScaler uses ddof=1 std (sklearn: ddof=0) — ~1e-5
   relative at fixture scale.
-* DaskLGBMClassifier → RandomForestClassifier (GBTClassifier is
-  binary-only in Spark 4.1.2).
+* DaskLGBMClassifier → RandomForestClassifier default (GBTClassifier
+  is binary-only in Spark 4.1.2); fit_gbt_ovr provides the boosted
+  OneVsRest alternate for semantic parity with LightGBM's boosting.
 * All RNG is seeded (the reference is unseeded).
 """
 
@@ -108,6 +109,29 @@ def fit_random_forest(train: DataFrame, num_trees: int = 50, max_depth: int = 8)
     return RandomForestClassifier(
         numTrees=num_trees, maxDepth=max_depth, seed=SEED,
         featuresCol="features", labelCol="label",
+    ).fit(train)
+
+
+def fit_gbt_ovr(train: DataFrame, max_iter: int = 10, max_depth: int = 4):
+    """M7 alternate: BOOSTED trees for multiclass via one-vs-rest —
+    the closest pure-MLlib counterpart to the reference's LightGBM
+    semantics (main.py:408-419 is gradient boosting; GBTClassifier is
+    binary-only in Spark 4.1.2, so OneVsRest trains one boosted model
+    per class — SURVEY §2.4 M7 option (b)).
+
+    Same fit(train) → model.transform interface as the RF default.
+    Scale note: K binary fits over the full set — each is the same
+    distributed-histogram dataflow, but total work is K× a single
+    multiclass forest; the RF default stays the 100 TB choice, this
+    exists for semantic parity with boosting."""
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+    gbt = GBTClassifier(
+        maxIter=max_iter, maxDepth=max_depth, seed=SEED,
+        featuresCol="features", labelCol="label",
+    )
+    return OneVsRest(
+        classifier=gbt, featuresCol="features", labelCol="label", parallelism=4
     ).fit(train)
 
 
@@ -210,13 +234,16 @@ def ml_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A8: metric comparison frame (main.py:425-428) — model,
     accuracy, macro-F1 for both classifiers."""
     train, test, *_ = prepare_splits(spark, sf_dir)
+    train = train.cache()  # three fits share the projected features
     rows = []
     for name, model in (
         ("gaussian_nb", fit_gaussian_nb(train)),
         ("random_forest", fit_random_forest(train, num_trees=20, max_depth=8)),
+        ("gbt_ovr", fit_gbt_ovr(train)),
     ):
         m = evaluate(model.transform(test))
         rows.append((name, round(m["accuracy"], 6), round(m["f1"], 6)))
+    train.unpersist()
     return spark.createDataFrame(rows, "model string, accuracy double, f1 double")
 
 

@@ -63,15 +63,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` normalized to a microsecond timestamp.
+    """events table with ``ts`` normalized to Spark's native
+    (session-tz) microsecond TIMESTAMP, whatever the fixture stores:
 
-    The fixture stores TIMESTAMP(NANOS); under
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as bigint nanos,
-    which we convert JVM-side (no UDF) to Spark's native timestamp.
+    * TIMESTAMP(NANOS): under ``spark.sql.legacy.parquet.nanosAsLong``
+      it scans as bigint nanos → converted JVM-side (no UDF).
+    * timestamp[us] (NTZ, current fixtures): cast NTZ→LTZ, an identity
+      on the wall clock under the UTC session timezone pinned below —
+      needed because event-time ops (withWatermark) require the LTZ
+      TimestampType.
 
     Both confs are set defensively at runtime: the DRIVER owns the
     SparkSession passed to the contract and won't have them —
-    without nanosAsLong every events scan dies with
+    without nanosAsLong a nanos fixture dies with
     PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift
     day-window boundaries vs the (tz-naive) oracle.
     """
@@ -80,9 +84,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = table(spark, sf_dir, "events")
-    if dict(e.dtypes).get("ts") == "bigint":
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer div: double division loses µs exactness at ~1.7e18 ns
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 

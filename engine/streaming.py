@@ -287,11 +287,12 @@ def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
 
 def _doc_quality_census(docs: DataFrame) -> DataFrame:
     """Shared batch/stream tail of the training-data ingest pipeline:
-    quality gate + per-lang census. Works on the NORMALIZED text (the
-    ``norm`` column) so every member of a fingerprint-duplicate group
-    scores identically — the aggregate is invariant to which duplicate
-    the dedup stage keeps (batch keep-lowest vs streaming keep-first-
-    arrival)."""
+    quality gate + per-lang census. Every input the census touches is
+    derived from the NORMALIZED text (``norm`` and the content-ID'd
+    ``lang`` — see _staged_docs), so every member of a
+    fingerprint-duplicate group contributes identically and the
+    aggregate is invariant to which duplicate the dedup stage keeps
+    (batch arbitrary keeper vs streaming keep-first-arrival)."""
     toks = F.split(F.col("norm"), " ")
     n_tokens = F.size(toks)
     quality = (
@@ -314,18 +315,50 @@ def _doc_quality_census(docs: DataFrame) -> DataFrame:
 def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + normalized text, content fingerprint (q51 semantics)
     and a synthetic deterministic event time (streaming needs one; the
-    fixture table has none)."""
+    fixture table has none).
+
+    Two properties make the downstream census keeper-invariant and
+    the stream/batch twins provably equal at ANY scale factor:
+
+    - ``lang`` is content-ID'd from the normalized text (the q56
+      marker heuristic), not taken from the fixture label — a crawl
+      ingest has no labels, and fingerprint-duplicate rows can carry
+      different labels, which would make the census depend on which
+      duplicate survives dedup.
+    - ``ts`` is derived from the fingerprint, so all members of a
+      duplicate group are co-timed and the dedup watermark window
+      always covers the whole group. (A real crawl has dups spread
+      over time; beyond-watermark dups are by design NOT caught by
+      streaming dedup — that is the periodic batch-compaction path's
+      job, q50/q80.)
+    """
     from .session import table
 
     d = table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    d = d.select("doc_id", norm.alias("norm"), F.md5(norm).alias("fingerprint"))
+    # content-derived language (same marker argmax as q56, over norm)
+    from .text import _LANG_MARKERS
+
+    scores = [
+        F.struct(
+            F.expr(
+                " + ".join(
+                    f"size(filter(split(norm, ' '), t -> t = '{m}'))" for m in markers
+                )
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
     return d.select(
         "doc_id",
-        "lang",
-        norm.alias("norm"),
-        F.md5(norm).alias("fingerprint"),
+        F.array_max(F.array(*scores)).getField("lang").alias("lang"),
+        "norm",
+        "fingerprint",
         F.expr(
-            "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+            "timestamp'2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, pmod(xxhash64(fingerprint), 86400))"
         ).alias("ts"),
     )
 

@@ -179,7 +179,17 @@ def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     become candidates; est_jaccard = matching signature fraction.
 
     Shuffle volume is O(docs × bands) — independent of the number of
-    pairs, which is what makes this the 100 TB near-dup path."""
+    pairs, which is what makes this the 100 TB near-dup path.
+
+    The band key is xxhash64 over (band index, signature slice) — an
+    8-byte bigint hashed straight from ints, no string concat/md5 hex
+    work. Like q52's join key, it never appears in the output, so it
+    need not be oracle-portable: the oracle's own (md5-based) band
+    keys induce the SAME doc groupings, hence the same pairs. A
+    cross-band xxhash64 collision (≈2⁻⁶⁴ per key pair) could only ADD
+    a candidate, which the q52 exact-verify stage filters — the
+    standard LSH false-positive path. (Measured: md5 band keys were
+    the q54 r2 regression; xxhash64 restores it, see BENCH_COMPARE.)"""
     sigs = minhash_signatures(table(spark, sf_dir, "documents"))
     per_doc = sigs.groupBy("doc_id").agg(
         F.expr("transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)").alias("sig")
@@ -190,12 +200,9 @@ def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
         F.explode(
             F.array(*[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.lit(b),
-                        *[F.expr(f"sig[{b * rows_per_band + r}]") for r in range(rows_per_band)],
-                    )
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.expr(f"sig[{b * rows_per_band + r}]") for r in range(rows_per_band)],
                 )
                 for b in range(N_BANDS)
             ])

@@ -20,14 +20,17 @@ def test_extract_features_dataflow(spark, sf_dir):
     d = with_payload(table(spark, sf_dir, "documents")).limit(50)
     feats = extract_features(d)
     assert feats.columns == [
-        "doc_id", "n_bytes", "byte_mean", "byte_std",
-        "q1_mean", "q2_mean", "q3_mean", "q4_mean",
+        "doc_id", "n_bytes", "n_pixels", "pixel_sum", "pixel_min", "pixel_max",
+        "byte_mean", "byte_std", "q1_mean", "q2_mean", "q3_mean", "q4_mean",
     ]
     rows = feats.collect()
     assert len(rows) == 50
     for r in rows:
         assert r.n_bytes > 0
-        assert 0 <= r.byte_mean <= 255
+        assert r.n_pixels == 1024
+        assert 0 <= r.pixel_min <= r.pixel_max <= 255
+        # integer features consistent with the float mean
+        assert abs(r.pixel_sum / 1024 - r.byte_mean) < 1e-9
 
 
 def test_resize_block_mean_and_nearest():
@@ -87,3 +90,60 @@ def test_decode_image_raises_cleanly_without_codecs():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+# ------------------------- vendored PPM codec: the always-real path
+
+
+def test_ppm_roundtrip_grayscale_pads_and_flattens():
+    """decode_image executes its REAL kernel (header parse + raster
+    decode + center-pad to 32×32 + flatten) with zero native deps."""
+    from engine.multimodal import encode_ppm
+
+    img = np.full((28, 20), 9, dtype=np.uint8)  # h=28, w=20
+    arr = decode_image(encode_ppm(img))
+    assert arr.shape == (1024,) and arr.dtype == np.uint8
+    assert (arr.reshape(32, 32)[2:30, 6:26] == 9).all()
+    assert arr.reshape(32, 32)[0, 0] == 0
+    assert int((arr > 0).sum()) == 28 * 20
+
+
+def test_ppm_rgb_luminance_and_comments():
+    from engine.multimodal import _decode_ppm, encode_ppm
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 255  # pure red -> luminance 299*255//1000 = 76
+    gray = _decode_ppm(encode_ppm(rgb))
+    assert gray.shape == (4, 4) and (gray == 76).all()
+    # header comments are skipped per the netpbm spec
+    with_comment = b"P5\n# a comment\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    assert (_decode_ppm(with_comment) == np.array([[1, 2], [3, 4]])).all()
+
+
+def test_ppm_crop_larger_than_side():
+    from engine.multimodal import encode_ppm
+
+    img = np.arange(40 * 40, dtype=np.uint8).reshape(40, 40) % 251
+    arr = decode_image(encode_ppm(img))
+    assert arr.shape == (1024,)
+    assert (arr.reshape(32, 32) == img[:32, :32]).all()
+
+
+def test_extract_features_with_real_codec_in_spark(spark):
+    """The real decoder running inside mapInPandas — the Spark-side
+    plumbing and the genuine codec kernel in one pass."""
+    from engine.multimodal import encode_ppm
+
+    rows = [
+        (i, bytearray(encode_ppm(np.full((28, 28), i * 10, dtype=np.uint8))))
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    feats = {r.doc_id: r for r in extract_features(df, decoder=decode_image).collect()}
+    assert len(feats) == 5
+    for i in range(1, 6):
+        r = feats[i]
+        # 28x28 of value 10i centered in 32x32 zeros
+        assert r.pixel_sum == 28 * 28 * 10 * i
+        assert r.pixel_min == 0 and r.pixel_max == 10 * i
+        assert r.n_pixels == 1024

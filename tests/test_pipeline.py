@@ -89,15 +89,20 @@ def test_inverse_transform_roundtrip(spark, assembled):
 
 
 def test_models_beat_chance_and_ordering(spark, sf_dir):
+    from engine.pipeline import fit_gbt_ovr
+
     train, test, *_ = prepare_splits(spark, sf_dir)
     train = train.cache()
     nb = evaluate(fit_gaussian_nb(train).transform(test))
     rf = evaluate(fit_random_forest(train, num_trees=20, max_depth=8).transform(test))
+    gbt = evaluate(fit_gbt_ovr(train).transform(test))
     n_classes = 10
     assert nb["accuracy"] > 1.5 / n_classes  # well above chance
     assert rf["accuracy"] > 1.5 / n_classes
-    # reference ordering claim (main.py:431-433): ensemble >= NB baseline
+    assert gbt["accuracy"] > 1.5 / n_classes
+    # reference ordering claim (main.py:431-433): ensembles >= NB baseline
     assert rf["f1"] >= nb["f1"] - 0.05
+    assert gbt["f1"] >= nb["f1"] - 0.05
 
 
 def test_composite_pipeline_persistence(spark, sf_dir, tmp_path):

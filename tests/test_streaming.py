@@ -153,10 +153,12 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
 
 def test_doc_ingest_stream_equals_batch(spark, sf_dir, tmp_path):
     """Streaming LLM-data ingest (fingerprint dedup within watermark ->
-    quality gate -> census) must equal the batch twin: quality is
-    computed on normalized text, so the aggregate is keeper-invariant
-    and the only degrees of freedom are the dedup/watermark mechanics
-    under test."""
+    quality gate -> census) must equal the batch twin: every census
+    input (quality, token count, content-ID'd lang) derives from the
+    normalized text, so the aggregate is keeper-invariant, and dup
+    groups are co-timed (ts from fingerprint) so the watermark always
+    covers them — the only degrees of freedom left are the
+    dedup/watermark mechanics under test."""
     from engine.streaming import doc_pipeline_batch, run_doc_stream_demo
 
     got = {
@@ -169,3 +171,41 @@ def test_doc_ingest_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(n for n, _ in want.values()) > 0
+
+
+def test_doc_ingest_invariant_under_cross_label_dups(spark, tmp_path):
+    """Regression for the r2 advisory: fingerprint-duplicate groups
+    whose members carry DIFFERENT fixture lang labels and far-apart
+    doc_ids (previously: far-apart event times, exceeding the dedup
+    watermark) must still census identically in stream and batch.
+    Builds a synthetic documents table where every dup group spans two
+    labels and a doc_id gap of 50k (≈14h under the old doc_id-based
+    ts), then checks twin equality and that each group counts once."""
+    from pyspark.sql import Row
+
+    from engine.streaming import doc_pipeline_batch, run_doc_stream_demo
+
+    texts = [  # long enough to clear the quality gate (>=0.5)
+        "the cat " + " ".join(f"en{i}" for i in range(120)),
+        "der hund und " + " ".join(f"de{i}" for i in range(120)),
+        "el perro la " + " ".join(f"es{i}" for i in range(120)),
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        # two copies per group: different labels, doc_ids 50_000 apart
+        rows.append(Row(doc_id=i, lang="en", text=t))
+        rows.append(Row(doc_id=i + 50_000, lang="zh", text="  " + t.upper() + "  "))
+        # .upper()+pad normalizes to the same norm → same fingerprint
+    # and one short doc the quality gate must drop (not double-drop)
+    rows.append(Row(doc_id=90_000, lang="fr", text=" ".join(["le chat les chiens"] * 8)))
+    sf_dir = str(tmp_path / "synth")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+
+    batch = doc_pipeline_batch(spark, sf_dir)
+    streamed = run_doc_stream_demo(spark, sf_dir, str(tmp_path / "run"))
+    got = {r.lang: (r.n_docs, r.token_budget) for r in streamed.collect()}
+    want = {r.lang: (r.n_docs, r.token_budget) for r in batch.collect()}
+    assert got == want
+    # 4 distinct norms survive dedup, the gate drops the short one →
+    # exactly one census row per surviving group, never two
+    assert sum(n for n, _ in want.values()) == 3
