@@ -122,3 +122,28 @@ def test_composite_pipeline_persistence(spark, sf_dir, tmp_path):
     b = sorted((r.vec_id, r.prediction) for r in back.transform(e).select("vec_id", "prediction").collect())
     assert a == b
     assert len(back.stages) == 3
+
+
+def test_successive_halving_adaptive_tuning(spark, sf_dir):
+    """M8 adaptive alternate: budget halves per rung, history is
+    complete, and the whole search is deterministic under its seed."""
+    from engine.pipeline import assemble
+    from engine.session import table
+    from engine.tuning import tune_successive_halving
+
+    train = assemble(table(spark, sf_dir, "embeddings"))
+    best, cfg, hist = tune_successive_halving(train, n_configs=4, fractions=(0.4, 1.0))
+    rung_sizes = {}
+    for rung, *_rest in hist:
+        rung_sizes[rung] = rung_sizes.get(rung, 0) + 1
+    assert rung_sizes == {0: 4, 1: 2}  # halving schedule
+    # exactly one final survivor, and it matches the returned config
+    finals = [h for h in hist if h[0] == 1 and h[5]]
+    assert len(finals) == 1
+    assert (finals[0][1], finals[0][2]) == (cfg["maxDepth"], cfg["numTrees"])
+    # the fitted best model carries the winning config
+    assert best.getMaxDepth() == cfg["maxDepth"]
+    assert best.getNumTrees == cfg["numTrees"]
+    # deterministic: same seed -> same history
+    _b2, cfg2, hist2 = tune_successive_halving(train, n_configs=4, fractions=(0.4, 1.0))
+    assert cfg2 == cfg and hist2 == hist
