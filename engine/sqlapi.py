@@ -126,12 +126,16 @@ def q94_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the recursion: Spark re-inlines a CTE anchor into EVERY
     iteration, so without materialization each of the 12 steps re-ran
     the scan + window (measured ~4.4 s → ~3.1 s steady-state at sf0.1;
-    the remainder is fixed per-stage overhead × depth, which amortizes
-    at real scale — same lineage-truncation discipline as q80's
-    iterative components). The oracle runs the identical recursion
-    over the identical anchor SQL."""
+    same lineage-truncation discipline as q80's iterative components).
+    The checkpointed anchor is also coalesced to a few partitions: it
+    is ≤ 2400 rows BY CONSTRUCTION (200 customers × 12 hops), and each
+    of the 12 recursion stages schedules a task per partition, so 32
+    near-empty partitions were pure scheduling overhead (measured
+    ~2.0 s → ~1.65 s at sf0.1). A recursion over an unbounded anchor
+    would keep the natural partitioning instead. The oracle runs the
+    identical recursion over the identical anchor SQL."""
     register_views(spark, sf_dir)
-    seq = spark.sql(_Q94_SEQ_SQL)
+    seq = spark.sql(_Q94_SEQ_SQL).coalesce(4)
     seq.localCheckpoint(eager=True).createOrReplaceTempView("q94_seq")
     return spark.sql(_Q94_REC_SQL.format(seq="q94_seq"))
 
