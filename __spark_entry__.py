@@ -21,7 +21,9 @@ code changed this round re-enters the window immediately.
   to ``_CHANGED_THIS_ROUND`` evicts the window tail;
   ``test_driver_window_covers_unproven_queries`` fails loudly if that
   drops anything unproven.
-* r4+: flip back to the non-relational block plus whatever changed.
+* r4+: flip back to the non-relational block plus whatever changed —
+  including the ops ADDED in r3 with no driver row yet
+  (q75_semantic_dedup, q76_pq_ann, ml_adaptive_tuning; all rows-only).
 """
 
 from __future__ import annotations

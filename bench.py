@@ -97,6 +97,8 @@ HEADLINE = [
     "q80_dedup_components",
     "q60_knn_brute",
     "q61_knn_lsh_bucketed",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
     "q70_stream_tumbling",
     "q71_stream_sliding",
     "q72_stream_sessions",

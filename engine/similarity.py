@@ -25,6 +25,8 @@ functions — no Python in the scan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
@@ -289,12 +291,216 @@ def q66_embedding_near_dup(
     )
 
 
+SEMDEDUP_K = 12
+# production SemDeDup runs at 0.85–0.95; this fixture's embeddings are
+# near-orthogonal (max pairwise cosine ≈ 0.5, no planted duplicates),
+# so the DEMO default is set where the fixture has signal. The
+# semantics at a real threshold are pinned by the planted-cluster test.
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def q75_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEMDEDUP_K,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a seeded KMeans, score
+    cosine only WITHIN each cluster, connect pairs ≥ threshold, keep
+    one representative (min vec_id) per semantic-duplicate group.
+
+    The missing leg of the dedup suite: exact (q50), lexical near-dup
+    (q54 MinHash), structural (q55 SimHash, q97 spans) — this one
+    catches *paraphrases* that share no n-grams but embed nearby.
+
+    Scale shape — the reason SemDeDup works at 100 TB: clustering
+    bounds the candidate set to within-cluster pairs, O(Σ|cell|²)
+    instead of N²; with k ∝ N/c the expected cell stays constant-size
+    and total work is O(N·c). Cross-cluster near-dups are missed by
+    construction (recall measured + floor-pinned vs the brute-force
+    pair set in tests); the grouping reuses q80's component machinery
+    on the candidate graph. Rows-only (KMeans isn't SQL-expressible).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    assigned = (
+        km.transform(corpus)
+        .withColumn("nrm", F.expr(_NORM.format(a="emb")))
+        .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("emb"), "cell")
+        .localCheckpoint(eager=True)  # component loop re-reads this many times
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("vec_a"), F.col("emb").alias("a_emb"))
+    b = assigned.select("cell", F.col("vec_id").alias("vec_b"), F.col("emb").alias("b_emb"))
+    sim = F.expr(_DOT.format(a="a_emb", b="b_emb"))
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    from .text import connected_components
+
+    comps = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keeper"))
+        .withColumn("n_dropped", F.col("group_size") - 1)
+        .orderBy("component")
+    )
+
+
+# ------------------------------------------------ product quantization ANN
+
+PQ_M = 8          # subspaces (64-dim fixture → 8 dims each)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_ITERS = 15
+PQ_RERANK = 60    # ADC candidates per query re-ranked exactly
+
+
+def _pq_codebooks(sample, m: int, k: int, iters: int, seed: int):
+    """Per-subspace Lloyd k-means on a driver-side sample — the
+    standard PQ practice (codebooks are m·k·(dim/m) floats — tiny —
+    and training them on a bounded sample is how FAISS et al. do it;
+    only ENCODING must be distributed). Deterministic: seeded init,
+    fixed iteration count, ties broken by lowest index."""
+    n, dim = sample.shape
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scan +
+    exact re-rank (Jégou et al. 2011, "Product quantization for
+    nearest neighbor search") — the memory-side 100 TB story the
+    IVF/LSH tiers lack: the scanned representation is PQ_M 4-bit
+    codes ≈ 4 bytes/vector vs 256 bytes of float32 — a 64× scan-size
+    reduction, which at 100 TB of raw vectors means the ADC pass reads
+    ~1.6 TB instead.
+
+    Stages (all narrow except the two tiny top-k shuffles):
+    1. codebooks: per-subspace k-means on a driver sample (model-size
+       object, like PCA components / IVF centroids).
+    2. encode: one Arrow-batched pandas UDF, vectorized argmin over
+       broadcast codebooks → array<smallint> codes.
+    3. ADC scan: queries' (m × k) distance tables broadcast; one
+       pandas UDF emits all |Q| approximate distances per row in a
+       single corpus pass (no |Q|×N join through Python).
+    4. top-PQ_RERANK per query by ADC distance, then exact cosine
+       re-rank of those candidates JVM-side → top-10.
+
+    Rows-only (codebooks aren't SQL-expressible); recall vs the q60
+    exact baseline is measured and floor-pinned in tests."""
+    corpus = _corpus(spark, sf_dir)
+    # codebook training sample: bounded driver-side collect (fixture:
+    # whole table; at scale: .sample(fraction=...) first)
+    sample = np.array(
+        [r.emb for r in corpus.sample(fraction=1.0, seed=42).limit(4096).collect()]
+    )
+    books = _pq_codebooks(sample, PQ_M, PQ_K, PQ_ITERS, seed=42)
+    m, k, sub = books.shape
+    flat_books = books  # captured (broadcast via task serialization)
+
+    @F.pandas_udf("array<smallint>")
+    def _encode(batch: pd.Series) -> pd.Series:
+        x = np.vstack(batch.to_numpy())              # (n, dim)
+        n = x.shape[0]
+        xs = x.reshape(n, m, sub)
+        codes = np.empty((n, m), dtype=np.int16)
+        for j in range(m):
+            d = ((xs[:, j, None, :] - flat_books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encoded = corpus.select("vec_id", "emb", _encode("emb").alias("code"))
+
+    # per-query ADC lookup tables: (|Q|, m, k) squared distances
+    queries = sorted(
+        corpus.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = [int(r.vec_id) for r in queries]
+    tables = np.empty((len(queries), m, k))
+    for qi, r in enumerate(queries):
+        qv = np.array(r.emb).reshape(m, sub)
+        for j in range(m):
+            tables[qi, j] = ((flat_books[j] - qv[j][None, :]) ** 2).sum(axis=1)
+
+    n_q = len(qids)
+
+    @F.pandas_udf("array<double>")
+    def _adc(batch: pd.Series) -> pd.Series:
+        codes = np.vstack(batch.to_numpy()).astype(np.int64)   # (n, m)
+        # dists[n, q] = Σ_j tables[q, j, code[n, j]]
+        qi = np.arange(n_q)[None, :, None]                     # (1,|Q|,1)
+        ji = np.arange(m)[None, None, :]                       # (1,1,m)
+        ci = codes[:, None, :]                                 # (n,1,m)
+        d = tables[qi, ji, ci].sum(axis=2)                     # (n,|Q|)
+        return pd.Series(list(d))
+
+    adc = encoded.select("vec_id", _adc("code").alias("adists")).select(
+        "vec_id", F.posexplode("adists").alias("qidx", "adist")
+    )
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    cand = (
+        adc.withColumn("query_id", qid_map[F.col("qidx")])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    # exact cosine re-rank of the ADC candidates (JVM-side dots)
+    normed = _corpus_normed(spark, sf_dir)
+    qn = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        cand.join(normed, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("sim", F.expr(_DOT.format(a="emb", b="qemb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
 QUERIES = {
     "q60_knn_brute": q60_knn_brute,
     "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
     "q62_brp_lsh_join": q62_brp_lsh_join,
     "q65_knn_ivf": q65_knn_ivf,
     "q66_embedding_near_dup": q66_embedding_near_dup,
+    "q75_semantic_dedup": q75_semantic_dedup,
+    "q76_pq_ann": q76_pq_ann,
 }
 
 # oracle mirrors the engine's pre-normalization: unit vectors first,
