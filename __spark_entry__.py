@@ -23,7 +23,9 @@ code changed this round re-enters the window immediately.
   drops anything unproven.
 * r4+: flip back to the non-relational block plus whatever changed —
   including the ops ADDED in r3 with no driver row yet
-  (q75_semantic_dedup, q76_pq_ann, ml_adaptive_tuning; all rows-only).
+  (q75_semantic_dedup, q76_pq_ann, ml_adaptive_tuning — rows-only;
+  q77_dq_report, q78_pii_scrub, q79_corpus_mix — oracle-backed,
+  locally strict-green).
 """
 
 from __future__ import annotations

@@ -84,6 +84,9 @@ HEADLINE = [
     "q44_sparsity",
     "q45_per_class_mean",
     "q50_dedup_exact",
+    "q77_dq_report",
+    "q78_pii_scrub",
+    "q79_corpus_mix",
     "q97_paragraph_dedup",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",

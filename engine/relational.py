@@ -1312,8 +1312,61 @@ def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report — the validation pass a training-data
+    pipeline runs before ingest: per-table row counts, key-uniqueness
+    violations, referential orphans (anti-join counts), and
+    value-range violations, as one tall (table, metric, value) frame.
+
+    Scale shape: each per-table block is ONE single-pass aggregation
+    with conditional sums (no one-scan-per-check); the FK orphan
+    checks are anti joins on the key — at 100 TB the orders side
+    builds the hash/broadcast side exactly like any fact⋈dim join.
+    All outputs are exact integers (oracle hash-matches trivially)."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+
+    def row(tbl: str, metric: str, value):
+        return F.struct(F.lit(tbl).alias("tbl"), F.lit(metric).alias("metric"),
+                        value.cast("bigint").alias("value"))
+
+    def tall(agged: DataFrame) -> DataFrame:
+        return agged.select(F.explode("rs").alias("r"))
+
+    li_agg = tall(li.agg(F.array(
+        row("lineitem", "n_rows", F.count(F.lit(1))),
+        row("lineitem", "null_orderkey", F.sum(F.col("l_orderkey").isNull().cast("int"))),
+        row("lineitem", "bad_quantity", F.sum((F.col("l_quantity") <= 0).cast("int"))),
+        row("lineitem", "bad_discount",
+            F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int"))),
+        row("lineitem", "bad_tax",
+            F.sum(((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).cast("int"))),
+    ).alias("rs")))
+    od_agg = tall(od.agg(F.array(
+        row("orders", "n_rows", F.count(F.lit(1))),
+        row("orders", "dup_orderkey", F.count(F.lit(1)) - F.countDistinct("o_orderkey")),
+        row("orders", "bad_totalprice", F.sum((F.col("o_totalprice") <= 0).cast("int"))),
+    ).alias("rs")))
+    cu_agg = tall(cu.agg(F.array(
+        row("customer", "n_rows", F.count(F.lit(1))),
+        row("customer", "dup_custkey", F.count(F.lit(1)) - F.countDistinct("c_custkey")),
+    ).alias("rs")))
+    orphan_li = tall(
+        li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+        .agg(F.array(row("lineitem", "orphan_orderkey", F.count(F.lit(1)))).alias("rs"))
+    )
+    orphan_od = tall(
+        od.join(cu, od.o_custkey == cu.c_custkey, "left_anti")
+        .agg(F.array(row("orders", "orphan_custkey", F.count(F.lit(1)))).alias("rs"))
+    )
+    out = li_agg.unionByName(od_agg).unionByName(cu_agg).unionByName(orphan_li).unionByName(orphan_od)
+    return out.select("r.tbl", "r.metric", "r.value").orderBy("tbl", "metric")
+
+
 QUERIES.update(
     {
+        "q77_dq_report": q77_dq_report,
         "q86_explode_lateral": q86_explode_lateral,
         "q87_null_semantics": q87_null_semantics,
         "q88_value_window_funcs": q88_value_window_funcs,
@@ -1331,6 +1384,32 @@ QUERIES.update(
 
 ORACLE.update(
     {
+        "q77_dq_report": """
+            WITH m AS (
+                SELECT 'lineitem' AS tbl, 'n_rows' AS metric, count(*)::bigint AS value FROM lineitem
+                UNION ALL SELECT 'lineitem', 'null_orderkey',
+                    coalesce(sum((l_orderkey IS NULL)::int), 0)::bigint FROM lineitem
+                UNION ALL SELECT 'lineitem', 'bad_quantity',
+                    coalesce(sum((l_quantity <= 0)::int), 0)::bigint FROM lineitem
+                UNION ALL SELECT 'lineitem', 'bad_discount',
+                    coalesce(sum((l_discount < 0 OR l_discount > 1)::int), 0)::bigint FROM lineitem
+                UNION ALL SELECT 'lineitem', 'bad_tax',
+                    coalesce(sum((l_tax < 0 OR l_tax > 1)::int), 0)::bigint FROM lineitem
+                UNION ALL SELECT 'orders', 'n_rows', count(*)::bigint FROM orders
+                UNION ALL SELECT 'orders', 'dup_orderkey',
+                    (count(*) - count(DISTINCT o_orderkey))::bigint FROM orders
+                UNION ALL SELECT 'orders', 'bad_totalprice',
+                    coalesce(sum((o_totalprice <= 0)::int), 0)::bigint FROM orders
+                UNION ALL SELECT 'customer', 'n_rows', count(*)::bigint FROM customer
+                UNION ALL SELECT 'customer', 'dup_custkey',
+                    (count(*) - count(DISTINCT c_custkey))::bigint FROM customer
+                UNION ALL SELECT 'lineitem', 'orphan_orderkey', count(*)::bigint
+                    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                UNION ALL SELECT 'orders', 'orphan_custkey', count(*)::bigint
+                    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            )
+            SELECT tbl, metric, value FROM m ORDER BY tbl, metric
+        """,
         "q86_explode_lateral": """
             WITH tok AS (
                 SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token,

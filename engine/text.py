@@ -514,6 +514,104 @@ def q80_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- PII scrubbing
+
+# classic pre-training redaction classes; plain character-class +
+# quantifier syntax only, so Java regex (Spark) and RE2 (DuckDB)
+# match identically
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def q78_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the standard pre-training scrub):
+    count matches per class, then redact each class to a typed token
+    ([EMAIL] etc.), emitting the scrubbed text's hash + length.
+
+    One narrow projection — regex work is per-row JVM code, no
+    shuffle; at 100 TB this is the map stage of the ingest pipeline.
+    The fixture's synthetic text contains no PII (counts are 0 and the
+    scrubbed hash equals the original's) — the redaction semantics are
+    pinned by tests/test_text.py on planted-PII documents; the oracle
+    (DuckDB, identical regexes) value-checks both paths either way."""
+    d = table(spark, sf_dir, "documents")
+    # NB: F.regexp_extract_all / F.regexp_replace take the pattern
+    # directly (no SQL string-literal escape processing — a '\\b' in
+    # F.expr would need doubling, see q67)
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(f"n_{name}")
+        for name, p in _PII_PATTERNS.items()
+    ]
+    scrubbed = F.col("text")
+    for name, p in _PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"[{name.upper()}]")
+    return d.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+# ------------------------------------------------- corpus mixing
+
+# target language shares for the training mix (uniform here; any
+# weights that sum to 1 work)
+MIX_TARGET = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+
+
+def q79_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: down-sample each language toward a
+    target mix, taking the LARGEST budget B where no language is
+    oversampled (B = min_l n_l / p_l; acceptance rate_l = B·p_l / n_l).
+
+    Selection is the engine-portable md5 split (q99 pattern): a doc is
+    kept iff hash(doc_id) mod 1e6 < floor(rate·1e6) — reproducible
+    across engines/runs, and stable under corpus growth (a kept doc
+    stays kept as data is appended, unlike rand()/randomSplit).
+
+    Scale shape: the per-lang census is one partial-agg shuffle down
+    to |langs| rows; the budget is an agg over that tiny frame; both
+    broadcast back onto the corpus — the corpus itself never
+    re-partitions (a global-min WINDOW here would move 100 TB to one
+    partition; the census/broadcast form is the correct plan).
+    Output: per-lang census of the mix.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    target = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGET.items() for x in kv]
+    )
+    census = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")).withColumn(
+        "p_l", target[F.col("lang")]
+    )
+    budget = census.agg(F.min(F.col("n_l") / F.col("p_l")).alias("budget"))
+    # floor() in BOTH engines: Spark's double->bigint cast truncates,
+    # DuckDB's rounds — floor of the identical IEEE product is the
+    # portable threshold
+    rates = (
+        census.crossJoin(F.broadcast(budget))
+        .withColumn("rate", F.col("budget") * F.col("p_l") / F.col("n_l"))
+        .select("lang", "n_l", "rate", F.floor(F.col("rate") * 1e6).alias("thresh"))
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('mix:', doc_id)), 1, 15), 16, 10) as bigint) % 1000000"
+    )
+    sel = d.join(F.broadcast(rates), "lang").withColumn("keep", h < F.col("thresh"))
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_before"),
+            F.sum(F.col("keep").cast("int")).alias("n_selected"),
+            F.max("thresh").alias("rate_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
@@ -527,6 +625,8 @@ QUERIES = {
     "q59_char_fingerprint": q59_char_fingerprint,
     "q67_token_counting": q67_token_counting,
     "q68_data_pipeline": q68_data_pipeline,
+    "q78_pii_scrub": q78_pii_scrub,
+    "q79_corpus_mix": q79_corpus_mix,
     "q80_dedup_components": q80_dedup_components,
     "q97_paragraph_dedup": q97_paragraph_dedup,
 }
@@ -661,6 +761,43 @@ ORACLE = {
     "q51_fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
         FROM documents
+    """,
+    "q78_pii_scrub": f"""
+        SELECT doc_id,
+               {", ".join(
+                   f"len(regexp_extract_all(text, '{p}'))::int AS n_{name}"
+                   for name, p in _PII_PATTERNS.items()
+               )},
+               md5({"".join(
+                   "regexp_replace(" for _ in _PII_PATTERNS
+               )}text{"".join(
+                   f", '{p}', '[{name.upper()}]', 'g')"
+                   for name, p in _PII_PATTERNS.items()
+               )}) AS scrubbed_hash,
+               length({"".join(
+                   "regexp_replace(" for _ in _PII_PATTERNS
+               )}text{"".join(
+                   f", '{p}', '[{name.upper()}]', 'g')"
+                   for name, p in _PII_PATTERNS.items()
+               )})::int AS scrubbed_len
+        FROM documents
+    """,
+    "q79_corpus_mix": f"""
+        WITH sel AS (
+            SELECT doc_id, lang,
+                   count(*) OVER (PARTITION BY lang) AS n_l,
+                   {" ".join(
+                       f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGET.items())
+                   ).join(["CASE lang ", " END"])} AS p_l
+            FROM documents),
+        rated AS (
+            SELECT *, min(n_l / p_l) OVER () * p_l / n_l AS rate,
+                   ('0x' || substr(md5('mix:' || doc_id), 1, 15))::bigint % 1000000 AS h
+            FROM sel)
+        SELECT lang, max(n_l)::bigint AS n_before,
+               sum((h < floor(rate * 1e6))::int)::bigint AS n_selected,
+               max(floor(rate * 1e6)::bigint) AS rate_ppm
+        FROM rated GROUP BY lang ORDER BY lang
     """,
     "q52_ngram_jaccard": f"""
         WITH per_doc AS ({_DUCK_PER_DOC_SIG}),

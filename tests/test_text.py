@@ -116,3 +116,61 @@ def test_paragraph_dedup_global_invariants(spark, sf_dir):
     assert kept_total == distinct_chunks
     first = out.orderBy("doc_id").first()
     assert first.n_kept == first.n_chunks
+
+
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """q78 semantics on planted PII: counts per class and full
+    redaction (no pattern survives in the scrubbed text)."""
+    from pyspark.sql import Row
+
+    from engine.text import _PII_PATTERNS, q78_pii_scrub
+
+    rows = [
+        Row(doc_id=0, lang="en",
+            text="contact john.doe+x@corp.example.com or 555-867-5309 x"),
+        Row(doc_id=1, lang="en",
+            text="ssn 123-45-6789 server 10.0.255.7 and 192.168.1.1 ok"),
+        Row(doc_id=2, lang="en", text="no pii here at all"),
+    ]
+    sf_dir = str(tmp_path / "pii")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r for r in q78_pii_scrub(spark, sf_dir).collect()}
+    assert (out[0].n_email, out[0].n_phone) == (1, 1)
+    assert (out[1].n_ssn, out[1].n_ipv4) == (1, 2)
+    assert all(
+        getattr(out[2], f"n_{k}") == 0 for k in _PII_PATTERNS
+    )
+    # doc 2 untouched -> hash equals md5 of the original
+    import hashlib
+
+    assert out[2].scrubbed_hash == hashlib.md5(b"no pii here at all").hexdigest()
+    # redaction happened: doc 0 scrubbed text no longer matches patterns
+    from engine.session import table
+
+    d = table(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    from engine.text import _PII_PATTERNS as P
+
+    for name, p in P.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"[{name.upper()}]")
+    txt = d.filter(F.col("doc_id") == 0).select(scrubbed.alias("s")).first().s
+    assert "[EMAIL]" in txt and "[PHONE]" in txt and "@" not in txt
+
+
+def test_corpus_mix_budget_and_determinism(spark, sf_dir):
+    """q79 invariants: no language oversampled (selected <= available,
+    rate <= 1), the binding language runs at rate ~1, realized counts
+    track rate*n within binomial-ish slack, and the selection is
+    identical across runs (md5, not rand)."""
+    from engine.text import q79_corpus_mix
+
+    rows = q79_corpus_mix(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert 0 <= r.n_selected <= r.n_before
+        expect = r.n_before * r.rate_ppm / 1e6
+        assert abs(r.n_selected - expect) <= max(5, 0.35 * expect)
+    assert max(r.rate_ppm for r in rows) >= 999_000  # binding lang ~ rate 1
+    again = q79_corpus_mix(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
