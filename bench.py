@@ -79,6 +79,7 @@ HEADLINE = [
     "q92_sessionization",
     "q93_keep_latest",
     "q87_null_semantics",
+    "q46_gap_fill",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

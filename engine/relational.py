@@ -1312,6 +1312,42 @@ def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + LOCF interpolation: per-user daily
+    activity densified to a complete calendar (missing days
+    materialized via sequence+explode) with last-observation-carried-
+    forward values — the standard feature-store/resampling operator
+    the raw windows (q11-q13) don't cover.
+
+    Scale shape: the grid generation is one row per (user, day-span) —
+    output-proportional, no cross-user shuffle; the LOCF window sorts
+    within the same user partitioning the join already established.
+    Bounded here to user_id < 30 (≈900 grid rows at sf0.01)."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    day = F.to_date("ts").alias("day")
+    per_day = e.groupBy("user_id", day).agg(
+        F.round(F.sum("value"), 4).alias("day_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spans = per_day.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = grid.join(per_day, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("day_value").isNull().alias("is_gap"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
 def q77_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality report — the validation pass a training-data
     pipeline runs before ingest: per-table row counts, key-uniqueness
@@ -1366,6 +1402,7 @@ def q77_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update(
     {
+        "q46_gap_fill": q46_gap_fill,
         "q77_dq_report": q77_dq_report,
         "q86_explode_lateral": q86_explode_lateral,
         "q87_null_semantics": q87_null_semantics,
@@ -1384,6 +1421,28 @@ QUERIES.update(
 
 ORACLE.update(
     {
+        "q46_gap_fill": """
+            WITH per_day AS (
+                SELECT user_id, ts::date AS day,
+                       round(sum(value), 4) AS day_value, count(*) AS n
+                FROM events WHERE user_id < 30 GROUP BY 1, 2),
+            spans AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM per_day GROUP BY 1),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+                FROM spans),
+            j AS (
+                SELECT g.user_id, g.day, p.day_value, coalesce(p.n, 0) AS n_events
+                FROM grid g LEFT JOIN per_day p USING (user_id, day))
+            SELECT user_id, day, n_events::bigint AS n_events,
+                   (day_value IS NULL) AS is_gap,
+                   last_value(day_value IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS locf_value
+            FROM j
+        """,
         "q77_dq_report": """
             WITH m AS (
                 SELECT 'lineitem' AS tbl, 'n_rows' AS metric, count(*)::bigint AS value FROM lineitem

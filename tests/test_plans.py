@@ -87,3 +87,30 @@ def test_q52_verifies_lsh_candidates_not_all_pairs(spark, sf_dir):
     # shingle self-join
     assert "band_key" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q79_mix_broadcasts_census_no_global_window(spark, sf_dir):
+    plan = _plan(text.q79_corpus_mix(spark, sf_dir))
+    # the per-lang census + budget attach to the corpus via broadcast
+    # joins — NO window anywhere (the global-min-window formulation
+    # would funnel the whole corpus through one partition; the only
+    # SinglePartition exchange allowed is the |langs|-row budget agg)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q78_pii_scrub_stays_jvm_side(spark, sf_dir):
+    plan = _plan(text.q78_pii_scrub(spark, sf_dir))
+    # regex work is codegen'd expressions, not Python
+    assert "EvalPython" not in plan
+    # narrow projection: no exchange at all
+    assert "Exchange" not in plan
+
+
+def test_q46_gap_fill_single_user_partitioning(spark, sf_dir):
+    plan = _plan(relational.q46_gap_fill(spark, sf_dir))
+    # one user_id-keyed exchange family serves agg+join+window; no
+    # single-partition collapse
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
