@@ -65,11 +65,18 @@ _R2_GREEN_RELATIONAL = {
     "q95_variant_shred",
 }
 
+# Queries ADDED in r3 (locally strict-green) — they take r4-window
+# slots with the other new ops rather than evicting the never-driver-
+# checked q96/q98/q99 from the zero-slack r3 head.
+_NEW_IN_R3 = {"q46_gap_fill", "q77_dq_report"}
+
 
 def _window_head() -> list[str]:
     """The r3 driver-window head: changed-this-round + relational-not-r2-green."""
     return _CHANGED_THIS_ROUND + [
-        q for q in relational.QUERIES if q not in _R2_GREEN_RELATIONAL
+        q
+        for q in relational.QUERIES
+        if q not in _R2_GREEN_RELATIONAL and q not in _NEW_IN_R3
     ]
 
 

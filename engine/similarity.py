@@ -329,7 +329,13 @@ def q75_semantic_dedup(
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    # maxIter capped: the clustering only has to give a STABLE
+    # partition that co-locates near vectors — the cosine threshold
+    # carries the dedup semantics — and each extra Lloyd iteration is
+    # a full distributed pass (measured ~2x fit cost at default 20)
+    km = KMeans(
+        k=k, seed=42, maxIter=10, featuresCol="features", predictionCol="cell"
+    ).fit(corpus)
     assigned = (
         km.transform(corpus)
         .withColumn("nrm", F.expr(_NORM.format(a="emb")))
