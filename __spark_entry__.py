@@ -68,7 +68,7 @@ _R2_GREEN_RELATIONAL = {
 # Queries ADDED in r3 (locally strict-green) — they take r4-window
 # slots with the other new ops rather than evicting the never-driver-
 # checked q96/q98/q99 from the zero-slack r3 head.
-_NEW_IN_R3 = {"q46_gap_fill", "q77_dq_report"}
+_NEW_IN_R3 = {"q46_gap_fill", "q47_scd2_assembly", "q77_dq_report"}
 
 
 def _window_head() -> list[str]:

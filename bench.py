@@ -80,6 +80,7 @@ HEADLINE = [
     "q93_keep_latest",
     "q87_null_semantics",
     "q46_gap_fill",
+    "q47_scd2_assembly",
     "q40_balanced_sample",
     "q42_census",
     "q44_sparsity",

@@ -1348,6 +1348,29 @@ def q46_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_scd2_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) assembly from a change
+    stream: each user's events become versioned validity intervals
+    [valid_from, valid_to) via lead() over event time, open-ended
+    current row flagged — the standard warehouse dimension-history
+    build (and the batch twin of CDC merge compaction, q93).
+
+    One shuffle on the dimension key; interval construction is
+    streaming window evaluation within each sorted partition.
+    Deterministic: (user_id, ts) is unique at microsecond grain.
+    Bounded to user_id < 20 for output size."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 def q77_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality report — the validation pass a training-data
     pipeline runs before ingest: per-table row counts, key-uniqueness
@@ -1403,6 +1426,7 @@ def q77_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {
         "q46_gap_fill": q46_gap_fill,
+        "q47_scd2_assembly": q47_scd2_assembly,
         "q77_dq_report": q77_dq_report,
         "q86_explode_lateral": q86_explode_lateral,
         "q87_null_semantics": q87_null_semantics,
@@ -1442,6 +1466,16 @@ ORACLE.update(
                        OVER (PARTITION BY user_id ORDER BY day
                              ROWS UNBOUNDED PRECEDING) AS locf_value
             FROM j
+        """,
+        "q47_scd2_assembly": """
+            SELECT user_id,
+                   row_number() OVER w AS version,
+                   ts::timestamp AS valid_from,
+                   lead(ts) OVER w::timestamp AS valid_to,
+                   round(value, 4) AS value,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "q77_dq_report": """
             WITH m AS (
