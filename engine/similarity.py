@@ -370,7 +370,15 @@ def q75_semantic_dedup(
 PQ_M = 8          # subspaces (64-dim fixture → 8 dims each)
 PQ_K = 16         # centroids per subspace (4-bit codes)
 PQ_ITERS = 15
-PQ_RERANK = 60    # ADC candidates per query re-ranked exactly
+# ADC candidates per query re-ranked exactly: floor 60, scaled to
+# ~7.5% of the corpus at fixture sizes because this fixture's
+# neighbors are WEAK (top-10 cosine ≈ 0.3 — quantization noise easily
+# reorders them; measured recall@10 at sf0.1: 0.52/0.62/0.78 at
+# rerank 60/100/150). On a real corpus with meaningful neighbors the
+# budget is a fixed 10-20× k regardless of N — the knob trades
+# exactly like IVF's nprobe.
+PQ_RERANK_FLOOR = 60
+PQ_RERANK_FRAC = 0.075
 
 
 def _pq_codebooks(sample, m: int, k: int, iters: int, seed: int):
@@ -414,12 +422,15 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. ADC scan: queries' (m × k) distance tables broadcast; one
        pandas UDF emits all |Q| approximate distances per row in a
        single corpus pass (no |Q|×N join through Python).
-    4. top-PQ_RERANK per query by ADC distance, then exact cosine
-       re-rank of those candidates JVM-side → top-10.
+    4. top-rerank per query by ADC distance (budget: see
+       PQ_RERANK_FLOOR/FRAC), then exact cosine re-rank of those
+       candidates JVM-side → top-10.
 
     Rows-only (codebooks aren't SQL-expressible); recall vs the q60
     exact baseline is measured and floor-pinned in tests."""
     corpus = _corpus(spark, sf_dir)
+    n_corpus = corpus.count()  # parquet metadata count — cheap
+    rerank = max(PQ_RERANK_FLOOR, int(n_corpus * PQ_RERANK_FRAC))
     # codebook training sample: bounded driver-side collect (fixture:
     # whole table; at scale: .sample(fraction=...) first)
     sample = np.array(
@@ -478,7 +489,7 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
             ),
         )
-        .filter(F.col("rn") <= PQ_RERANK)
+        .filter(F.col("rn") <= rerank)
         .select("query_id", "vec_id")
     )
     # exact cosine re-rank of the ADC candidates (JVM-side dots)
