@@ -480,16 +480,24 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("adists").alias("qidx", "adist")
     )
     qid_map = F.array(*[F.lit(q) for q in qids])
-    cand = (
+    # two-phase (salted) top-k: a single per-query window would rank
+    # the WHOLE corpus in |Q| partitions — |Q| giant reducers at scale.
+    # Phase 1 ranks within (query, salt) — 16 reducers per query, each
+    # seeing ~N/16 rows; phase 2 ranks the surviving
+    # 16×rerank rows per query. Same result (the global top-k is a
+    # subset of the union of per-salt top-k), deterministic tiebreak.
+    salted = (
         adc.withColumn("query_id", qid_map[F.col("qidx")])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
-            ),
-        )
+        .withColumn("salt", F.pmod(F.col("vec_id"), F.lit(16)))
+    )
+    w1 = Window.partitionBy("query_id", "salt").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    cand = (
+        salted.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= rerank)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= rerank)
         .select("query_id", "vec_id")
     )
     # exact cosine re-rank of the ADC candidates (JVM-side dots)
