@@ -209,3 +209,57 @@ def test_doc_ingest_invariant_under_cross_label_dups(spark, tmp_path):
     # 4 distinct norms survive dedup, the gate drops the short one →
     # exactly one census row per surviving group, never two
     assert sum(n for n, _ in want.values()) == 3
+
+
+def test_doc_dedup_state_survives_across_micro_batches(spark, tmp_path):
+    """Cross-batch dedup state: a duplicate arriving in a LATER
+    micro-batch (same fingerprint, within the watermark window) must
+    be dropped by state carried in the checkpoint — the property a
+    single availableNow replay never exercises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stage_in = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage_in)
+    schema = "doc_id bigint, fingerprint string, ts timestamp"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(stage_in)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def batch(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, fingerprint string, ts_s string"
+        ).select(
+            "doc_id", "fingerprint", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(stage_in)
+
+    # batch 1: three unique docs at 12:00
+    batch([(1, "fp_a", "2024-01-20 12:00:00"),
+           (2, "fp_b", "2024-01-20 12:00:00"),
+           (3, "fp_c", "2024-01-20 12:00:00")])
+    run_once()
+    # batch 2 (same checkpoint): a dup of fp_a 10 min later (inside
+    # the 1h window -> must be DROPPED by carried state) and one new doc
+    batch([(4, "fp_a", "2024-01-20 12:10:00"),
+           (5, "fp_d", "2024-01-20 12:10:00")])
+    run_once()
+
+    out = spark.read.parquet(sink)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 2, 3, 5}, kept
+    assert out.filter(F.col("fingerprint") == "fp_a").count() == 1
