@@ -454,7 +454,9 @@ def q68_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``edges(src, dst)`` undirected. Returns (doc_id, component) with
@@ -463,7 +465,41 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     count is bounded by the graph diameter (near-dup clusters are
     shallow). At 100 TB the input is the *candidate* graph (MinHash
     pairs), which is orders of magnitude smaller than the corpus.
+
+    Below ``driver_threshold`` edges the computation switches to
+    driver-side union-find: the edge list is OUTPUT-scale (the
+    thresholded candidate pairs — the same frame q52 verifies and a
+    user would materialize anyway), ≤ ~16 MB at the default bound,
+    while the distributed loop pays 3-4 join+checkpoint+convergence
+    rounds of pure scheduling for such graphs (measured 3.5 s →
+    <0.2 s on a 307-edge graph at sf0.1). Identical output either
+    way; the distributed path remains for genuinely large graphs.
     """
+    # one evaluation decides the route AND feeds union-find: collect at
+    # most threshold+1 rows (a count() + collect() pair would run the
+    # upstream candidate pipeline twice)
+    head = edges.limit(driver_threshold + 1).collect() if driver_threshold else []
+    if driver_threshold and len(head) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in head:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # union by MIN → root IS the label
+        out = [(int(x), int(find(x))) for x in parent]
+        return edges.sparkSession.createDataFrame(
+            out, "doc_id bigint, component bigint"
+        )
+
     # iterative algorithms MUST truncate lineage: without checkpoints,
     # iteration k re-derives the whole upstream pipeline (here: the
     # MinHash candidate generation) k times over — measured 21.6s → ~6s

@@ -71,14 +71,24 @@ def test_quality_score_bounds(spark, sf_dir):
 
 
 def test_connected_components_known_graph(spark):
+    """Both implementations — driver union-find (small graphs) and the
+    distributed min-label loop (forced via driver_threshold=0) — must
+    produce identical components on a known graph incl. a cycle and a
+    chain longer than one propagation hop."""
     from engine.text import connected_components
 
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4), (4, 5)],
         "src bigint, dst bigint",
     )
-    comps = {r.doc_id: r.component for r in connected_components(edges).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    small = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert small == want
+    dist = {
+        r.doc_id: r.component
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == want
 
 
 def test_minhash_lsh_candidate_recall(spark, sf_dir):
