@@ -1312,6 +1312,14 @@ def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trunc4(col):
+    """floor(x·10⁴)/10⁴ — engine-portable 4-decimal truncation (the
+    q57 _trunc6 pattern): round(x, 4) is HALF_UP on the decimal repr
+    in Spark but binary rounding in DuckDB, so exact .xxxx5 ties flip
+    between engines; floor of the identical IEEE product cannot."""
+    return F.floor(col * F.lit(1e4)) / F.lit(1e4)
+
+
 def q46_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling + LOCF interpolation: per-user daily
     activity densified to a complete calendar (missing days
@@ -1326,7 +1334,7 @@ def q46_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 30)
     day = F.to_date("ts").alias("day")
     per_day = e.groupBy("user_id", day).agg(
-        F.round(F.sum("value"), 4).alias("day_value"),
+        _trunc4(F.sum("value")).alias("day_value"),
         F.count(F.lit(1)).alias("n"),
     )
     spans = per_day.groupBy("user_id").agg(
@@ -1366,7 +1374,7 @@ def q47_scd2_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version"),
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
-        F.round("value", 4).alias("value"),
+        _trunc4(F.col("value")).alias("value"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
@@ -1448,7 +1456,7 @@ ORACLE.update(
         "q46_gap_fill": """
             WITH per_day AS (
                 SELECT user_id, ts::date AS day,
-                       round(sum(value), 4) AS day_value, count(*) AS n
+                       floor(sum(value) * 1e4) / 1e4 AS day_value, count(*) AS n
                 FROM events WHERE user_id < 30 GROUP BY 1, 2),
             spans AS (
                 SELECT user_id, min(day) AS d0, max(day) AS d1
@@ -1472,7 +1480,7 @@ ORACLE.update(
                    row_number() OVER w AS version,
                    ts::timestamp AS valid_from,
                    lead(ts) OVER w::timestamp AS valid_to,
-                   round(value, 4) AS value,
+                   floor(value * 1e4) / 1e4 AS value,
                    (lead(ts) OVER w IS NULL) AS is_current
             FROM events WHERE user_id < 20
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

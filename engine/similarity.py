@@ -432,9 +432,13 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = corpus.count()  # parquet metadata count — cheap
     rerank = max(PQ_RERANK_FLOOR, int(n_corpus * PQ_RERANK_FRAC))
     # codebook training sample: bounded driver-side collect (fixture:
-    # whole table; at scale: .sample(fraction=...) first)
+    # whole table; at scale: .sample(fraction=...) first). orderBy
+    # before limit — a bare limit takes whatever rows the scan
+    # delivers first, so partition order (cluster layout, AQE
+    # coalescing) would leak into the trained codebooks and break the
+    # documented bit-determinism; TakeOrdered is layout-independent.
     sample = np.array(
-        [r.emb for r in corpus.sample(fraction=1.0, seed=42).limit(4096).collect()]
+        [r.emb for r in corpus.orderBy("vec_id").limit(4096).collect()]
     )
     books = _pq_codebooks(sample, PQ_M, PQ_K, PQ_ITERS, seed=42)
     m, k, sub = books.shape

@@ -455,7 +455,7 @@ def q68_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 100_000
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -469,15 +469,22 @@ def connected_components(
     Below ``driver_threshold`` edges the computation switches to
     driver-side union-find: the edge list is OUTPUT-scale (the
     thresholded candidate pairs — the same frame q52 verifies and a
-    user would materialize anyway), ≤ ~16 MB at the default bound,
-    while the distributed loop pays 3-4 join+checkpoint+convergence
-    rounds of pure scheduling for such graphs (measured 3.5 s →
-    <0.2 s on a 307-edge graph at sf0.1). Identical output either
-    way; the distributed path remains for genuinely large graphs.
+    user would materialize anyway). The 100k default bounds the probe
+    collect at tens of MB of driver heap *including* PySpark Row
+    overhead (~a few hundred bytes/Row — the raw-payload estimate
+    undercounts by an order of magnitude), while the distributed loop
+    pays 3-4 join+checkpoint+convergence rounds of pure scheduling for
+    such graphs (measured 3.5 s → <0.2 s on a 307-edge graph at
+    sf0.1). Identical output either way; the distributed path remains
+    for genuinely large graphs.
     """
-    # one evaluation decides the route AND feeds union-find: collect at
-    # most threshold+1 rows (a count() + collect() pair would run the
-    # upstream candidate pipeline twice)
+    # The edge list is localCheckpointed BEFORE the routing probe so
+    # the upstream candidate pipeline (MinHash banding / within-cell
+    # cosine) runs exactly once: the probe's limit+collect and — when
+    # the graph exceeds the threshold — the distributed loop both read
+    # the checkpoint instead of re-deriving the candidates.
+    if driver_threshold:
+        edges = edges.localCheckpoint(eager=True)
     head = edges.limit(driver_threshold + 1).collect() if driver_threshold else []
     if driver_threshold and len(head) <= driver_threshold:
         parent: dict = {}
@@ -616,15 +623,23 @@ def q79_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-partitions (a global-min WINDOW here would move 100 TB to one
     partition; the census/broadcast form is the correct plan).
     Output: per-lang census of the mix.
+
+    A lang present in the corpus but absent from MIX_TARGET gets an
+    explicit rate of 0 (census row with n_selected=0, excluded from
+    the budget min) rather than NULL-propagating — a fixture regen
+    that adds a language surfaces as a visible zero row, not as
+    silently-wrong NULLs.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     target = F.create_map(
         *[F.lit(x) for kv in MIX_TARGET.items() for x in kv]
     )
     census = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")).withColumn(
-        "p_l", target[F.col("lang")]
+        "p_l", F.coalesce(target[F.col("lang")], F.lit(0.0))
     )
-    budget = census.agg(F.min(F.col("n_l") / F.col("p_l")).alias("budget"))
+    budget = census.agg(
+        F.min(F.when(F.col("p_l") > 0, F.col("n_l") / F.col("p_l"))).alias("budget")
+    )
     # floor() in BOTH engines: Spark's double->bigint cast truncates,
     # DuckDB's rounds — floor of the identical IEEE product is the
     # portable threshold
@@ -824,10 +839,10 @@ ORACLE = {
                    count(*) OVER (PARTITION BY lang) AS n_l,
                    {" ".join(
                        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGET.items())
-                   ).join(["CASE lang ", " END"])} AS p_l
+                   ).join(["CASE lang ", " ELSE 0 END"])} AS p_l
             FROM documents),
         rated AS (
-            SELECT *, min(n_l / p_l) OVER () * p_l / n_l AS rate,
+            SELECT *, min(CASE WHEN p_l > 0 THEN n_l / p_l END) OVER () * p_l / n_l AS rate,
                    ('0x' || substr(md5('mix:' || doc_id), 1, 15))::bigint % 1000000 AS h
             FROM sel)
         SELECT lang, max(n_l)::bigint AS n_before,
