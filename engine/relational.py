@@ -1074,8 +1074,10 @@ def q82_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q83_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / quartiles / p95) per
     group — Spark ``percentile`` ≡ DuckDB ``quantile_cont``. At 100 TB
-    prefer ``percentile_approx`` (KLL-style mergeable sketch, bounded
-    memory); the exact form materializes per-group value multisets.
+    prefer ``percentile_approx`` — the first-class contract twin q83b
+    (KLL-style mergeable sketch, bounded memory); the exact form here
+    materializes per-group value multisets and exists as the
+    oracle-checked variant.
 
     The three quartiles share ONE percentile(col, array(...)) buffer —
     three scalar calls build three identical per-group value maps
@@ -1098,11 +1100,44 @@ def q83_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83b_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles — the scale-safe twin of q83 and
+    the form a 100 TB user should reach FIRST (promoted to a contract
+    query per the r3 verdict): ``percentile_approx`` keeps a bounded
+    KLL-style sketch per group (accuracy 1000 ⇒ rank error ≤ 0.1%)
+    where the exact form materializes per-group value multisets — a
+    real memory cliff with 3 giant groups at scale.
+
+    Same output shape as q83. Rows-only: sketch internals aren't
+    reproducible in DuckDB; the ≤1% value-error bound vs the exact
+    quartiles is pinned by tests/test_contract.py
+    (test_q83_approx_percentile_twin_within_error)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)"
+            ).alias("qs"),
+            F.expr("percentile_approx(l_quantity, 0.95D, 1000)").alias("p95q"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 4).alias("p25_price"),
+            F.round(F.col("qs")[1], 4).alias("median_price"),
+            F.round(F.col("qs")[2], 4).alias("p75_price"),
+            F.round(F.col("p95q"), 4).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES.update(
     {
         "q81_range_join": q81_range_join,
         "q82_time_rollup": q82_time_rollup,
         "q83_percentiles": q83_percentiles,
+        "q83b_percentiles_approx": q83b_percentiles_approx,
     }
 )
 

@@ -570,6 +570,45 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN tier against the q60 exact baseline, as
+    one small (tier, recall_at_10, n_hits, n_truth) frame — the
+    driver-visible ANN-quality surface (r3 verdict item 6): a
+    regression in LSH probing, IVF cell assignment, or PQ encoding
+    shows up as a changed driver row, not just in a local test run.
+
+    All tiers are seeded/deterministic, so the report is too. The
+    truth set is |Q|·k = 50 rows — the tier results broadcast against
+    it; cost is one run of each tier (fixture-scale work). Rows-only:
+    the tiers themselves aren't SQL-expressible. Floors are asserted
+    in tests/test_similarity.py (test_recall_report_floors)."""
+    truth = q60_knn_brute(spark, sf_dir).select("query_id", "vec_id")
+    n_truth = N_QUERIES * TOP_K
+    tiers = {
+        "lsh_multiprobe": q61_knn_lsh_bucketed,
+        "ivf": q65_knn_ivf,
+        "pq_adc": q76_pq_ann,
+    }
+    got = None
+    for tier, fn in tiers.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(tier).alias("tier"), "query_id", "vec_id"
+        )
+        got = part if got is None else got.unionByName(part)
+    hits = got.join(F.broadcast(truth), ["query_id", "vec_id"])
+    return (
+        hits.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "tier",
+            (F.col("n_hits") / F.lit(n_truth)).alias("recall_at_10"),
+            "n_hits",
+            F.lit(n_truth).alias("n_truth"),
+        )
+        .orderBy("tier")
+    )
+
+
 QUERIES = {
     "q60_knn_brute": q60_knn_brute,
     "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
@@ -578,6 +617,7 @@ QUERIES = {
     "q66_embedding_near_dup": q66_embedding_near_dup,
     "q75_semantic_dedup": q75_semantic_dedup,
     "q76_pq_ann": q76_pq_ann,
+    "ann_recall_report": ann_recall_report,
 }
 
 # oracle mirrors the engine's pre-normalization: unit vectors first,

@@ -48,36 +48,24 @@ def test_q30_approx_distinct_within_error_bound(spark, sf_dir):
 
 
 def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
-    # SCALING.md: "at 100 TB switch q83 to percentile_approx — only the
-    # agg expression changes". Substantiate it: the sketch (accuracy
-    # 1000 => rank error <= 0.1%) must land within 1% relative value
-    # error of the exact quartiles on this data.
-    from pyspark.sql import functions as F
-
+    # q83b (percentile_approx, accuracy 1000 => rank error <= 0.1%) is
+    # the scale-safe contract twin of the exact q83; it must land
+    # within 1% relative value error of the exact quartiles (5% at the
+    # tail p95) on this data — the invariant backing its rows-only
+    # driver entry.
     from engine import relational
-    from engine.session import table
 
     exact = {r.l_returnflag: r for r in relational.q83_percentiles(spark, sf_dir).collect()}
     approx = {
         r.l_returnflag: r
-        for r in (
-            table(spark, sf_dir, "lineitem")
-            .groupBy("l_returnflag")
-            .agg(
-                F.expr(
-                    "percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)"
-                ).alias("qs"),
-                F.expr("percentile_approx(l_quantity, 0.95D, 1000)").alias("p95q"),
-            )
-            .collect()
-        )
+        for r in relational.q83b_percentiles_approx(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for flag, e in exact.items():
         a = approx[flag]
-        for i, col in enumerate(["p25_price", "median_price", "p75_price"]):
-            assert abs(a.qs[i] - e[col]) / e[col] < 0.01, (flag, col)
-        assert abs(a.p95q - e.p95_qty) / e.p95_qty < 0.05
+        for col in ("p25_price", "median_price", "p75_price"):
+            assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col)
+        assert abs(a.p95_qty - e.p95_qty) / e.p95_qty < 0.05
 
 
 def test_driver_window_covers_unproven_queries():

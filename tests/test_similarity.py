@@ -171,6 +171,20 @@ def test_pq_ann_recall_floor_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
 
 
+def test_recall_report_floors(spark, sf_dir):
+    # The driver-visible ANN-quality surface: one row per tier, each
+    # above the same floors the per-tier tests pin (lsh 0.15 / ivf 0.5
+    # / pq 0.6 — measured 0.24-0.38 / 0.72 / 0.78-0.84 across SFs).
+    from engine.similarity import ann_recall_report
+
+    rows = {r.tier: r for r in ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh_multiprobe", "ivf", "pq_adc"}
+    floors = {"lsh_multiprobe": 0.15, "ivf": 0.5, "pq_adc": 0.6}
+    for tier, r in rows.items():
+        assert r.recall_at_10 >= floors[tier], (tier, r.recall_at_10)
+        assert r.n_hits == round(r.recall_at_10 * r.n_truth)
+
+
 def test_scale_knob_derivation_laws(spark, sf_dir):
     # r3 VERDICT's two fixture-scale constants are now derived from the
     # corpus count. Pin both ends of each law: at fixture N the FLOOR
