@@ -14,18 +14,21 @@ code changed this round re-enters the window immediately.
 * r1 window: relational + sampling head (all green except q25/q29/q33).
 * r2 window: all 45 non-relational + 5 changed/canary relational
   (CORRECTNESS_r02: 50/50 green).
-* r3 window (this file's state): the 46 relational queries with no r2
-  row — including q96/q98/q99, never driver-checked, and the
-  post-r1-edited q24/q28/q32/q88/q83 — plus the 4 queries changed this
-  round (q54/q61/q66/q64).  Exactly 50: zero slack, so adding a query
-  to ``_CHANGED_THIS_ROUND`` evicts the window tail;
-  ``test_driver_window_covers_unproven_queries`` fails loudly if that
-  drops anything unproven.
-* r4+: flip back to the non-relational block plus whatever changed —
-  including the ops ADDED in r3 with no driver row yet
-  (q75_semantic_dedup, q76_pq_ann, ml_adaptive_tuning — rows-only;
-  q77_dq_report, q78_pii_scrub, q79_corpus_mix — oracle-backed,
-  locally strict-green).
+* r3 window: the 46 relational queries with no r2 row — including
+  q96/q98/q99, never driver-checked — plus the 4 queries changed that
+  round (q54/q61/q66/q64).  CORRECTNESS_r03: 50/50 green.
+* r4 window (this file's state): the 8 queries with no driver row in
+  ANY round (q46/q47/q75-q79/ml_adaptive_tuning), the 2 queries added
+  this round (q83b_percentiles_approx, ann_recall_report), everything
+  changed this round (q61/q66 n_planes derivation,
+  q80 connected-components probe rework), then the non-relational
+  block (r2-green, due for rotation).  That is 55 candidates for 50
+  slots: the 5 deferred to r5 (``_DEFERRED_TO_R5``) are r2-green
+  rows-only model-fit queries — unchanged since their r2 rows, the
+  weakest check class (rows-only) and the most driver wall-time per
+  slot, so deferring them costs the least verification signal.
+* r5: relational block rotation + the 5 deferred ml_* entries +
+  whatever changes in r4+1.
 """
 
 from __future__ import annotations
@@ -46,38 +49,62 @@ def _modules():
     return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational]
 
 
-# Queries whose implementation changed in round 3 — they re-enter the
-# driver window regardless of rotation parity.
-_CHANGED_THIS_ROUND = [
-    "q54_minhash_candidates",   # band keys md5 -> xxhash64
-    "q61_knn_lsh_bucketed",     # sign-LSH n_planes parameterized
-    "q66_embedding_near_dup",   # sign-LSH n_planes parameterized
-    "q64_media_features",       # promoted rows-only -> SQL oracle
+# The only contract queries with no driver CORRECTNESS row in any of
+# r1-r3 (judge strict-verified in the r3 session; the bar is a driver
+# row) — they lead the r4 window unconditionally.
+_UNPROVEN = [
+    "q46_gap_fill",
+    "q47_scd2_assembly",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
+    "q77_dq_report",
+    "q78_pii_scrub",
+    "q79_corpus_mix",
+    "ml_adaptive_tuning",
 ]
 
-# Relational queries verified green by the r2 driver run — the only
-# relational entries that may sit OUTSIDE the r3 window.
-_R2_GREEN_RELATIONAL = {
-    "q25_correlated_subquery",
-    "q29_map_array_funcs",
-    "q33_collect_sorted",
-    "q89_fuzzy_match",
-    "q95_variant_shred",
-}
+# Queries ADDED in round 4.
+_NEW_IN_R4 = [
+    "q83b_percentiles_approx",  # scale-safe percentile twin, rows-only
+    "ann_recall_report",        # driver-visible ANN-quality surface
+]
 
-# Queries ADDED in r3 (locally strict-green) — they take r4-window
-# slots with the other new ops rather than evicting the never-driver-
-# checked q96/q98/q99 from the zero-slack r3 head.
-_NEW_IN_R3 = {"q46_gap_fill", "q47_scd2_assembly", "q77_dq_report"}
+# Queries whose implementation changed in round 4 — they re-enter the
+# driver window regardless of rotation parity. (q46/q47/q75/q76/q79
+# also changed but already head the window as unproven.)
+_CHANGED_THIS_ROUND = [
+    "q61_knn_lsh_bucketed",     # n_planes derived from corpus count
+    "q66_embedding_near_dup",   # n_planes derived from corpus count
+    "q80_dedup_components",     # component probe checkpoint + threshold
+]
+
+# r2-green rows-only model-fit queries deferred to the r5 window: the
+# 55 candidates above exceed the 50-entry head, and these five are
+# unchanged since their green r2 rows, carry the weakest check form
+# (rows-only), and cost the most driver wall-time per slot.
+_DEFERRED_TO_R5 = {
+    "ml_tuning_results",
+    "ml_explained_variance",
+    "ml_nb_predictions",
+    "ml_rf_predictions",
+    "ml_model_metrics",
+}
 
 
 def _window_head() -> list[str]:
-    """The r3 driver-window head: changed-this-round + relational-not-r2-green."""
-    return _CHANGED_THIS_ROUND + [
-        q
-        for q in relational.QUERIES
-        if q not in _R2_GREEN_RELATIONAL and q not in _NEW_IN_R3
-    ]
+    """The r4 driver-window head: unproven + new + changed, then the
+    non-relational block (due for rotation; the relational block holds
+    r3 rows), minus the five deferred entries."""
+    head = _UNPROVEN + _NEW_IN_R4 + _CHANGED_THIS_ROUND
+    seen = set(head)
+    for m in _modules():
+        if m is relational:
+            continue
+        for q in m.QUERIES:
+            if q not in seen and q not in _DEFERRED_TO_R5:
+                head.append(q)
+                seen.add(q)
+    return head
 
 
 def _ordered(table_of: dict[int, dict]) -> dict:

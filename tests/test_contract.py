@@ -70,16 +70,22 @@ def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
 
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
-    # entries. Rotation policy (see __spark_entry__ docstring): the r3
-    # window must hold every query with no r2 driver row (the 46
-    # relational entries outside _R2_GREEN_RELATIONAL — incl. the
-    # never-checked q96/q98/q99) plus everything changed this round.
+    # entries. Rotation policy (see __spark_entry__ docstring): the r4
+    # window must lead with the 8 queries that have no driver row in
+    # any round, then the queries added/changed this round, then the
+    # non-relational rotation block.
     names = list(contract.queries())[:50]
     required = set(contract._window_head())
     missing = required - set(names)
     assert not missing, f"queries pushed out of the 50-entry driver window: {sorted(missing)}"
     # Zero-slack guard: the head must itself fit in the window.
     assert len(required) <= 50, f"window head overflows: {len(required)} > 50"
+    # The never-driver-checked queries must occupy the head outright.
+    assert names[: len(contract._UNPROVEN)] == contract._UNPROVEN
+    # Deferrals may only hold r2-green, this-round-unchanged entries.
+    assert not (contract._DEFERRED_TO_R5 & set(contract._UNPROVEN))
+    assert not (contract._DEFERRED_TO_R5 & set(contract._NEW_IN_R4))
+    assert not (contract._DEFERRED_TO_R5 & set(contract._CHANGED_THIS_ROUND))
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
