@@ -67,6 +67,8 @@ _UNPROVEN = [
 _NEW_IN_R4 = [
     "q83b_percentiles_approx",  # scale-safe percentile twin, rows-only
     "ann_recall_report",        # driver-visible ANN-quality surface
+    "q48_decontaminate",        # benchmark n-gram overlap scrub
+    "q49_sequence_packing",     # GPT-style concat-and-chop layout
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -88,6 +90,8 @@ _DEFERRED_TO_R5 = {
     "ml_nb_predictions",
     "ml_rf_predictions",
     "ml_model_metrics",
+    "ml_misclassified_inverse",
+    "ml_tfidf_features",
 }
 
 

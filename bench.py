@@ -86,6 +86,8 @@ HEADLINE = [
     "q42_census",
     "q44_sparsity",
     "q45_per_class_mean",
+    "q48_decontaminate",
+    "q49_sequence_packing",
     "q50_dedup_exact",
     "q77_dq_report",
     "q78_pii_scrub",

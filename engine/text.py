@@ -663,7 +663,107 @@ def q79_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- benchmark decontamination
+
+# synthetic "benchmark holdout": every 50th doc stands in for an eval
+# set (at real scale this is the concatenated benchmark suite — tiny
+# versus the training corpus, which is what makes the broadcast work)
+DECON_HOLDOUT_MOD = 50
+# flag threshold: >= 2 distinct overlapping n-grams (1 lone shingle
+# collision on a small vocabulary is ambient; the knob is caller-set
+# per benchmark policy, cf. GPT-3 appx C / The Pile's 13-gram rule)
+DECON_MIN_HITS = 2
+
+
+def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/test-overlap scrub every
+    serious pretraining pipeline runs (GPT-3 appx C, The Pile): flag
+    training documents sharing word-n-gram shingles with an eval set.
+
+    Output: one row per corpus doc that HAS shingles — (doc_id,
+    n_shingles, n_hits = distinct shingles also present anywhere in
+    the eval set, contam_rate, contaminated). Docs with < 3 tokens
+    have no shingles and are structurally uncontaminatable — absent.
+
+    Scale shape: the eval shingle set is benchmark-sized (thousands
+    of docs) while the corpus is 100 TB — so the eval side is
+    broadcast and the corpus side is ONE narrow scan + explode +
+    broadcast semi-join + per-doc agg; shuffle carries one row per
+    corpus doc, never the shingle stream. The join key is xxhash64 of
+    the shingle (16x smaller than the strings; collisions ~2^-64;
+    internal only, so portability doesn't matter — the oracle joins
+    on the string itself, q52's pattern)."""
+    d = table(spark, sf_dir, "documents")
+    sh = _with_shingles(d).select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+    is_eval = F.col("doc_id") % DECON_HOLDOUT_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh_h").distinct()
+    corpus_sh = sh.filter(~is_eval)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hits.alias("n_hits"),
+        _trunc6(n_hits / F.col("n_shingles")).alias("contam_rate"),
+        (n_hits >= DECON_MIN_HITS).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------- sequence packing layout
+
+PACK_WINDOW = 256   # tokens per training sequence
+PACK_SHARDS = 8     # independent packing streams (files/workers at scale)
+
+
+def q49_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing layout: concatenate documents in
+    doc_id order within each shard and chop the token stream into
+    fixed PACK_WINDOW training sequences — each doc's row gives its
+    token span [start_tok, end_tok) in the shard stream and the
+    window range it lands in (docs may straddle windows; that IS the
+    concat-and-chop semantics of GPT-style pretraining loaders).
+
+    Scale shape: one shuffle on the shard key, then everything is a
+    streaming window evaluation within each sorted shard partition —
+    the cumsum never needs a global ordering (a single global stream
+    would serialize 100 TB through one partition; sharding is how
+    real loaders parallelize packing, one stream per data file).
+    Deterministic: shard = doc_id % PACK_SHARDS and doc_id order."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("end_tok", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+            "end_tok",
+            F.floor((F.col("end_tok") - F.col("n_tokens")) / PACK_WINDOW).alias("first_window"),
+            F.floor((F.col("end_tok") - 1) / PACK_WINDOW).alias("last_window"),
+        )
+        .withColumn("n_windows", F.col("last_window") - F.col("first_window") + 1)
+    )
+
+
 QUERIES = {
+    "q48_decontaminate": q48_decontaminate,
+    "q49_sequence_packing": q49_sequence_packing,
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
     "q52_ngram_jaccard": q52_ngram_jaccard,
@@ -738,6 +838,41 @@ _DUCK_EDGES = f"""
 """
 
 ORACLE = {
+    "q48_decontaminate": f"""
+        WITH sh AS ({_DUCK_SHINGLES_SQL}),
+        ev AS (SELECT DISTINCT shingle FROM sh
+               WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM corpus
+                 WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id)
+        SELECT s.doc_id, s.n_shingles::bigint AS n_shingles,
+               coalesce(h.n_hits, 0)::bigint AS n_hits,
+               floor(coalesce(h.n_hits, 0)::double / s.n_shingles * 1e6) / 1e6
+                   AS contam_rate,
+               (coalesce(h.n_hits, 0) >= {DECON_MIN_HITS}) AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    "q49_sequence_packing": f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   len(string_split_regex(trim(text), ' +')) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS end_tok
+            FROM t)
+        SELECT doc_id, shard::bigint AS shard, n_tokens::bigint AS n_tokens,
+               (end_tok - n_tokens)::bigint AS start_tok,
+               end_tok::bigint AS end_tok,
+               floor((end_tok - n_tokens)::double / {PACK_WINDOW})::bigint
+                   AS first_window,
+               floor((end_tok - 1)::double / {PACK_WINDOW})::bigint AS last_window,
+               (floor((end_tok - 1)::double / {PACK_WINDOW})
+                - floor((end_tok - n_tokens)::double / {PACK_WINDOW}) + 1)::bigint
+                   AS n_windows
+        FROM c
+    """,
     "q80_dedup_components": f"""
         WITH RECURSIVE edges AS ({_DUCK_EDGES}),
         undirected AS (

@@ -114,3 +114,13 @@ def test_q46_gap_fill_single_user_partitioning(spark, sf_dir):
     # single-partition collapse
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q48_decontaminate_broadcasts_eval_no_python(spark, sf_dir):
+    # the eval shingle set (benchmark-scale) must broadcast — the
+    # corpus side never shuffles its shingle stream for the probe —
+    # and the whole scrub stays JVM-side
+    plan = _plan(text.q48_decontaminate(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -203,3 +203,67 @@ def test_corpus_mix_budget_and_determinism(spark, sf_dir):
     assert max(r.rate_ppm for r in rows) >= 999_000  # binding lang ~ rate 1
     again = q79_corpus_mix(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """q48 semantics on planted train/eval overlap: a corpus doc
+    sharing >= DECON_MIN_HITS shingles with an eval doc is flagged; a
+    single shared shingle is not; eval docs and <3-token docs are
+    absent from the output."""
+    from pyspark.sql import Row
+
+    from engine.text import DECON_MIN_HITS, q48_decontaminate
+
+    rows = [
+        Row(doc_id=0, lang="en", text="alpha beta gamma delta epsilon zeta eta"),  # eval
+        Row(doc_id=1, lang="en", text="alpha beta gamma delta prose"),   # 2 shared shingles
+        Row(doc_id=2, lang="en", text="totally different words here today"),  # 0 hits
+        Row(doc_id=3, lang="en", text="one two"),                        # no shingles
+        Row(doc_id=50, lang="en", text="iota kappa lambda mu nu"),       # eval
+        Row(doc_id=4, lang="en", text="iota kappa lambda filler words"), # 1 hit only
+    ]
+    sf_dir = str(tmp_path / "decon")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r for r in q48_decontaminate(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].n_hits == 2 and out[1].contaminated
+    assert out[2].n_hits == 0 and not out[2].contaminated
+    assert out[4].n_hits == 1 and not out[4].contaminated
+    assert DECON_MIN_HITS == 2  # the planted expectations above encode it
+
+
+def test_decontaminate_fixture_invariants(spark, sf_dir):
+    from engine.text import DECON_HOLDOUT_MOD, DECON_MIN_HITS, q48_decontaminate
+
+    rows = q48_decontaminate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % DECON_HOLDOUT_MOD != 0     # eval never in output
+        assert 0 <= r.n_hits <= r.n_shingles
+        assert r.contaminated == (r.n_hits >= DECON_MIN_HITS)
+        assert 0 <= (r.n_hits / r.n_shingles) - r.contam_rate < 1e-6  # trunc6
+
+
+def test_sequence_packing_stream_invariants(spark, sf_dir):
+    """q49: within each shard the token stream is contiguous (no gaps
+    or overlaps in doc_id order), window indices follow floor/ceil
+    arithmetic, and docs genuinely straddle window boundaries (the
+    concat-and-chop semantics under test)."""
+    from engine.text import PACK_SHARDS, PACK_WINDOW, q49_sequence_packing
+
+    rows = q49_sequence_packing(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert r.shard == r.doc_id % PACK_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == PACK_SHARDS
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos and r.end_tok == pos + r.n_tokens
+            pos = r.end_tok
+            assert r.first_window == r.start_tok // PACK_WINDOW
+            assert r.last_window == (r.end_tok - 1) // PACK_WINDOW
+            assert r.n_windows == r.last_window - r.first_window + 1
+    assert any(r.n_windows > 1 for r in rows)
