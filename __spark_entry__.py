@@ -22,12 +22,12 @@ code changed this round re-enters the window immediately.
   this round (q83b_percentiles_approx, ann_recall_report), everything
   changed this round (q61/q66 n_planes derivation,
   q80 connected-components probe rework), then the non-relational
-  block (r2-green, due for rotation).  That is 55 candidates for 50
-  slots: the 5 deferred to r5 (``_DEFERRED_TO_R5``) are r2-green
-  rows-only model-fit queries — unchanged since their r2 rows, the
+  block (r2-green, due for rotation).  The candidates exceed the 50
+  slots: the entries deferred to r5 (``_DEFERRED_TO_R5``) are
+  r2-green rows-only queries — unchanged since their r2 rows, the
   weakest check class (rows-only) and the most driver wall-time per
   slot, so deferring them costs the least verification signal.
-* r5: relational block rotation + the 5 deferred ml_* entries +
+* r5: relational block rotation + the deferred rows-only entries +
   whatever changes in r4+1.
 """
 
@@ -69,6 +69,7 @@ _NEW_IN_R4 = [
     "ann_recall_report",        # driver-visible ANN-quality surface
     "q48_decontaminate",        # benchmark n-gram overlap scrub
     "q49_sequence_packing",     # GPT-style concat-and-chop layout
+    "q49b_greedy_packing",      # no-straddle SFT packing (applyInPandas)
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -80,10 +81,11 @@ _CHANGED_THIS_ROUND = [
     "q80_dedup_components",     # component probe checkpoint + threshold
 ]
 
-# r2-green rows-only model-fit queries deferred to the r5 window: the
-# 55 candidates above exceed the 50-entry head, and these five are
-# unchanged since their green r2 rows, carry the weakest check form
-# (rows-only), and cost the most driver wall-time per slot.
+# r2-green rows-only queries deferred to the r5 window: the candidate
+# set above exceeds the 50-entry head, and these are unchanged since
+# their green r2 rows, carry the weakest check form (rows-only — seven
+# MLlib fits plus the MLlib LSH library variant), and cost the most
+# driver wall-time per slot.
 _DEFERRED_TO_R5 = {
     "ml_tuning_results",
     "ml_explained_variance",
@@ -92,6 +94,7 @@ _DEFERRED_TO_R5 = {
     "ml_model_metrics",
     "ml_misclassified_inverse",
     "ml_tfidf_features",
+    "q62_brp_lsh_join",
 }
 
 

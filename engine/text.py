@@ -761,9 +761,66 @@ def q49_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49b_greedy_packing(
+    spark: SparkSession, sf_dir: str, window: int = PACK_WINDOW
+) -> DataFrame:
+    """First-fit-in-order (no-straddle) sequence packing per shard —
+    the OTHER packing discipline: every document lands whole in one
+    bin, and a bin closes greedily when the next doc would overflow
+    the token budget. SFT / instruction-tuning loaders pack this way
+    (examples must not be split); q49 is the pretraining
+    concat-and-chop twin.
+
+    The bin assignment has a data-dependent RESET (fill returns to 0
+    whenever it would exceed the budget) — a running state no window
+    cumsum can express, so this is the canonical grouped-map
+    ``applyInPandas`` operator: one shuffle on the shard key, then
+    each shard's docs are packed in a single Arrow-batched pandas
+    call holding only (doc_id, n_tokens) pairs — bin-packing state is
+    O(1), the group buffer is rows × 16 bytes, and shards bound group
+    size (a shard is one file/worker stream at real scale). Docs
+    longer than the budget get a bin alone (truncation is the
+    tokenizer's job downstream). Rows-only: sequential state isn't
+    SQL-expressible; the greedy invariants (fit, reset-only-on-
+    overflow, driver-mirror equality) are pinned in tests."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > window:
+                bin_id += 1
+                fill = 0
+            fill += int(t)
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    return (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .applyInPandas(
+            _pack,
+            "doc_id bigint, shard bigint, n_tokens bigint, bin_id bigint, bin_fill bigint",
+        )
+    )
+
+
 QUERIES = {
     "q48_decontaminate": q48_decontaminate,
     "q49_sequence_packing": q49_sequence_packing,
+    "q49b_greedy_packing": q49b_greedy_packing,
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
     "q52_ngram_jaccard": q52_ngram_jaccard,

@@ -267,3 +267,35 @@ def test_sequence_packing_stream_invariants(spark, sf_dir):
             assert r.last_window == (r.end_tok - 1) // PACK_WINDOW
             assert r.n_windows == r.last_window - r.first_window + 1
     assert any(r.n_windows > 1 for r in rows)
+
+
+def test_greedy_packing_invariants_and_mirror(spark, sf_dir):
+    """q49b: per (shard, bin) the fill never exceeds the budget unless
+    a single doc is itself oversized; a new bin opens ONLY when the
+    doc would overflow the previous one (greedy first-fit-in-order);
+    and the distributed applyInPandas result equals a driver-side
+    greedy mirror over the same (shard, doc_id, n_tokens) stream."""
+    from engine.text import PACK_SHARDS, PACK_WINDOW, q49_sequence_packing, q49b_greedy_packing
+
+    rows = q49b_greedy_packing(spark, sf_dir).collect()
+    # token counts must agree with q49's (same tokenization)
+    toks_a = {r.doc_id: r.n_tokens for r in rows}
+    toks_b = {r.doc_id: r.n_tokens for r in q49_sequence_packing(spark, sf_dir).collect()}
+    assert toks_a == toks_b
+
+    by_shard: dict = {}
+    for r in rows:
+        assert r.shard == r.doc_id % PACK_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        # driver-side greedy mirror
+        bin_id, fill = 0, 0
+        for r in rs:
+            if fill > 0 and fill + r.n_tokens > PACK_WINDOW:
+                bin_id += 1
+                fill = 0
+            fill += r.n_tokens
+            assert (r.bin_id, r.bin_fill) == (bin_id, fill), r
+            # fit invariant: within budget unless the doc alone overflows
+            assert r.bin_fill <= PACK_WINDOW or r.bin_fill == r.n_tokens
