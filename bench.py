@@ -88,6 +88,7 @@ HEADLINE = [
     "q45_per_class_mean",
     "q48_decontaminate",
     "q49_sequence_packing",
+    "q49b_greedy_packing",
     "q50_dedup_exact",
     "q77_dq_report",
     "q78_pii_scrub",

@@ -299,3 +299,46 @@ def test_greedy_packing_invariants_and_mirror(spark, sf_dir):
             assert (r.bin_id, r.bin_fill) == (bin_id, fill), r
             # fit invariant: within budget unless the doc alone overflows
             assert r.bin_fill <= PACK_WINDOW or r.bin_fill == r.n_tokens
+
+
+def test_connected_components_random_graphs_paths_agree(spark):
+    """Randomized equivalence: on seeded random graphs (mixed density,
+    self-loops, duplicate and reversed edges) the driver union-find
+    and the distributed min-label loop must emit identical labelings,
+    and every label must be the true component minimum per a
+    reference BFS."""
+    import random
+
+    from engine.text import connected_components
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 80)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        small = {r.doc_id: r.component for r in connected_components(df).collect()}
+        dist = {
+            r.doc_id: r.component
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert small == dist, f"paths diverge (seed {seed})"
+        # reference BFS over the undirected adjacency
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: set = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp: set = {start}
+            frontier = [start]
+            while frontier:
+                nxt = {nb for node in frontier for nb in adj[node]} - comp
+                comp |= nxt
+                frontier = list(nxt)
+            seen |= comp
+            lo = min(comp)
+            for node in comp:
+                assert small[node] == lo, (seed, node)
