@@ -70,6 +70,7 @@ _NEW_IN_R4 = [
     "q48_decontaminate",        # benchmark n-gram overlap scrub
     "q49_sequence_packing",     # GPT-style concat-and-chop layout
     "q49b_greedy_packing",      # no-straddle SFT packing (applyInPandas)
+    "q74b_stream_decontaminate",  # stateless ingest-shape scrub (stream ≡ batch)
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -95,6 +96,9 @@ _DEFERRED_TO_R5 = {
     "ml_misclassified_inverse",
     "ml_tfidf_features",
     "q62_brp_lsh_join",
+    # oracle-backed but its sampling machinery is the same code q40
+    # (in-window) exercises — the cheapest oracle row to defer
+    "q41_sample_census",
 }
 
 

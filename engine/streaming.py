@@ -257,6 +257,104 @@ def q74_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- streaming decontamination
+
+def decontaminate_rowwise(docs: DataFrame, eval_shingles: list[str]) -> DataFrame:
+    """Stateless per-row decontamination — the streaming-INGEST shape
+    of q48: the eval shingle set travels as a broadcast literal (a
+    benchmark-scale model object, the PQ-codebook/IVF-centroid
+    pattern), and each document is flagged row-locally via
+    array_intersect — no shuffle, no state, no watermark, so it runs
+    under append mode and emits per arriving doc.
+
+    Works on a static OR streaming ``docs`` frame (the transform is
+    identical — that is the point). The trade vs q48's broadcast
+    semi-join: the eval set must be expression-sized (fine for real
+    benchmark suites up to ~10^5 n-grams); beyond that the batch scrub
+    (q48) or a stream-static join is the tool. Output schema and
+    semantics match q48 exactly (distinct-shingle hit counts), so the
+    same DuckDB oracle value-checks both."""
+    from .text import _SPARK_SHINGLES, DECON_MIN_HITS, _trunc6
+
+    eval_arr = F.array(*[F.lit(s) for s in sorted(eval_shingles)])
+    sh = F.expr(_SPARK_SHINGLES)
+    return (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), " +"))
+        .withColumn("sh", sh)
+        .withColumn("n_shingles", F.size("sh").cast("bigint"))
+        .filter(F.col("n_shingles") > 0)
+        .withColumn("n_hits", F.size(F.array_intersect("sh", eval_arr)).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            _trunc6(F.col("n_hits") / F.col("n_shingles")).alias("contam_rate"),
+            (F.col("n_hits") >= DECON_MIN_HITS).alias("contaminated"),
+        )
+    )
+
+
+def _eval_shingles(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Distinct shingles of the eval holdout — driver-side bounded
+    collect (the eval set is benchmark-scale by definition)."""
+    from .session import table
+    from .text import DECON_HOLDOUT_MOD, _with_shingles
+
+    d = table(spark, sf_dir, "documents")
+    rows = (
+        _with_shingles(d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD == 0))
+        .select("shingle")
+        .distinct()
+        .collect()
+    )
+    return [r.shingle for r in rows]
+
+
+def q74b_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode evaluation of the stateless row-wise decontamination
+    (the oracle-checked entry; tests/test_streaming.py runs the real
+    readStream append-mode version and pins stream ≡ batch ≡ q48)."""
+    from .session import table
+    from .text import DECON_HOLDOUT_MOD
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DECON_HOLDOUT_MOD != 0
+    )
+    return decontaminate_rowwise(d, _eval_shingles(spark, sf_dir))
+
+
+def run_decontaminate_stream_demo(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Real readStream run of the row-wise scrub: stage documents as a
+    file stream, apply the identical transform, append-mode memory
+    sink (stateless ⇒ no watermark needed), availableNow replay."""
+    from .session import table
+    from .text import DECON_HOLDOUT_MOD
+
+    batch = table(spark, sf_dir, "documents")
+    stage_in = os.path.join(out_dir, "in")
+    batch.write.mode("overwrite").parquet(stage_in)
+    ev = _eval_shingles(spark, sf_dir)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage_in)
+        .filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    )
+    out = decontaminate_rowwise(stream, ev)
+    name = "stream_decon_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     """Real stream-stream join run: two readStreams over the staged
     events (clicks / purchases), joined with watermarked state, append
@@ -417,9 +515,19 @@ QUERIES = {
     "q72_stream_sessions": q72_stream_sessions,
     "q73_stream_dedup_count": q73_stream_dedup_count,
     "q74_stream_join": q74_stream_join,
+    "q74b_stream_decontaminate": q74b_stream_decontaminate,
 }
 
+
+def _q48_oracle() -> str:
+    # identical semantics to the batch scrub — one oracle serves both
+    from .text import ORACLE as _TEXT_ORACLE
+
+    return _TEXT_ORACLE["q48_decontaminate"]
+
+
 ORACLE = {
+    "q74b_stream_decontaminate": _q48_oracle(),
     "q70_stream_tumbling": """
         SELECT time_bucket(INTERVAL 1 day, ts)::timestamp AS window_start,
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -263,3 +263,20 @@ def test_doc_dedup_state_survives_across_micro_batches(spark, tmp_path):
     kept = {r.doc_id for r in out.collect()}
     assert kept == {1, 2, 3, 5}, kept
     assert out.filter(F.col("fingerprint") == "fp_a").count() == 1
+
+
+def test_stream_decontaminate_equals_batch_and_q48(spark, sf_dir, tmp_path):
+    """The stateless row-wise scrub must produce identical rows from a
+    real readStream (append mode, no watermark) and from batch — and
+    both must equal the broadcast-semi-join batch scrub q48 (same
+    distinct-shingle hit semantics, different physical plan)."""
+    from engine.streaming import q74b_stream_decontaminate, run_decontaminate_stream_demo
+    from engine.text import q48_decontaminate
+
+    streamed = sorted(
+        map(tuple, run_decontaminate_stream_demo(spark, sf_dir, str(tmp_path)).collect())
+    )
+    batch = sorted(map(tuple, q74b_stream_decontaminate(spark, sf_dir).collect()))
+    q48 = sorted(map(tuple, q48_decontaminate(spark, sf_dir).collect()))
+    assert streamed == batch
+    assert batch == q48
