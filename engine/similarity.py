@@ -219,10 +219,32 @@ IVF_NLIST = 16
 IVF_NPROBE = 6
 
 
-def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: seeded KMeans coarse quantizer (nlist=16),
-    queries probe their IVF_NPROBE nearest centroids, exact cosine
-    re-rank within the probed cells.
+def _derive_ivf(n_corpus: int) -> tuple[int, int]:
+    """Scale-safe IVF geometry: nlist ~ sqrt(N) (the FAISS sizing
+    rule — cells of ~sqrt(N) vectors balance quantizer cost against
+    scan cost), floored at the fixture default so small corpora keep
+    the measured-recall configuration; nprobe scales with nlist to
+    hold the probed fraction (and thus the recall/cost point) steady.
+    N=2000 → (16, 6) (floor binds, recall numbers unchanged);
+    N=10^9 → (~10.5k, ~3.9k) — cells of ~10^5 vectors, ~37% probed
+    stays the SAME fraction as the fixture's 6/16."""
+    nlist = max(IVF_NLIST, round(math.sqrt(n_corpus) / 3))
+    nprobe = max(IVF_NPROBE, nlist * IVF_NPROBE // IVF_NLIST)
+    return nlist, nprobe
+
+
+def q65_knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: seeded KMeans coarse quantizer, queries probe
+    their nprobe nearest centroids, exact cosine re-rank within the
+    probed cells. nlist/nprobe default to None and derive from the
+    corpus count (_derive_ivf — floor binds at fixture scale, so the
+    measured recalls below hold; a billion-row corpus derives ~10.5k
+    cells without the caller knowing the knob).
 
     Scale shape: centroid table is tiny (nlist × dim — driver/broadcast
     scale); the corpus is scanned once to assign cells; search touches
@@ -240,7 +262,11 @@ def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=IVF_NLIST, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
+    if nlist is None or nprobe is None:
+        d_nlist, d_nprobe = _derive_ivf(corpus.count())
+        nlist = d_nlist if nlist is None else nlist
+        nprobe = d_nprobe if nprobe is None else nprobe
+    km = KMeans(k=nlist, seed=42, featuresCol="features", predictionCol="cell").fit(corpus)
     # rerank on unit vectors: norms computed once per row, one dot per pair
     assigned = (
         km.transform(corpus)
@@ -258,7 +284,7 @@ def q65_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = np.array(q.emb)
         d = ((centroids - qv) ** 2).sum(axis=1)
         qn = qv / np.linalg.norm(qv)
-        for cell in np.argsort(d)[:IVF_NPROBE]:
+        for cell in np.argsort(d)[:nprobe]:
             probe_rows.append((q.vec_id, int(cell), [float(x) for x in qn]))
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int, qemb array<double>")
 

@@ -213,6 +213,16 @@ def test_scale_knob_derivation_laws(spark, sf_dir):
     # monotone: more data never shrinks the knobs
     assert _derive_n_planes(4 * big) >= planes
     assert _derive_semdedup_k(4 * big) >= k
+    # IVF geometry: floor binds at fixture N (measured recalls hold);
+    # at 10^9 rows nlist ~ sqrt(N)/3 and the probed FRACTION matches
+    # the fixture's 6/16 recall/cost point
+    from engine.similarity import IVF_NLIST, IVF_NPROBE, _derive_ivf
+
+    assert _derive_ivf(n) == (IVF_NLIST, IVF_NPROBE)
+    nlist, nprobe = _derive_ivf(big)
+    assert nlist >= 10_000
+    assert abs(nprobe / nlist - IVF_NPROBE / IVF_NLIST) < 0.01
+    assert _derive_ivf(4 * big)[0] >= nlist
 
 
 def test_semdedup_cell_occupancy_bounded(spark, sf_dir):
