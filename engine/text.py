@@ -696,21 +696,26 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = _with_shingles(d).select("doc_id", F.xxhash64("shingle").alias("sh_h"))
     is_eval = F.col("doc_id") % DECON_HOLDOUT_MOD == 0
-    eval_sh = sh.filter(is_eval).select("sh_h").distinct()
-    corpus_sh = sh.filter(~is_eval)
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus_sh.join(F.broadcast(eval_sh), "sh_h", "left_semi")
+    eval_sh = sh.filter(is_eval).select("sh_h").distinct().withColumn("hit", F.lit(1))
+    # ONE corpus pass: left join against the broadcast (distinct, so
+    # no fanout) eval set marks hits, then a single per-doc agg counts
+    # shingles and hits together — vs the separate sizes/hits aggs
+    # which scanned and shuffled the corpus shingle stream twice
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh_h", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n_hits = F.coalesce("n_hits", F.lit(0))
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        n_hits.alias("n_hits"),
-        _trunc6(n_hits / F.col("n_shingles")).alias("contam_rate"),
-        (n_hits >= DECON_MIN_HITS).alias("contaminated"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            _trunc6(F.col("n_hits") / F.col("n_shingles")).alias("contam_rate"),
+            (F.col("n_hits") >= DECON_MIN_HITS).alias("contaminated"),
+        )
     )
 
 

@@ -124,3 +124,6 @@ def test_q48_decontaminate_broadcasts_eval_no_python(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # one corpus pass: the documents scan appears exactly twice in the
+    # whole plan (corpus side + eval side), never a third time
+    assert plan.count("FileScan parquet") == 2
