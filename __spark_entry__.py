@@ -71,6 +71,10 @@ _NEW_IN_R4 = [
     "q49_sequence_packing",     # GPT-style concat-and-chop layout
     "q49b_greedy_packing",      # no-straddle SFT packing (applyInPandas)
     "q74b_stream_decontaminate",  # stateless ingest-shape scrub (stream ≡ batch)
+    "q57b_repetition_signals",  # Gopher dup/top n-gram repetition fractions
+    "q67b_heavy_hitters",       # exact top-k tokens via merged Misra-Gries
+    "q49c_rag_chunking",        # overlapping token-window chunking (RAG prep)
+    "q80b_component_representatives",  # keep best-quality doc per near-dup cluster
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -99,6 +103,15 @@ _DEFERRED_TO_R5 = {
     # oracle-backed but its sampling machinery is the same code q40
     # (in-window) exercises — the cheapest oracle row to defer
     "q41_sample_census",
+    # displaced by the four late-r4 additions (q57b/q67b/q49c/q80b):
+    # oracle-backed, r2-green, unchanged since — the SQL-text pair and
+    # the Python-extension pair lose the least signal of the remaining
+    # rotation block (their code paths are frozen and each has a green
+    # value-hash row plus in-suite tests)
+    "q84_sql_shipping_priority",
+    "q85_sql_cte_window_having",
+    "q37_grouped_udaf",
+    "q38_python_udtf",
 }
 
 

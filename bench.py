@@ -89,7 +89,11 @@ HEADLINE = [
     "q48_decontaminate",
     "q49_sequence_packing",
     "q49b_greedy_packing",
+    "q49c_rag_chunking",
     "q50_dedup_exact",
+    "q57b_repetition_signals",
+    "q67b_heavy_hitters",
+    "q80b_component_representatives",
     "q77_dq_report",
     "q78_pii_scrub",
     "q79_corpus_mix",

@@ -822,10 +822,214 @@ def q49b_greedy_packing(
     )
 
 
+# ------------------------------------------------- repetition quality signals
+
+# Gopher-style repetition caps (Rae et al. 2021, table A1 uses
+# CHARACTER fractions; these are token-OCCURRENCE fractions over the
+# whitespace tokenization — same signal, engine-portable arithmetic)
+REP_TOP2_MAX = 0.20   # max fraction of 2-gram slots taken by the single top 2-gram
+REP_DUP3_MAX = 0.18   # max fraction of 3-gram slots that are repeat occurrences
+
+
+def q57b_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher repetition
+    filters (duplicate/top n-gram fractions) that catch boilerplate
+    and degenerate generations q57's diversity ratio misses.
+
+    Per doc: for n ∈ {2, 3}, the fraction of n-gram occurrences that
+    are repeats (occurrences − distinct)/occurrences and the top
+    n-gram's share of all occurrences; ``repetitive`` flags docs over
+    the Gopher-style caps.
+
+    Scale shape: both n-gram sizes ride ONE exploded pass — grams are
+    tagged with n and grouped by (doc_id, n, xxhash64(gram)), so the
+    shuffle carries 8-byte hashes, never gram strings (q48's trick);
+    a second doc-keyed agg folds both sizes into one row. Docs too
+    short for an n-gram get 0 fractions (nothing repeats)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"), toks.alias("toks"))
+    gram_expr = """
+        flatten(transform(array(2, 3), n ->
+            CASE WHEN size(toks) >= n THEN
+                transform(sequence(0, size(toks) - n),
+                          i -> named_struct('n', n, 'gram',
+                                            concat_ws(' ', slice(toks, i + 1, n))))
+            ELSE array() END))
+    """
+    grams = base.select("doc_id", F.explode(F.expr(gram_expr)).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.xxhash64("g.gram").alias("gh")
+    )
+    counts = grams.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
+
+    def _side(n):
+        tot = F.sum(F.when(F.col("n") == n, F.col("c")))
+        dis = F.count(F.when(F.col("n") == n, F.lit(1)))
+        top = F.max(F.when(F.col("n") == n, F.col("c")))
+        return tot.alias(f"tot{n}"), dis.alias(f"dis{n}"), top.alias(f"top{n}")
+
+    per_doc = counts.groupBy("doc_id").agg(*_side(2), *_side(3))
+    dup2 = F.coalesce(_trunc6((F.col("tot2") - F.col("dis2")) / F.col("tot2")), F.lit(0.0))
+    top2 = F.coalesce(_trunc6(F.col("top2") / F.col("tot2")), F.lit(0.0))
+    dup3 = F.coalesce(_trunc6((F.col("tot3") - F.col("dis3")) / F.col("tot3")), F.lit(0.0))
+    top3 = F.coalesce(_trunc6(F.col("top3") / F.col("tot3")), F.lit(0.0))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup2.alias("dup_2gram_frac"),
+            top2.alias("top_2gram_frac"),
+            dup3.alias("dup_3gram_frac"),
+            top3.alias("top_3gram_frac"),
+            ((top2 > REP_TOP2_MAX) | (dup3 > REP_DUP3_MAX)).alias("repetitive"),
+        )
+    )
+
+
+# ------------------------------------------------- corpus heavy hitters
+
+HH_TOPK = 20       # tokens reported
+HH_CAPACITY = 256  # Misra-Gries counters per partition summary
+
+
+def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide top-k tokens via two-phase distributed heavy
+    hitters — the vocabulary-census shape a tokenizer-training /
+    contamination-triage pipeline runs at 100 TB.
+
+    Phase 1 (candidates): each partition folds its token stream into
+    a Misra-Gries summary of ``HH_CAPACITY`` counters inside ONE
+    ``mapInPandas`` pass (vectorized value_counts merge + the
+    standard mergeable-summaries prune: subtract the (c+1)-th count,
+    keep positives — Agarwal et al., PODS'12). The union of summaries
+    is guaranteed to contain every token with global frequency
+    > N/(capacity+1); memory is O(capacity) per partition and the
+    shuffle carries ≤ capacity × partitions candidate rows.
+
+    Phase 2 (exact recount): one corpus pass re-counts ONLY the
+    candidates via a broadcast semi-join, so the reported counts are
+    exact, not sketch estimates — the guarantee test asserts the
+    k-th count clears the N/(capacity+1) capture threshold. The
+    deliberate Python surface is the sketch fold (Arrow-batched,
+    O(batch) vectorized); everything else is JVM-side."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+
+    def _mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(counters) > HH_CAPACITY:
+                counters = counters.sort_values(ascending=False, kind="mergesort")
+                counters = (counters.iloc[:HH_CAPACITY] - counters.iloc[HH_CAPACITY])
+                counters = counters[counters > 0]
+        if len(counters):
+            yield pd.DataFrame(
+                {"tok": counters.index.astype(str), "lb": counters.values.astype("int64")}
+            )
+
+    cand = toks.mapInPandas(_mg, "tok string, lb bigint").select("tok").distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "tok")
+    return (
+        exact.orderBy(F.desc("n_occurrences"), "tok")
+        .limit(HH_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+# ------------------------------------------------- RAG overlap chunking
+
+RAG_CHUNK_TOKENS = 64   # tokens per chunk
+RAG_CHUNK_STRIDE = 48   # stride (overlap = 16)
+
+
+def q49c_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval / embedding-
+    index prep step (split every document into ``RAG_CHUNK_TOKENS``-
+    token windows advancing by ``RAG_CHUNK_STRIDE``, so consecutive
+    chunks share a 16-token overlap and no sentence is stranded on a
+    boundary). Unlike q49's packing (concatenate-and-chop ACROSS
+    docs) this is a per-document layout: every doc emits ≥ 1 chunk
+    and the last chunk may run short.
+
+    Pure narrow work: tokenize → ``sequence``/``explode`` chunk
+    indices → slice + hash, all JVM-side expression evaluation — no
+    shuffle at all, so it trivially scales (the plan is scan →
+    project → generate). chunk_hash = md5(chunk text) gives the
+    content address an embedding cache / vector index would key on."""
+    W, S = RAG_CHUNK_TOKENS, RAG_CHUNK_STRIDE
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    base = d.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    chunks = base.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, cast((greatest(0, n - {W}) + {S} - 1) / {S} as int))")
+        ).alias("chunk_idx"),
+    )
+    chunk_len = F.least(F.lit(W), F.col("n") - F.col("chunk_idx") * S)
+    chunk_text = F.expr(f"concat_ws(' ', slice(toks, chunk_idx * {S} + 1, least({W}, n - chunk_idx * {S})))")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * S).cast("bigint").alias("start_tok"),
+        chunk_len.cast("bigint").alias("n_chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )
+
+
+def q80b_component_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse keeping the best-QUALITY member —
+    the production dedup semantics (Lee et al. 2022 keep one doc per
+    duplicate cluster; keeping the highest-quality member beats q80's
+    min-id keeper when near-dups differ in cleanliness). Keeper =
+    argmax over (quality, then lowest doc_id) per component.
+
+    Scale shape: components come from the CANDIDATE graph (orders of
+    magnitude smaller than the corpus), so the component labels are
+    broadcast into one corpus-side quality join — the corpus is
+    scanned once and never shuffled; the per-component argmax then
+    runs on the candidate-sized joined frame."""
+    pairs = q54_minhash_candidates(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    quality = q57_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = quality.join(F.broadcast(comps), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "q48_decontaminate": q48_decontaminate,
     "q49_sequence_packing": q49_sequence_packing,
     "q49b_greedy_packing": q49b_greedy_packing,
+    "q49c_rag_chunking": q49c_rag_chunking,
+    "q57b_repetition_signals": q57b_repetition_signals,
+    "q67b_heavy_hitters": q67b_heavy_hitters,
+    "q80b_component_representatives": q80b_component_representatives,
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
     "q52_ngram_jaccard": q52_ngram_jaccard,
@@ -899,7 +1103,112 @@ _DUCK_EDGES = f"""
     WHERE est_jaccard >= 0.5
 """
 
+# doc_id → _trunc6 quality, verbatim from the proven q57 oracle (FP op
+# order matters for the bit-exact compare — keep identical)
+_DUCK_QUALITY = """
+    SELECT doc_id,
+           floor((0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (len(list_distinct(toks))::double / len(toks))
+                 + 0.3 * least((n_alpha::double / len(toks)) / 10.0, 1.0)) * 1e6) / 1e6
+               AS quality
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks,
+                 length(regexp_replace(trim(text), ' +', '', 'g')) AS n_alpha
+          FROM documents) t
+"""
+
 ORACLE = {
+    "q57b_repetition_signals": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        base AS (SELECT doc_id, len(toks)::bigint AS n_tokens, toks FROM t),
+        grams AS (
+            SELECT doc_id, 2 AS n,
+                   unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END) AS gram
+            FROM base
+            UNION ALL
+            SELECT doc_id, 3,
+                   unnest(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END)
+            FROM base),
+        counts AS (SELECT doc_id, n, gram, count(*) AS c
+                   FROM grams GROUP BY doc_id, n, gram),
+        per_doc AS (
+            SELECT doc_id,
+                   sum(CASE WHEN n = 2 THEN c END) AS tot2,
+                   count(CASE WHEN n = 2 THEN 1 END) AS dis2,
+                   max(CASE WHEN n = 2 THEN c END) AS top2,
+                   sum(CASE WHEN n = 3 THEN c END) AS tot3,
+                   count(CASE WHEN n = 3 THEN 1 END) AS dis3,
+                   max(CASE WHEN n = 3 THEN c END) AS top3
+            FROM counts GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(floor((tot2 - dis2)::double / tot2 * 1e6) / 1e6, 0.0)
+                   AS dup_2gram_frac,
+               coalesce(floor(top2::double / tot2 * 1e6) / 1e6, 0.0)
+                   AS top_2gram_frac,
+               coalesce(floor((tot3 - dis3)::double / tot3 * 1e6) / 1e6, 0.0)
+                   AS dup_3gram_frac,
+               coalesce(floor(top3::double / tot3 * 1e6) / 1e6, 0.0)
+                   AS top_3gram_frac,
+               (coalesce(floor(top2::double / tot2 * 1e6) / 1e6, 0.0) > {REP_TOP2_MAX}
+                OR coalesce(floor((tot3 - dis3)::double / tot3 * 1e6) / 1e6, 0.0)
+                   > {REP_DUP3_MAX}) AS repetitive
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q67b_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+        SELECT tok, n_occurrences::bigint AS n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, tok)::bigint AS rank
+        FROM cnt ORDER BY n_occurrences DESC, tok LIMIT {HH_TOPK}
+    """,
+    "q49c_rag_chunking": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                     unnest(generate_series(0,
+                         ((greatest(0, n - {RAG_CHUNK_TOKENS}) + {RAG_CHUNK_STRIDE} - 1)
+                          // {RAG_CHUNK_STRIDE})::int)) AS chunk_idx
+              FROM b)
+        SELECT doc_id, chunk_idx::bigint AS chunk_idx,
+               (chunk_idx * {RAG_CHUNK_STRIDE})::bigint AS start_tok,
+               least({RAG_CHUNK_TOKENS}, n - chunk_idx * {RAG_CHUNK_STRIDE})::bigint
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[(chunk_idx * {RAG_CHUNK_STRIDE} + 1):
+                        (chunk_idx * {RAG_CHUNK_STRIDE}
+                         + least({RAG_CHUNK_TOKENS}, n - chunk_idx * {RAG_CHUNK_STRIDE}))],
+                   ' ')) AS chunk_hash
+        FROM c
+    """,
+    "q80b_component_representatives": f"""
+        WITH RECURSIVE edges AS ({_DUCK_EDGES}),
+        undirected AS (
+            SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst, src FROM edges),
+        reach(doc, r) AS (
+            SELECT a, a FROM undirected
+            UNION
+            SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.doc),
+        comp AS (
+            SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
+        q AS ({_DUCK_QUALITY}),
+        j AS (SELECT c.component, c.doc_id, q.quality
+              FROM comp c JOIN q USING (doc_id)),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY component) AS cluster_size
+              FROM j)
+        SELECT component, cluster_size::bigint AS cluster_size,
+               doc_id AS keeper_doc_id, quality AS keeper_quality
+        FROM r WHERE rn = 1 ORDER BY component
+    """,
     "q48_decontaminate": f"""
         WITH sh AS ({_DUCK_SHINGLES_SQL}),
         ev AS (SELECT DISTINCT shingle FROM sh

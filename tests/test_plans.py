@@ -127,3 +127,32 @@ def test_q48_decontaminate_broadcasts_eval_no_python(spark, sf_dir):
     # one corpus pass: the documents scan appears exactly twice in the
     # whole plan (corpus side + eval side), never a third time
     assert plan.count("FileScan parquet") == 2
+
+
+def test_q49c_chunking_is_shuffle_free(spark, sf_dir):
+    # per-doc chunking is scan → project → generate: any Exchange
+    # would mean the layout op started paying a 100 TB shuffle
+    plan = _plan(text.q49c_rag_chunking(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_q57b_shuffle_carries_hashes_not_grams(spark, sf_dir):
+    # the gram-count shuffle must be keyed on xxhash64, never the gram
+    # strings (q48's discipline: 8-byte keys at 100 TB)
+    plan = _plan(text.q57b_repetition_signals(spark, sf_dir))
+    assert "EvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "gram" not in m.group(1), m.group(0)
+
+
+def test_q67b_recount_broadcasts_candidates(spark, sf_dir):
+    # phase 2's exact recount must be a broadcast join (candidate set
+    # is O(capacity × partitions)); the token stream itself must never
+    # hash-shuffle to meet the candidates
+    plan = _plan(text.q67b_heavy_hitters(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan

@@ -342,3 +342,126 @@ def test_connected_components_random_graphs_paths_agree(spark):
             lo = min(comp)
             for node in comp:
                 assert small[node] == lo, (seed, node)
+
+
+def test_repetition_signals_planted(spark, tmp_path):
+    """q57b semantics on planted docs: a degenerate repeat is flagged
+    with the exact fractions, a diverse doc is clean with zero dup
+    fractions, and a too-short doc gets all-zero signals."""
+    from pyspark.sql import Row
+
+    from engine.text import q57b_repetition_signals
+
+    rows = [
+        Row(doc_id=0, lang="en", text="spam spam spam spam"),      # 3x "spam spam"
+        Row(doc_id=1, lang="en", text="one two three four five six seven"),
+        Row(doc_id=2, lang="en", text="solo"),                     # no n-grams at all
+    ]
+    sf_dir = str(tmp_path / "rep")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r for r in q57b_repetition_signals(spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc 0: tot2=3 dis2=1 top2=3; tot3=2 dis3=1 top3=2
+    assert abs(out[0].dup_2gram_frac - 2 / 3) < 1e-5
+    assert out[0].top_2gram_frac == 1.0
+    assert abs(out[0].dup_3gram_frac - 1 / 2) < 1e-5
+    assert out[0].repetitive
+    # doc 1: 6 distinct 2-grams -> dup 0, top 1/6 <= 0.20 cap
+    assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    assert abs(out[1].top_2gram_frac - 1 / 6) < 1e-5
+    assert not out[1].repetitive
+    # doc 2: no grams -> zeros, not flagged
+    assert out[2].dup_2gram_frac == 0.0 and out[2].top_3gram_frac == 0.0
+    assert not out[2].repetitive
+
+
+def test_heavy_hitters_exact_and_guarantee(spark, sf_dir):
+    """q67b must equal the brute-force exact top-k (the two-phase
+    Misra-Gries candidates + recount is exact, not approximate), and
+    the fixture must satisfy the capture precondition that PROVES it:
+    kth count > N/(capacity+1)."""
+    from engine.session import table
+    from engine.text import HH_CAPACITY, HH_TOPK, q67b_heavy_hitters
+
+    got = [(r.tok, r.n_occurrences, r.rank) for r in q67b_heavy_hitters(spark, sf_dir).collect()]
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    )
+    exact = (
+        toks.groupBy("tok").count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(HH_TOPK)
+        .collect()
+    )
+    want = [(r.tok, r["count"], i + 1) for i, r in enumerate(exact)]
+    assert got == want
+    n_total = toks.count()
+    assert want[-1][1] > n_total / (HH_CAPACITY + 1), (
+        "fixture no longer satisfies the MG capture bound; raise HH_CAPACITY"
+    )
+
+
+def test_rag_chunking_covers_every_token(spark, sf_dir):
+    """q49c layout invariants per doc: chunk_idx dense from 0, starts
+    advance by the stride, every chunk holds 1..W tokens, the last
+    chunk ends exactly at n_tokens, and consecutive chunks overlap by
+    W - S tokens (except a short tail)."""
+    from engine.session import table
+    from engine.text import RAG_CHUNK_STRIDE, RAG_CHUNK_TOKENS, q49c_rag_chunking
+
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim(F.col("text")), " +")).alias("n"))
+        .collect()
+    }
+    per_doc: dict = {}
+    for r in q49c_rag_chunking(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tok)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_tok[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * RAG_CHUNK_STRIDE
+            assert 1 <= c.n_chunk_tokens <= RAG_CHUNK_TOKENS
+        last = chunks[-1]
+        assert last.start_tok + last.n_chunk_tokens == n
+        # full chunks everywhere but the tail
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == RAG_CHUNK_TOKENS
+
+
+def test_component_representatives_match_q80_clusters(spark, sf_dir):
+    """q80b must agree with q80 on the clustering itself (same
+    components, same sizes) and pick the max-quality member (ties ->
+    lowest doc_id) as keeper."""
+    from engine.text import (
+        q54_minhash_candidates,
+        q57_quality_score,
+        q80_dedup_components,
+        q80b_component_representatives,
+        connected_components,
+    )
+
+    reps = {r.component: r for r in q80b_component_representatives(spark, sf_dir).collect()}
+    base = {r.component: r for r in q80_dedup_components(spark, sf_dir).collect()}
+    assert set(reps) == set(base)
+    assert {c: r.cluster_size for c, r in reps.items()} == {
+        c: r.cluster_size for c, r in base.items()
+    }
+    # keeper really is the argmax-quality member of its component
+    pairs = q54_minhash_candidates(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).collect()
+    members: dict = {}
+    for r in comps:
+        members.setdefault(r.component, []).append(r.doc_id)
+    quality = {r.doc_id: r.quality for r in q57_quality_score(spark, sf_dir).collect()}
+    for comp, rep in reps.items():
+        best = min(members[comp], key=lambda d: (-quality[d], d))
+        assert rep.keeper_doc_id == best
+        assert rep.keeper_quality == quality[best]
