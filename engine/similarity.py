@@ -665,6 +665,12 @@ _DUCK_BUCKET = " + ".join(
 
 ORACLE = {
     "q66_embedding_near_dup": f"""
+        -- GEOMETRY NOTE: this oracle encodes the FIXTURE bucket width
+        -- (n_planes = 8, the _derive_n_planes floor, which binds for
+        -- corpora <= 16*2^8 = 4096 rows — all driver-gate SFs). At
+        -- larger SFs the engine derives a wider bucket space and this
+        -- static SQL intentionally does not track it; compare there
+        -- by passing n_planes=8 explicitly to the query.
         WITH c AS (
             SELECT vec_id, {_DUCK_NORMED} AS emb,
                    ({_DUCK_BUCKET})::int AS bucket
@@ -692,6 +698,12 @@ ORACLE = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "q61_knn_lsh_bucketed": f"""
+        -- GEOMETRY NOTE: this oracle encodes the FIXTURE bucket width
+        -- (n_planes = 8, the _derive_n_planes floor, which binds for
+        -- corpora <= 16*2^8 = 4096 rows — all driver-gate SFs). At
+        -- larger SFs the engine derives a wider bucket space and this
+        -- static SQL intentionally does not track it; compare there
+        -- by passing n_planes=8 explicitly to the query.
         WITH c AS (
             SELECT vec_id, {_DUCK_NORMED} AS emb,
                    ({_DUCK_BUCKET})::int AS bucket

@@ -1,12 +1,28 @@
 """Skew mitigation utilities (100 TB posture, SURVEY §7 risk register).
 
-AQE's skew-join splitting handles join-side skew automatically; this
-module covers the remaining case — *aggregation* skew, where one hot
-group overwhelms a reducer. ``salted_agg`` implements the classic
-two-phase aggregation: salt the key into N sub-keys (map-side spread),
-partially aggregate, then merge partials per original key. For
-algebraic aggregates (sum/count/min/max) this is exactly equivalent to
-the direct aggregation.
+Where each tool actually applies — measured, not assumed (bench.py
+``_skew_ablation`` at sf0.1, 99%-hot-key fact side):
+
+* Join skew: ``salted_join`` cut the ablation's hot-key join from
+  6.2 s to 3.7 s. AQE's skew-join splitter is nominally the default
+  fix, but the ablation caught it NOT firing (its DEBUG logs report
+  "0 skewed partitions" even with the detection thresholds floored —
+  the rule runs before child-stage map stats exist in this build), so
+  the engine treats the splitter as best-effort and salting as the
+  deterministic path — also required for the shapes the splitter
+  can't touch by design (bucketed joins, stream-static joins).
+* Aggregation skew: for ALGEBRAIC aggs (sum/count/min/max) Catalyst's
+  partial-aggregation stage already collapses the hot key map-side —
+  the ablation measures direct groupBy-sum at 0.57 s vs 0.90 s through
+  ``salted_agg``'s extra shuffle. ``salted_agg`` therefore targets only
+  the NON-algebraic residue (collect_list-class buffers, pandas UDAFs)
+  where no partial merge exists; for the algebraic funcs it supports it
+  is exactly equivalent to direct aggregation (property-tested), which
+  is what makes it safe to reach for at all.
+
+``salted_agg`` implements the classic two-phase aggregation: salt the
+key into N sub-keys (map-side spread), partially aggregate, then merge
+partials per original key.
 
 For a catalog of supported merges the helper takes (col, func) pairs
 with func ∈ {sum, count, min, max}: count merges via sum of partial

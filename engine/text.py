@@ -894,6 +894,24 @@ HH_TOPK = 20       # tokens reported
 HH_CAPACITY = 256  # Misra-Gries counters per partition summary
 
 
+def mg_merge(counters, batch_counts, capacity: int):
+    """One Misra-Gries merge step (Agarwal et al., PODS'12 mergeable
+    summaries): add the batch's exact counts into the running summary,
+    and if it overflows ``capacity`` counters, subtract the
+    (capacity+1)-th largest count from all and keep the positive ones.
+
+    Invariants (property-tested): every kept count is a lower bound on
+    the true count, the summary never exceeds ``capacity`` entries, and
+    after folding an entire stream of N tokens any token with true
+    frequency > N/(capacity+1) is still present."""
+    counters = counters.add(batch_counts, fill_value=0)
+    if len(counters) > capacity:
+        counters = counters.sort_values(ascending=False, kind="mergesort")
+        counters = counters.iloc[:capacity] - counters.iloc[capacity]
+        counters = counters[counters > 0]
+    return counters
+
+
 def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-wide top-k tokens via two-phase distributed heavy
     hitters — the vocabulary-census shape a tokenizer-training /
@@ -922,11 +940,7 @@ def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _mg(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            counters = counters.add(pdf["tok"].value_counts(), fill_value=0)
-            if len(counters) > HH_CAPACITY:
-                counters = counters.sort_values(ascending=False, kind="mergesort")
-                counters = (counters.iloc[:HH_CAPACITY] - counters.iloc[HH_CAPACITY])
-                counters = counters[counters > 0]
+            counters = mg_merge(counters, pdf["tok"].value_counts(), HH_CAPACITY)
         if len(counters):
             yield pd.DataFrame(
                 {"tok": counters.index.astype(str), "lb": counters.values.astype("int64")}

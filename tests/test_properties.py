@@ -48,3 +48,54 @@ def test_fake_decode_total(payload, side):
     assert img.dtype == np.uint8
     # every output byte comes from the payload
     assert set(img.ravel().tolist()) <= set(payload)
+
+
+@st.composite
+def token_streams(draw):
+    """A stream with a few heavy tokens over a long-tail vocabulary,
+    pre-split into 'partitions' of 'batches' (arbitrary boundaries)."""
+    vocab = draw(st.integers(min_value=2, max_value=60))
+    length = draw(st.integers(min_value=1, max_value=600))
+    zipf_skew = draw(st.booleans())
+    idx = draw(
+        st.lists(st.integers(min_value=0, max_value=vocab - 1), min_size=length, max_size=length)
+    )
+    if zipf_skew:  # square the draw toward 0 to manufacture heavy hitters
+        idx = [i * i // vocab for i in idx]
+    toks = [f"t{i}" for i in idx]
+    n_parts = draw(st.integers(min_value=1, max_value=5))
+    cuts = sorted(
+        draw(st.lists(st.integers(min_value=0, max_value=length), min_size=n_parts - 1, max_size=n_parts - 1))
+    )
+    parts = [toks[a:b] for a, b in zip([0] + cuts, cuts + [length])]
+    return toks, parts
+
+
+@given(token_streams(), st.integers(min_value=1, max_value=16))
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_merge_capture_bound(stream, capacity):
+    """The q67b phase-1 guarantee, adversarially: for ANY partitioning
+    and ANY batch boundaries, the union of per-partition summaries
+    contains every token with global frequency > N/(capacity+1), each
+    summary stays within capacity, and kept counts are lower bounds."""
+    import pandas as pd
+
+    from engine.text import mg_merge
+
+    toks, parts = stream
+    true = pd.Series(toks).value_counts() if toks else pd.Series(dtype="int64")
+    candidates: set = set()
+    for part in parts:
+        counters = pd.Series(dtype="int64")
+        # arbitrary batch split inside the partition: pairs of tokens
+        for i in range(0, len(part), 2):
+            batch = pd.Series(part[i : i + 2]).value_counts()
+            counters = mg_merge(counters, batch, capacity)
+        assert len(counters) <= capacity
+        for tok, lb in counters.items():
+            assert 0 < lb <= true[tok]  # lower bound, never inflated
+        candidates |= set(counters.index)
+    n = len(toks)
+    for tok, freq in true.items():
+        if freq > n / (capacity + 1):
+            assert tok in candidates, (tok, freq, n, capacity)

@@ -465,3 +465,36 @@ def test_component_representatives_match_q80_clusters(spark, sf_dir):
         best = min(members[comp], key=lambda d: (-quality[d], d))
         assert rep.keeper_doc_id == best
         assert rep.keeper_quality == quality[best]
+
+
+def test_rag_chunking_boundary_lengths(spark, tmp_path):
+    """q49c at the exact layout boundaries: n = 1, W-1, W, W+1, 2S,
+    W+S (last chunk exactly full), W+S+1 — chunk counts and tail
+    lengths must follow the stride formula with no empty chunks."""
+    from pyspark.sql import Row
+
+    from engine.text import RAG_CHUNK_STRIDE as S
+    from engine.text import RAG_CHUNK_TOKENS as W
+    from engine.text import q49c_rag_chunking
+
+    cases = [1, W - 1, W, W + 1, 2 * S, W + S, W + S + 1]
+    rows = [
+        Row(doc_id=i, lang="en", text=" ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate(cases)
+    ]
+    sf_dir = str(tmp_path / "chunk_edges")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    per_doc: dict = {}
+    for r in q49c_rag_chunking(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(cases):
+        chunks = sorted(per_doc[i], key=lambda r: r.chunk_idx)
+        want_chunks = 1 + max(0, -(-(n - W) // S))  # 1 + ceil(max(0, n-W)/S)
+        assert len(chunks) == want_chunks, (n, [c.n_chunk_tokens for c in chunks])
+        assert chunks[-1].start_tok + chunks[-1].n_chunk_tokens == n
+        assert all(c.n_chunk_tokens >= 1 for c in chunks)
+        # every token index is covered by at least one chunk
+        covered = set()
+        for c in chunks:
+            covered |= set(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
+        assert covered == set(range(n))
