@@ -1,0 +1,107 @@
+"""Plan-shape snapshot over the whole contract surface.
+
+For every statically-planned ``queries()`` entry, record the physical-
+plan counters from ``tools/explain_audit.py`` (shuffle count, broadcast
+count, scans + their column widths, pushed-filter presence, codegen
+spans, Python workers, sorts) at sf0.001 into ``PLANS.json``. The
+committed snapshot turns "iterate on .explain until it's the plan you
+want" into a regression gate for ALL queries, not just the handful with
+hand-written pins in tests/test_plans.py: a rewrite that silently adds
+an exchange, drops a broadcast, widens a scan, or pulls a Python worker
+into a JVM path shows up as a diff.
+
+Excluded: queries that EXECUTE during construction (MLlib fits,
+KMeans-backed ANN, connected-components collects, recall measurement) —
+their plan is data-dependent and their heavy lifting is covered by the
+dedicated pins and invariant tests.
+
+Usage:
+  python tools/plan_snapshot.py --write   # regenerate PLANS.json
+  python tools/plan_snapshot.py           # compare; exit 1 on drift
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SNAPSHOT_PATH = os.path.join(REPO, "PLANS.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries that run jobs (fits / collects / iterative loops) at build
+# time — plan shape is data-dependent, covered by dedicated tests
+EAGER_SKIP = {
+    "ml_tfidf_features",
+    "ml_tuning_results",
+    "ml_explained_variance",
+    "ml_nb_predictions",
+    "ml_rf_predictions",
+    "ml_model_metrics",
+    "ml_misclassified_inverse",
+    "ml_adaptive_tuning",
+    "q62_brp_lsh_join",
+    "q65_knn_ivf",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
+    "q80_dedup_components",
+    "q80b_component_representatives",
+    "ann_recall_report",
+}
+
+
+def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
+    import __spark_entry__ as contract
+    from explain_audit import audit
+
+    out: dict = {}
+    for name, fn in contract.queries().items():
+        if name in EAGER_SKIP:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan)
+    return dict(sorted(out.items()))
+
+
+def diff(old: dict, new: dict) -> list[str]:
+    lines = []
+    for name in sorted(set(old) | set(new)):
+        if name not in old:
+            lines.append(f"NEW query not in snapshot: {name} (run --write)")
+        elif name not in new:
+            lines.append(f"query missing vs snapshot: {name}")
+        elif old[name] != new[name]:
+            changed = {
+                k: (old[name].get(k), new[name].get(k))
+                for k in set(old[name]) | set(new[name])
+                if old[name].get(k) != new[name].get(k)
+            }
+            lines.append(f"plan drift in {name}: {changed}")
+    return lines
+
+
+def main() -> int:
+    from engine.session import get_session
+
+    spark = get_session("plan_snapshot")
+    new = snapshot(spark)
+    if "--write" in sys.argv:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(new, f, indent=1, sort_keys=True)
+        print(f"wrote {SNAPSHOT_PATH} ({len(new)} queries)")
+        return 0
+    with open(SNAPSHOT_PATH) as f:
+        old = json.load(f)
+    lines = diff(old, new)
+    for line in lines:
+        print(line)
+    print(f"{len(new)} queries checked, {len(lines)} drift(s)")
+    return 1 if lines else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
