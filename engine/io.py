@@ -85,3 +85,33 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """JSON-lines source (same schema-first rule as CSV)."""
     r = spark.read
     return (r.schema(schema) if schema else r).json(path)
+
+
+def read_text_docs(spark: SparkSession, path: str, source: str = "raw") -> DataFrame:
+    """Raw-text corpus ingestion (``text`` built-in source): one
+    document per line, shaped to the ``documents`` schema (doc_id,
+    text, lang=null, source, n_chars) so the whole text/dedup operator
+    suite runs on it unchanged.
+
+    doc_id is a DETERMINISTIC content+position address — xxhash64 of
+    (file, line-offset-within-file via monotonically_increasing_id is
+    NOT used: it renumbers on repartition) — here: xxhash64(file path,
+    line text, line length) which is stable across partitioning for
+    distinct lines and collides only for byte-identical lines within
+    one file (those are exact dupes q50 removes anyway). At 100 TB
+    this is the property that matters: re-running ingestion on the
+    same files yields the same ids, so downstream incremental dedup
+    and splits stay stable."""
+    from pyspark.sql import functions as F
+
+    t = spark.read.text(path).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("_file"),
+    )
+    return t.select(
+        F.xxhash64("_file", "text", F.length("text")).alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
