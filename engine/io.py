@@ -115,3 +115,40 @@ def read_text_docs(spark: SparkSession, path: str, source: str = "raw") -> DataF
         F.lit(source).alias("source"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs (streaming sinks and fine-grained
+    partitions accrete kilobyte files; scans then pay per-file open
+    cost and driver memory for file listings).
+
+    Uses the AQE ``REBALANCE`` hint rather than ``coalesce(n)`` or
+    ``repartition(n)``: coalesce narrows the scan's parallelism (the
+    read itself runs on n tasks) and repartition is a full shuffle to
+    a HAND-PICKED n that is wrong at any other data size — REBALANCE
+    lets AQE size output partitions to
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` from observed
+    bytes, splitting large partitions and merging small ones.
+    ``maxRecordsPerFile`` bounds the worst case. Returns the number of
+    files written."""
+    import os
+
+    df = spark.read.parquet(in_path)
+    (
+        df.hint("rebalance")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    return sum(
+        1
+        for root, _, files in os.walk(out_path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -142,3 +142,25 @@ def test_read_text_docs_matches_documents_schema(spark, tmp_path, sf_dir):
 
     dedup = docs.groupBy(F.md5("text").alias("h")).count().collect()
     assert len(dedup) == 3
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """compaction: 64 tiny files in, few right-sized files out, data
+    identical, and the plan uses AQE rebalancing (not a fixed-n
+    repartition that would be wrong at any other size)."""
+    from engine.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import glob
+
+    n_in = len(glob.glob(src + "/*.parquet"))
+    assert n_in >= 32  # genuinely fragmented input
+    n_out = compact_parquet(spark, src, dst)
+    assert 1 <= n_out <= 8, n_out
+    a = spark.read.parquet(src).groupBy().sum("id").first()[0]
+    b = spark.read.parquet(dst).groupBy().sum("id").first()[0]
+    assert a == b
+    n_rows = spark.read.parquet(dst).count()
+    assert n_rows == 10_000
