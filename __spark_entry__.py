@@ -18,16 +18,19 @@ code changed this round re-enters the window immediately.
   q96/q98/q99, never driver-checked — plus the 4 queries changed that
   round (q54/q61/q66/q64).  CORRECTNESS_r03: 50/50 green.
 * r4 window (this file's state): the 8 queries with no driver row in
-  ANY round (q46/q47/q75-q79/ml_adaptive_tuning), the 2 queries added
-  this round (q83b_percentiles_approx, ann_recall_report), everything
-  changed this round (q61/q66 n_planes derivation,
-  q80 connected-components probe rework), then the non-relational
-  block (r2-green, due for rotation).  The candidates exceed the 50
-  slots: the entries deferred to r5 (``_DEFERRED_TO_R5``) are
-  r2-green rows-only queries — unchanged since their r2 rows, the
-  weakest check class (rows-only) and the most driver wall-time per
-  slot, so deferring them costs the least verification signal.
-* r5: relational block rotation + the deferred rows-only entries +
+  ANY round (q46/q47/q75-q79/ml_adaptive_tuning), the 10 queries
+  added this round (q83b, ann_recall_report, q48/q49/q49b/q49c,
+  q74b, q57b, q67b, q80b), everything changed this round (q61/q66
+  n_planes derivation, q80 connected-components probe rework), then
+  the non-relational block (r2-green, due for rotation).  The
+  candidates exceed the 50 slots: the entries deferred to r5
+  (``_DEFERRED_TO_R5``) are unchanged-since-r2 green rows — mostly
+  rows-only MLlib fits (weakest check class, most driver wall-time
+  per slot), plus the four frozen oracle-backed SQL-text/Python-
+  extension queries (q84/q85/q37/q38) displaced by the late-r4
+  operator additions; new/changed queries always outrank frozen
+  green ones for slots.
+* r5: relational block rotation + the deferred entries above +
   whatever changes in r4+1.
 """
 
