@@ -76,6 +76,7 @@ _NEW_IN_R4 = [
     "q74b_stream_decontaminate",  # stateless ingest-shape scrub (stream ≡ batch)
     "q57b_repetition_signals",  # Gopher dup/top n-gram repetition fractions
     "q67b_heavy_hitters",       # exact top-k tokens via merged Misra-Gries
+    "q67c_stream_heavy_hitters",  # sharded-MG streaming shape, same oracle
     "q49c_rag_chunking",        # overlapping token-window chunking (RAG prep)
     "q80b_component_representatives",  # keep best-quality doc per near-dup cluster
 ]
@@ -115,6 +116,8 @@ _DEFERRED_TO_R5 = {
     "q85_sql_cte_window_having",
     "q37_grouped_udaf",
     "q38_python_udtf",
+    # displaced by q67c (late r4): r2-green oracle-backed, frozen code
+    "q69_tfidf",
 }
 
 

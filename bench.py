@@ -93,6 +93,7 @@ HEADLINE = [
     "q50_dedup_exact",
     "q57b_repetition_signals",
     "q67b_heavy_hitters",
+    "q67c_stream_heavy_hitters",
     "q80b_component_representatives",
     "q77_dq_report",
     "q78_pii_scrub",

@@ -126,6 +126,100 @@ def running_user_totals(stream: DataFrame, timeout_minutes: int = 60) -> DataFra
     )
 
 
+
+# ------------------------------------- streaming heavy hitters (MG state)
+
+def streaming_heavy_hitter_state(stream: DataFrame, capacity: int | None = None) -> DataFrame:
+    """Streaming Misra-Gries: the SAME mergeable summary q67b folds per
+    partition, kept as per-shard ``applyInPandasWithState`` state — the
+    canonical "sketch as streaming state" pattern (state is O(capacity)
+    per shard forever, regardless of stream length; the capture bound
+    N_shard/(capacity+1) holds across any micro-batch arrival order
+    because MG merge is associative).
+
+    Input: a token stream (``tok string``). Tokens are sharded by
+    ``xxhash64(tok) % HH_SHARDS`` so each shard owns a slice of the key
+    domain. Each update emits the shard's full current summary tagged
+    with a state version, so the sink's max-version rows ARE the
+    current summary (update-mode-friendly; no sink-side merge)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .text import HH_CAPACITY, HH_SHARDS, mg_merge
+
+    cap = capacity or HH_CAPACITY
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            toks, counts, ver = state.get
+            counters = pd.Series(list(counts), index=list(toks), dtype="int64")
+        else:
+            counters, ver = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            counters = mg_merge(counters, pdf["tok"].value_counts(), cap)
+        ver += 1
+        state.update((list(counters.index), [int(v) for v in counters.values], ver))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "ver": ver,
+                "tok": counters.index.astype(str),
+                "lb": counters.values.astype("int64"),
+            }
+        )
+
+    sharded = stream.withColumn("shard", F.pmod(F.xxhash64("tok"), F.lit(HH_SHARDS)))
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType="shard bigint, ver bigint, tok string, lb bigint",
+        stateStructType="toks array<string>, counts array<bigint>, ver bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_hh_stream_demo(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Real readStream run of the MG-state operator: the corpus token
+    stream staged as TWO parquet files replayed one file per
+    micro-batch (maxFilesPerTrigger=1), so the summary provably folds
+    ACROSS batches through state, not within one batch. Returns the
+    final (max-version) per-shard summaries."""
+    from .session import table
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    )
+    stage = out_dir or tempfile.mkdtemp(prefix="hh_stream_")
+    stage_in = os.path.join(stage, "in")
+    toks.repartition(2).write.mode("overwrite").parquet(stage_in)
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_in)
+    )
+    out = streaming_heavy_hitter_state(stream)
+    name = "hh_stream_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    all_rows = spark.table(name)
+    w = Window.partitionBy("shard")
+    return (
+        all_rows.withColumn("max_ver", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("max_ver"))
+        .select("shard", "ver", "tok", "lb")
+    )
+
 # ----------------------------------------------------- true streaming harness
 
 def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:

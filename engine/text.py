@@ -931,7 +931,16 @@ def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, not sketch estimates — the guarantee test asserts the
     k-th count clears the N/(capacity+1) capture threshold. The
     deliberate Python surface is the sketch fold (Arrow-batched,
-    O(batch) vectorized); everything else is JVM-side."""
+    O(batch) vectorized); everything else is JVM-side.
+
+    When to use which: for a BOUNDED key domain (word vocabulary) the
+    plain JVM ``groupBy(tok).count()`` + top-k is already the scale
+    answer — map-side combine shrinks the shuffle to distinct keys per
+    partition (the guarantee test computes exactly that plan as its
+    truth). The MG pass earns its Python cost when the key domain is
+    UNBOUNDED (URLs, n-grams, join keys), where the full groupBy's
+    shuffle and reducer state grow with distinct-key count but the
+    summary stays O(capacity) per partition regardless."""
     import pandas as pd
 
     d = table(spark, sf_dir, "documents")
@@ -947,6 +956,58 @@ def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     cand = toks.mapInPandas(_mg, "tok string, lb bigint").select("tok").distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "tok")
+    return (
+        exact.orderBy(F.desc("n_occurrences"), "tok")
+        .limit(HH_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+HH_SHARDS = 8      # key-domain shards for the streaming/sharded variant
+
+
+def q67c_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded heavy hitters — the streaming-ingest shape of q67b,
+    evaluated in batch (the oracle-checked entry; the REAL stateful
+    ``applyInPandasWithState`` run lives in engine/streaming.py with a
+    stream ≡ batch test).
+
+    Tokens are sharded by ``xxhash64(tok) % HH_SHARDS`` — every
+    occurrence of a token lands in exactly ONE shard, so the shards
+    partition the key domain and each shard's Misra-Gries summary
+    (one grouped-map fold per shard, the exact state a streaming
+    micro-batch loop would hold) carries a per-shard capture bound
+    N_shard/(capacity+1), tighter than q67b's corpus-wide bound. The
+    candidate union then gets the same exact broadcast recount, so
+    the output is IDENTICAL to q67b — one distributed top-k, three
+    interchangeable plans (plain JVM agg, partition-MG, shard-MG),
+    all value-checked against the same SQL."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    sharded = toks.withColumn("shard", F.pmod(F.xxhash64("tok"), F.lit(HH_SHARDS)))
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters = mg_merge(
+            pd.Series(dtype="int64"), pdf["tok"].value_counts(), HH_CAPACITY
+        )
+        return pd.DataFrame(
+            {"tok": counters.index.astype(str), "lb": counters.values.astype("int64")}
+        )
+
+    cand = (
+        sharded.groupBy("shard")
+        .applyInPandas(_fold, "tok string, lb bigint")
+        .select("tok")
+        .distinct()
+    )
     exact = (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")
@@ -1043,6 +1104,7 @@ QUERIES = {
     "q49c_rag_chunking": q49c_rag_chunking,
     "q57b_repetition_signals": q57b_repetition_signals,
     "q67b_heavy_hitters": q67b_heavy_hitters,
+    "q67c_stream_heavy_hitters": q67c_stream_heavy_hitters,
     "q80b_component_representatives": q80b_component_representatives,
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
@@ -1174,6 +1236,14 @@ ORACLE = {
         FROM base b LEFT JOIN per_doc p USING (doc_id)
     """,
     "q67b_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+        SELECT tok, n_occurrences::bigint AS n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, tok)::bigint AS rank
+        FROM cnt ORDER BY n_occurrences DESC, tok LIMIT {HH_TOPK}
+    """,
+    "q67c_stream_heavy_hitters": f"""
         WITH toks AS (
             SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
         cnt AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)

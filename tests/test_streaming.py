@@ -280,3 +280,46 @@ def test_stream_decontaminate_equals_batch_and_q48(spark, sf_dir, tmp_path):
     q48 = sorted(map(tuple, q48_decontaminate(spark, sf_dir).collect()))
     assert streamed == batch
     assert batch == q48
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, sf_dir, tmp_path):
+    """MG summary as streaming state: a real 2-micro-batch readStream
+    run must (a) actually fold across batches through state (final
+    version >= 2 on some shard), (b) end with per-shard counters that
+    equal the exact per-shard token counts (fixture vocab is far under
+    capacity, so MG never prunes -> summaries are exact), and (c)
+    after the exact recount, reproduce q67b's batch top-k exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from engine.session import table
+    from engine.streaming import run_hh_stream_demo
+    from engine.text import HH_SHARDS, HH_TOPK, q67b_heavy_hitters
+
+    final = run_hh_stream_demo(spark, sf_dir, str(tmp_path / "hh")).collect()
+    assert max(r.ver for r in final) >= 2, "state never crossed a micro-batch"
+    got = {(r.shard, r.tok): r.lb for r in final}
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+        .withColumn("shard", F.pmod(F.xxhash64("tok"), F.lit(HH_SHARDS)))
+    )
+    exact = {
+        (r.shard, r.tok): r["count"]
+        for r in toks.groupBy("shard", "tok").count().collect()
+    }
+    assert got == exact
+
+    # recount + top-k over the streamed candidates == the batch answer
+    cand = sorted({tok for (_, tok) in got})
+    recount = (
+        toks.filter(F.col("tok").isin(cand))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(HH_TOPK)
+        .collect()
+    )
+    want = [(r.tok, r.n_occurrences) for r in q67b_heavy_hitters(spark, sf_dir).collect()]
+    assert [(r.tok, r.n) for r in recount] == want
