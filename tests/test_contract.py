@@ -140,3 +140,28 @@ def test_strict_oracle_smoke_on_flake_classes(spark):
             assert err is None, f"{name}: {err}"
     finally:
         os.environ.pop("SPARK_GRAFT_STRICT", None)
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    """Fast syntax gate: every oracle_sql() string must at least PLAN
+    in DuckDB against the fixture views — catches SQL typos / dialect
+    drift in seconds instead of at the 10-minute full-mirror run."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as contract
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    failures = []
+    for name, sql in contract.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 - collecting all parse errors
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
