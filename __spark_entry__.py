@@ -75,6 +75,7 @@ _NEW_IN_R4 = [
     "q49b_greedy_packing",      # no-straddle SFT packing (applyInPandas)
     "q74b_stream_decontaminate",  # stateless ingest-shape scrub (stream ≡ batch)
     "q57b_repetition_signals",  # Gopher dup/top n-gram repetition fractions
+    "q57c_unigram_logprob",     # CCNet-style unigram-LM quality score
     "q67b_heavy_hitters",       # exact top-k tokens via merged Misra-Gries
     "q67c_stream_heavy_hitters",  # sharded-MG streaming shape, same oracle
     "q49c_rag_chunking",        # overlapping token-window chunking (RAG prep)
@@ -118,6 +119,9 @@ _DEFERRED_TO_R5 = {
     "q38_python_udtf",
     # displaced by q67c (late r4): r2-green oracle-backed, frozen code
     "q69_tfidf",
+    # displaced by q57c (late r4): r2-green oracle-backed, frozen code;
+    # its recursion machinery has dedicated in-suite tests
+    "q94_recursive_cte",
 }
 
 

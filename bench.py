@@ -92,6 +92,7 @@ HEADLINE = [
     "q49c_rag_chunking",
     "q50_dedup_exact",
     "q57b_repetition_signals",
+    "q57c_unigram_logprob",
     "q67b_heavy_hitters",
     "q67c_stream_heavy_hitters",
     "q80b_component_representatives",

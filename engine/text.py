@@ -969,6 +969,41 @@ def q67b_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57c_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring — the CCNet-style language-model
+    filter (docs whose tokens are improbable under a corpus LM are
+    noise/outlier candidates; production pipelines use a KenLM 5-gram,
+    and this unigram form keeps the identical data flow with no
+    external model: the corpus count pass IS the LM training).
+
+    Per doc: mean negative log-probability of its tokens under the
+    corpus unigram distribution p(t) = count(t)/N. Low = boring/
+    boilerplate-typical, high = rare-token-heavy (OCR noise, garbled
+    encodings, exotic vocab) — both tails are filter candidates.
+
+    Scale shape: pass 1 trains the LM (token agg — vocab-bounded
+    shuffle after map-side combine), with the corpus total N attached
+    as a broadcast 1-row aggregate (q69's in-plan pattern, no eager
+    driver job); pass 2 re-scans tokens and broadcast-joins the LM
+    for per-doc scoring — two corpus scans, which is exactly the LM
+    train/apply structure, and the only shuffles are vocab-sized or
+    one-row-per-doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = lm.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .join(F.broadcast(n_total))
+        .select("doc_id", (-F.log(F.col("c") / F.col("n"))).alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            _trunc6(F.avg("nlp")).alias("avg_neg_logprob"),
+        )
+    )
+
+
 HH_SHARDS = 8      # key-domain shards for the streaming/sharded variant
 
 
@@ -1103,6 +1138,7 @@ QUERIES = {
     "q49b_greedy_packing": q49b_greedy_packing,
     "q49c_rag_chunking": q49c_rag_chunking,
     "q57b_repetition_signals": q57b_repetition_signals,
+    "q57c_unigram_logprob": q57c_unigram_logprob,
     "q67b_heavy_hitters": q67b_heavy_hitters,
     "q67c_stream_heavy_hitters": q67c_stream_heavy_hitters,
     "q80b_component_representatives": q80b_component_representatives,
@@ -1234,6 +1270,16 @@ ORACLE = {
                 OR coalesce(floor((tot3 - dis3)::double / tot3 * 1e6) / 1e6, 0.0)
                    > {REP_DUP3_MAX}) AS repetitive
         FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q57c_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+        lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        n AS (SELECT sum(c)::bigint AS n FROM lm)
+        SELECT t.doc_id, count(*)::bigint AS n_tokens,
+               floor(avg(-ln(lm.c / n.n)) * 1e6) / 1e6 AS avg_neg_logprob
+        FROM toks t JOIN lm USING (tok) CROSS JOIN n
+        GROUP BY t.doc_id
     """,
     "q67b_heavy_hitters": f"""
         WITH toks AS (

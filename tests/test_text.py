@@ -498,3 +498,33 @@ def test_rag_chunking_boundary_lengths(spark, tmp_path):
         for c in chunks:
             covered |= set(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
         assert covered == set(range(n))
+
+
+def test_unigram_logprob_orders_rare_above_common(spark, tmp_path):
+    """q57c semantics on a planted corpus: a doc made of the corpus's
+    dominant token scores the LOWEST mean negative log-prob, a doc of
+    hapax tokens the highest, and every score lies in (0, ln N]."""
+    import math
+
+    from pyspark.sql import Row
+
+    from engine.text import q57c_unigram_logprob
+
+    common = " ".join(["the"] * 50)
+    rows = [
+        Row(doc_id=0, lang="en", text=common),          # all-dominant doc
+        Row(doc_id=1, lang="en", text="the the quark"), # mostly dominant
+        Row(doc_id=2, lang="en", text="zeta xylo qoph"),  # all hapax
+    ]
+    sf_dir = str(tmp_path / "lm")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r for r in q57c_unigram_logprob(spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2}
+    n_total = 50 + 3 + 3
+    for r in out.values():
+        assert 0 < r.avg_neg_logprob <= math.log(n_total) + 1e-9
+    assert out[0].avg_neg_logprob < out[1].avg_neg_logprob < out[2].avg_neg_logprob
+    # exact value for the pure-dominant doc: -ln(52/56)
+    assert abs(out[0].avg_neg_logprob - (-math.log(52 / n_total))) < 1e-5
+    # hapax doc: every token has count 1 -> -ln(1/56)
+    assert abs(out[2].avg_neg_logprob - math.log(n_total)) < 1e-5
