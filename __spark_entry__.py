@@ -80,6 +80,8 @@ _NEW_IN_R4 = [
     "q67c_stream_heavy_hitters",  # sharded-MG streaming shape, same oracle
     "q49c_rag_chunking",        # overlapping token-window chunking (RAG prep)
     "q80b_component_representatives",  # keep best-quality doc per near-dup cluster
+    "q100_funnel",              # ordered event funnel (view->click->purchase)
+    "q101_retention_cohorts",   # weekly cohort retention triangle
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -122,6 +124,10 @@ _DEFERRED_TO_R5 = {
     # displaced by q57c (late r4): r2-green oracle-backed, frozen code;
     # its recursion machinery has dedicated in-suite tests
     "q94_recursive_cte",
+    # displaced by q100/q101 (late r4): r2-green oracle-backed stats
+    # queries whose aggregation machinery q42/q44 (in-window) share
+    "q43_summary_stats",
+    "q45_per_class_mean",
 }
 
 

@@ -81,6 +81,8 @@ HEADLINE = [
     "q93_keep_latest",
     "q87_null_semantics",
     "q46_gap_fill",
+    "q100_funnel",
+    "q101_retention_cohorts",
     "q47_scd2_assembly",
     "q40_balanced_sample",
     "q42_census",

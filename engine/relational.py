@@ -1680,3 +1680,130 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------- event-journey analytics
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): how many
+    users completed each stage IN ORDER — the canonical product-
+    analytics query every event store ships.
+
+    Plan shape for 100 TB: NO per-user event arrays (collect_list of a
+    user's history is the memory cliff) — stage k is a conditional
+    min-timestamp aggregation joined user-to-user against stage k-1,
+    so each step is one filtered scan + one users-sized shuffle; the
+    event stream itself is never shuffled unfiltered. Conversion is
+    reported per stage with rate vs the stage-1 population."""
+    e = load_events(spark, sf_dir)
+
+    stage = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    reached = [stage]
+    for i, ev in enumerate(FUNNEL_STAGES[1:], start=1):
+        prev = reached[-1]
+        t_prev = prev.columns[-1]
+        nxt = (
+            e.filter(F.col("event_type") == ev)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        reached.append(nxt)
+
+    counts = [df.agg(F.count(F.lit(1)).alias("n")) for df in reached]
+    rows = None
+    for name, cnt in zip(FUNNEL_STAGES, counts):
+        r = cnt.select(F.lit(name).alias("stage"), F.col("n").cast("bigint").alias("n_users"))
+        rows = r if rows is None else rows.unionByName(r)
+    base = counts[0].select(F.col("n").alias("base"))
+    return (
+        rows.join(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            F.floor(F.col("n_users") / F.col("base") * 1e6).cast("bigint").alias("conv_ppm"),
+        )
+        .orderBy(F.desc("n_users"), "stage")
+    )
+
+
+def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each cohort × week-offset k, how many came back.
+    The other canonical event-analytics query (the retention triangle).
+
+    Plan: first-seen week per user (one agg), distinct (user, week)
+    activity (one agg), one user-keyed join, then a cohort-grain agg —
+    every shuffle is users- or (users × active-weeks)-sized, never
+    event-sized past the first pass."""
+    e = load_events(spark, sf_dir)
+    weeks = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = weeks.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("bigint").alias("k"),
+        )
+        .groupBy("cohort_week", "k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "k")
+    )
+
+
+QUERIES.update(
+    {
+        "q100_funnel": q100_funnel,
+        "q101_retention_cohorts": q101_retention_cohorts,
+    }
+)
+
+ORACLE.update(
+    {
+        "q100_funnel": """
+            WITH s0 AS (
+                SELECT user_id, min(ts::timestamp) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (
+                SELECT e.user_id, min(ts::timestamp) AS t1 FROM events e
+                JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts::timestamp > s0.t0
+                GROUP BY e.user_id),
+            s2 AS (
+                SELECT e.user_id, min(ts::timestamp) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts::timestamp > s1.t1
+                GROUP BY e.user_id),
+            counts AS (
+                SELECT 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+                UNION ALL SELECT 'click', (SELECT count(*) FROM s1)
+                UNION ALL SELECT 'purchase', (SELECT count(*) FROM s2))
+            SELECT stage, n_users::bigint AS n_users,
+                   floor(n_users::double / (SELECT count(*) FROM s0) * 1e6)::bigint
+                       AS conv_ppm
+            FROM counts ORDER BY n_users DESC, stage
+        """,
+        "q101_retention_cohorts": """
+            WITH weeks AS (
+                SELECT user_id, date_trunc('week', ts::timestamp) AS wk FROM events),
+            first AS (
+                SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id),
+            active AS (SELECT DISTINCT user_id, wk FROM weeks)
+            SELECT cohort_week::timestamp AS cohort_week,
+                   (date_diff('day', cohort_week, wk) // 7)::bigint AS k,
+                   count(DISTINCT user_id)::bigint AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }
+)

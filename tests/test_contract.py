@@ -165,3 +165,73 @@ def test_every_oracle_sql_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001 - collecting all parse errors
             failures.append(f"{name}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """q100 semantics on planted journeys: stages only count when
+    reached IN ORDER — a user who clicks before ever viewing is not a
+    click-stage user, and a purchase before the click doesn't reach
+    stage 3."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from engine.relational import q100_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered journey
+        Row(event_id=1, ts=t(1), user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t(2), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=t(3), user_id=1, event_type="purchase", value=1.0, props="{}"),
+        # u2: click BEFORE view -> stalls at view stage
+        Row(event_id=4, ts=t(1), user_id=2, event_type="click", value=1.0, props="{}"),
+        Row(event_id=5, ts=t(2), user_id=2, event_type="view", value=1.0, props="{}"),
+        # u3: view then purchase (no click) -> stalls at view stage
+        Row(event_id=6, ts=t(1), user_id=3, event_type="view", value=1.0, props="{}"),
+        Row(event_id=7, ts=t(2), user_id=3, event_type="purchase", value=1.0, props="{}"),
+        # u4: view, click, but purchase BEFORE the click -> stalls at click
+        Row(event_id=8, ts=t(1), user_id=4, event_type="view", value=1.0, props="{}"),
+        Row(event_id=9, ts=t(2), user_id=4, event_type="purchase", value=1.0, props="{}"),
+        Row(event_id=10, ts=t(3), user_id=4, event_type="click", value=1.0, props="{}"),
+        # u5: never views -> in no stage
+        Row(event_id=11, ts=t(1), user_id=5, event_type="purchase", value=1.0, props="{}"),
+    ]
+    sf_dir = str(tmp_path / "funnel")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/events.parquet")
+    out = {r.stage: r for r in q100_funnel(spark, sf_dir).collect()}
+    assert out["view"].n_users == 4       # u1 u2 u3 u4
+    assert out["click"].n_users == 2      # u1, u4 (click after view)
+    assert out["purchase"].n_users == 1   # u1 only
+    assert out["view"].conv_ppm == 1_000_000
+    assert out["purchase"].conv_ppm == 250_000
+
+
+def test_retention_cohort_math(spark, tmp_path):
+    """q101 semantics: cohort = week of first event; every cohort has
+    a k=0 row equal to its size; a user active 2 weeks later lands in
+    k=2 of their own cohort only."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from engine.relational import q101_retention_cohorts
+
+    # weeks of 2024-01: Mon Jan 1, Mon Jan 8, Mon Jan 15
+    rows = [
+        Row(event_id=1, ts=dt.datetime(2024, 1, 2), user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 16), user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=3, ts=dt.datetime(2024, 1, 3), user_id=2, event_type="view", value=1.0, props="{}"),
+        Row(event_id=4, ts=dt.datetime(2024, 1, 9), user_id=3, event_type="view", value=1.0, props="{}"),
+    ]
+    sf_dir = str(tmp_path / "retention")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/events.parquet")
+    got = {
+        (r.cohort_week.date().isoformat(), r.k): r.n_users
+        for r in q101_retention_cohorts(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1, u2 first seen week of Jan 1
+        ("2024-01-01", 2): 1,  # u1 back two weeks later
+        ("2024-01-08", 0): 1,  # u3's own cohort
+    }
