@@ -82,6 +82,7 @@ _NEW_IN_R4 = [
     "q80b_component_representatives",  # keep best-quality doc per near-dup cluster
     "q100_funnel",              # ordered event funnel (view->click->purchase)
     "q101_retention_cohorts",   # weekly cohort retention triangle
+    "q81b_band_self_join",      # big-big interval join via bucketization
 ]
 
 # Queries whose implementation changed in round 4 — they re-enter the
@@ -128,6 +129,8 @@ _DEFERRED_TO_R5 = {
     # queries whose aggregation machinery q42/q44 (in-window) share
     "q43_summary_stats",
     "q45_per_class_mean",
+    # displaced by q81b (late r4): the simplest frozen r2-green agg
+    "q42_census",
 }
 
 

@@ -69,6 +69,7 @@ HEADLINE = [
     "q85_sql_cte_window_having",
     "q94_recursive_cte",
     "q81_range_join",
+    "q81b_band_self_join",
     "q82_time_rollup",
     "q83_percentiles",
     "q83b_percentiles_approx",

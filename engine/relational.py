@@ -1807,3 +1807,66 @@ ORACLE.update(
         """,
     }
 )
+
+
+BAND_W = 1.0        # price-similarity band
+BAND_BUCKET = 1000  # bucket width; must be > BAND_W so ±1 bucket covers the band
+
+
+def q81b_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big⋈big interval join via bucketization — the scale path a
+    broadcast band probe (q81) can't take when BOTH sides are fact-
+    sized: find order pairs with |totalprice₁ − totalprice₂| ≤ BAND_W
+    (near-duplicate detection by amount, the numeric cousin of text
+    near-dup).
+
+    A naive theta join is O(n·m); here each row probes the buckets
+    {b−1, b, b+1} of ``floor(price / BAND_BUCKET)`` (a 3× fan-out on
+    one side), the join is a hash EQUI-join on the probed bucket, and
+    the band plus key-order predicates run as residual filters. Every
+    qualifying pair matches on exactly ONE probe (the right side keeps
+    its own bucket; probe values are distinct), so no distinct-dedup
+    pass is needed. Output: pairs per bucket of the lower price —
+    partition-order independent."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.floor(F.col("o_totalprice") / BAND_BUCKET).alias("bk"),
+    )
+    probes = o.select(
+        F.col("k").alias("k1"),
+        F.col("p").alias("p1"),
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("probe"),
+    )
+    pairs = (
+        probes.join(o, probes.probe == o.bk)
+        .filter((F.col("k1") < F.col("k")) & (F.abs(F.col("p1") - F.col("p")) <= BAND_W))
+        .select(
+            F.floor(F.least("p1", "p") / BAND_BUCKET).cast("bigint").alias("bucket"),
+            "k1",
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES.update({"q81b_band_self_join": q81b_band_self_join})
+
+ORACLE.update(
+    {
+        "q81b_band_self_join": """
+            SELECT floor(least(a.o_totalprice, b.o_totalprice) / 1000)::bigint
+                       AS bucket,
+                   count(*)::bigint AS n_pairs
+            FROM orders a JOIN orders b
+              ON a.o_orderkey < b.o_orderkey
+             AND abs(a.o_totalprice - b.o_totalprice) <= 1.0
+            GROUP BY 1 ORDER BY 1
+        """,
+    }
+)

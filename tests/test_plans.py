@@ -156,3 +156,11 @@ def test_q67b_recount_broadcasts_candidates(spark, sf_dir):
     plan = _plan(text.q67b_heavy_hitters(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q81b_band_join_is_equi_hash_join(spark, sf_dir):
+    # the whole point of bucketizing the band: a hash EQUI-join on the
+    # probed bucket, never a cartesian/nested-loop theta join
+    plan = _plan(relational.q81b_band_self_join(spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
