@@ -1809,8 +1809,15 @@ ORACLE.update(
 )
 
 
-BAND_W = 1.0        # price-similarity band
-BAND_BUCKET = 1000  # bucket width; must be > BAND_W so ±1 bucket covers the band
+BAND_W = 1.0          # price-similarity band
+BAND_JOIN_BUCKET = 10  # JOIN bucket width: must be >= BAND_W (so ±1 bucket
+                       # covers the band) and should be CLOSE to it — the
+                       # equi-join emits occupancy(bucket) rows per probe
+                       # before the residual filter, so a bucket 1000x the
+                       # band pre-filters 100x more pairs than one 10x it
+                       # (measured at sf0.1: 4.7 s at width 1000 vs 1.1 s
+                       # at width 10, identical output)
+BAND_BUCKET = 1000     # REPORTING grain only (rows per output bucket)
 
 
 def q81b_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,7 +1838,7 @@ def q81b_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("p"),
-        F.floor(F.col("o_totalprice") / BAND_BUCKET).alias("bk"),
+        F.floor(F.col("o_totalprice") / BAND_JOIN_BUCKET).alias("bk"),
     )
     probes = o.select(
         F.col("k").alias("k1"),
