@@ -7,7 +7,7 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 96.  Policy: every query gets a
+entries, and the full inventory is 119.  Policy: every query gets a
 driver CORRECTNESS row at least every other round, and any query whose
 code changed this round re-enters the window immediately.
 
