@@ -221,7 +221,7 @@ def _skew_ablation(spark, sf_dir: str) -> dict:
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     # materialize the skewed fact ONCE (localCheckpoint) so every
-    # variant times the join, not the shared ×10 explode generation —
+    # variant times the join, not the shared ×20 explode generation —
     # without this the generation constant dilutes the contrast below
     # run-to-run noise
     big = (

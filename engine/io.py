@@ -98,7 +98,13 @@ def read_text_docs(spark: SparkSession, path: str, source: str = "raw") -> DataF
     NOT used: it renumbers on repartition) — here: xxhash64(file path,
     line text, line length) which is stable across partitioning for
     distinct lines and collides only for byte-identical lines within
-    one file (those are exact dupes q50 removes anyway). At 100 TB
+    one file (those are exact dupes q50 removes anyway — but note the
+    consequence: doc_id is NOT unique until that dedup runs, so any
+    per-doc_id aggregation placed BEFORE q50 silently merges the
+    duplicate rows; a within-file occurrence index would make ids
+    unique at the cost of a per-file window shuffle in the ingest
+    path, the wrong default for a scan that is otherwise
+    shuffle-free). At 100 TB
     this is the property that matters: re-running ingestion on the
     same files yields the same ids, so downstream incremental dedup
     and splits stay stable."""
@@ -137,8 +143,6 @@ def compact_parquet(
     bytes, splitting large partitions and merging small ones.
     ``maxRecordsPerFile`` bounds the worst case. Returns the number of
     files written."""
-    import os
-
     df = spark.read.parquet(in_path)
     (
         df.hint("rebalance")
@@ -146,9 +150,22 @@ def compact_parquet(
         .mode("overwrite")
         .parquet(out_path)
     )
-    return sum(
-        1
-        for root, _, files in os.walk(out_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return count_parquet_files(spark, out_path)
+
+
+def count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Count data files under ``path`` through the Hadoop FileSystem
+    API — the scheme-aware route (``file://``, ``hdfs://``, ``s3a://``
+    all resolve to the right FS impl), where an ``os.walk`` would
+    silently see nothing on an object store even though the write
+    succeeded."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    it = fs.listFiles(hpath, True)  # recursive RemoteIterator
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

@@ -987,7 +987,16 @@ def q57c_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver job); pass 2 re-scans tokens and broadcast-joins the LM
     for per-doc scoring — two corpus scans, which is exactly the LM
     train/apply structure, and the only shuffles are vocab-sized or
-    one-row-per-doc."""
+    one-row-per-doc.
+
+    VOCAB-BOUNDED ASSUMPTION (the broadcast's precondition): a word
+    unigram LM tops out at ~10^6-10^7 distinct tokens — tens of MB,
+    comfortably broadcastable — which is what makes the explicit
+    broadcast hint correct here. For the UNBOUNDED key domains q67b's
+    docstring warns about (URLs, raw n-grams, ids), a "unigram LM" over
+    them is not vocab-bounded: drop the hint (shuffle-join the LM) or
+    cap the vocabulary first (min-count prune / q67b heavy hitters),
+    exactly as CCNet prunes its LM vocabulary before scoring."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
     lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1016,30 +1025,67 @@ def q67c_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokens are sharded by ``xxhash64(tok) % HH_SHARDS`` — every
     occurrence of a token lands in exactly ONE shard, so the shards
     partition the key domain and each shard's Misra-Gries summary
-    (one grouped-map fold per shard, the exact state a streaming
-    micro-batch loop would hold) carries a per-shard capture bound
-    N_shard/(capacity+1), tighter than q67b's corpus-wide bound. The
-    candidate union then gets the same exact broadcast recount, so
-    the output is IDENTICAL to q67b — one distributed top-k, three
-    interchangeable plans (plain JVM agg, partition-MG, shard-MG),
-    all value-checked against the same SQL."""
+    (the exact state a streaming micro-batch loop would hold per
+    shard) carries a per-shard capture bound N_shard/(capacity+1),
+    tighter than q67b's corpus-wide bound. The candidate union then
+    gets the same exact broadcast recount, so the output is IDENTICAL
+    to q67b — one distributed top-k, three interchangeable plans
+    (plain JVM agg, partition-MG, shard-MG), all value-checked
+    against the same SQL.
+
+    Memory shape (r4 advisory fix): the shard fold is TWO stages, the
+    same map-side-combine structure a JVM agg has. Stage 1 folds each
+    scan partition's tokens into HH_SHARDS per-shard MG summaries
+    inside ``mapInPandas`` — O(shards × capacity) memory per task, and
+    parallelism stays at the scan's width. Stage 2 merges each shard's
+    ≤ capacity × n_partitions summary ROWS (not tokens) with one
+    grouped-map fold — the earlier single-stage form
+    (``groupBy(shard).applyInPandas`` over raw tokens) materialized
+    ~1/HH_SHARDS of ALL corpus tokens as one pandas frame on one
+    executor and capped parallelism at HH_SHARDS: a memory cliff at
+    100 TB. MG merge is associative (Agarwal et al.), so the two-stage
+    fold yields a valid summary with the same capture bound."""
     import pandas as pd
 
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
     sharded = toks.withColumn("shard", F.pmod(F.xxhash64("tok"), F.lit(HH_SHARDS)))
 
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _partition_fold(batches):
+        # one MG summary per shard seen in THIS partition
+        counters: dict[int, pd.Series] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby("shard"):
+                counters[shard] = mg_merge(
+                    counters.get(shard, pd.Series(dtype="int64")),
+                    grp["tok"].value_counts(),
+                    HH_CAPACITY,
+                )
+        for shard, c in counters.items():
+            if len(c):
+                yield pd.DataFrame(
+                    {
+                        "shard": int(shard),
+                        "tok": c.index.astype(str),
+                        "lb": c.values.astype("int64"),
+                    }
+                )
+
+    def _shard_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # input: ≤ capacity × n_partitions (shard, tok, lb) summary rows
         counters = mg_merge(
-            pd.Series(dtype="int64"), pdf["tok"].value_counts(), HH_CAPACITY
+            pd.Series(dtype="int64"),
+            pdf.groupby("tok")["lb"].sum(),
+            HH_CAPACITY,
         )
         return pd.DataFrame(
             {"tok": counters.index.astype(str), "lb": counters.values.astype("int64")}
         )
 
     cand = (
-        sharded.groupBy("shard")
-        .applyInPandas(_fold, "tok string, lb bigint")
+        sharded.mapInPandas(_partition_fold, "shard bigint, tok string, lb bigint")
+        .groupBy("shard")
+        .applyInPandas(_shard_merge, "tok string, lb bigint")
         .select("tok")
         .distinct()
     )
