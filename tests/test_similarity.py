@@ -254,6 +254,84 @@ def test_semdedup_cell_occupancy_bounded(spark, sf_dir):
     assert pair_vol < n * n / 2, "within-cell volume approaching all-pairs"
 
 
+def test_two_level_quantizer_occupancy_and_determinism(spark, sf_dir):
+    """The r4 scale-killer fix: above TWO_LEVEL_MIN_K the quantizer
+    fits coarse √k KMeans + per-cell sub-clusters instead of flat
+    Lloyd. Forced on at fixture scale with k far above what the floor
+    would derive: every row gets exactly one cell, the fine-cell count
+    is ~k (within allocation rounding), the within-cell pair volume
+    stays within the same balance factor the flat occupancy test pins,
+    and two fits are bit-identical (seeded sample + seeded Lloyd)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from engine.session import table
+    from engine.similarity import fit_quantizer
+
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    n = corpus.count()
+    k = max(16, n // 8)  # cells of ~8 — well-populated two-level regime
+    qz = fit_quantizer(spark, corpus, k, seed=42, max_iter=5, force_two_level=True)
+    cells = qz.assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    sizes = [r.n for r in cells]
+    assert sum(sizes) == n                       # total assignment, 1 cell/row
+    assert len(sizes) <= 2 * k                   # ~k fine cells (alloc rounding)
+    assert len(sizes) >= k / 4
+    pair_vol = sum(s * s for s in sizes)
+    assert pair_vol <= 8 * n * n / k, f"two-level cells unbalanced: max={max(sizes)}"
+    # determinism: a second fit reproduces the exact assignment
+    qz2 = fit_quantizer(spark, corpus, k, seed=42, max_iter=5, force_two_level=True)
+    a = sorted((r.vec_id, r.cell) for r in qz.assigned.select("vec_id", "cell").collect())
+    b = sorted((r.vec_id, r.cell) for r in qz2.assigned.select("vec_id", "cell").collect())
+    assert a == b
+    # probing returns valid, deterministic cells nearest the query
+    import numpy as np
+
+    qv = np.array(corpus.select("emb").head().emb)
+    probed = qz.probe(qv, 6)
+    assert len(probed) == 6 and len(set(probed)) == 6
+    assert probed == qz2.probe(qv, 6)
+
+
+def test_two_level_semdedup_planted_clusters(spark, tmp_path):
+    """q75 with the two-level quantizer forced must preserve SemDeDup
+    semantics on planted paraphrase clusters — same contract as the
+    flat-path planted test: each tight group collapses to one
+    component with the min-id keeper."""
+    import numpy as np
+
+    from engine.similarity import q75_semantic_dedup
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for g in range(3):
+        base = rng.randn(64) * 3          # well-separated group centers
+        for _ in range(4):
+            v = base + 0.02 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.randn(64)]))
+        vid += 1
+    sf_dir = str(tmp_path / "synth2l")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").write.parquet(
+        sf_dir + "/embeddings.parquet"
+    )
+    out = q75_semantic_dedup(
+        spark, sf_dir, k=9, threshold=0.9, force_two_level=True
+    ).collect()
+    groups = {r.component: r for r in out}
+    assert len(groups) == 3
+    assert sorted(groups) == [0, 4, 8]
+    for comp, r in groups.items():
+        assert r.group_size == 4 and r.n_dropped == 3 and r.keeper == comp
+
+
 def test_semantic_dedup_planted_clusters(spark, tmp_path):
     """SemDeDup semantics at a REAL threshold (0.9): planted paraphrase
     clusters (base vector + small noise) must each collapse to one
