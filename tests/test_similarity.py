@@ -254,6 +254,86 @@ def test_semdedup_cell_occupancy_bounded(spark, sf_dir):
     assert pair_vol < n * n / 2, "within-cell volume approaching all-pairs"
 
 
+def test_banded_lsh_derivation_law():
+    """OR-amplification sizing: 1 band at fixture widths (oracles
+    untouched); at the width a 10^9-row corpus derives, enough bands
+    that the modeled recall of a cosine-0.9 pair clears the target."""
+    from engine.similarity import (
+        LSH_TARGET_RECALL,
+        LSH_TARGET_SIM,
+        MAX_LSH_BANDS,
+        _collision_prob,
+        _derive_n_bands,
+        _derive_n_planes,
+    )
+
+    assert _derive_n_bands(8) == 1
+    planes = _derive_n_planes(1_000_000_000)
+    bands = _derive_n_bands(planes)
+    assert 2 <= bands <= MAX_LSH_BANDS
+    p = _collision_prob(planes, LSH_TARGET_SIM)
+    assert 1 - (1 - p) ** bands >= LSH_TARGET_RECALL
+    # monotone: wider planes never need fewer bands
+    assert _derive_n_bands(planes + 4) >= bands
+
+
+def test_banded_lsh_recall_improves(spark, sf_dir):
+    """Force a width where one band visibly under-recalls (16 planes
+    on the fixture); the derived multi-band run must recall at least
+    as much of the exact top-20 as the single-band run (band 0 is the
+    single-band geometry, so the candidate set is a superset —
+    recall is monotone), and every returned cosine must be exact."""
+    import numpy as np
+
+    from engine.session import table
+    from engine.similarity import _derive_n_bands, q66_embedding_near_dup
+
+    assert _derive_n_bands(16) >= 2  # the width actually amplifies
+    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([r.embedding for r in rows], dtype=float)
+    S = (E @ E.T) / np.outer(np.linalg.norm(E, axis=1), np.linalg.norm(E, axis=1))
+    iu = np.triu_indices(len(ids), 1)
+    order = np.argsort(-S[iu])[:20]
+    exact_pairs = {
+        (int(min(ids[iu[0][k]], ids[iu[1][k]])), int(max(ids[iu[0][k]], ids[iu[1][k]]))): S[iu][k]
+        for k in order
+    }
+    single = {(r.vec_a, r.vec_b) for r in q66_embedding_near_dup(spark, sf_dir, n_planes=16, n_bands=1).collect()}
+    multi_rows = q66_embedding_near_dup(spark, sf_dir, n_planes=16).collect()
+    multi = {(r.vec_a, r.vec_b) for r in multi_rows}
+    assert len(multi_rows) == 20
+    r_single = len(single & set(exact_pairs)) / 20
+    r_multi = len(multi & set(exact_pairs)) / 20
+    assert r_multi >= r_single, (r_multi, r_single)
+    for r in multi_rows:
+        assert r.vec_a < r.vec_b
+        if (r.vec_a, r.vec_b) in exact_pairs:
+            assert abs(exact_pairs[(r.vec_a, r.vec_b)] - r.cosine) < 1e-6
+
+
+def test_banded_q61_contract_holds(spark, sf_dir):
+    """Banded q61 keeps the single-band output contract: ≤ TOP_K rows
+    per query, exact cosines (spot-checked vs brute force), dense
+    ranks ordered by descending similarity."""
+    from engine.similarity import q60_knn_brute, q61_knn_lsh_bucketed
+
+    brute = {(r.query_id, r.vec_id): r.cosine for r in q60_knn_brute(spark, sf_dir).collect()}
+    rows = q61_knn_lsh_bucketed(spark, sf_dir, n_planes=16, n_bands=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 10
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        for r in rs:
+            if (r.query_id, r.vec_id) in brute:
+                assert abs(brute[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
 def test_two_level_quantizer_occupancy_and_determinism(spark, sf_dir):
     """The r4 scale-killer fix: above TWO_LEVEL_MIN_K the quantizer
     fits coarse √k KMeans + per-cell sub-clusters instead of flat
