@@ -7,31 +7,47 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 119.  Policy: every query gets a
-driver CORRECTNESS row at least every other round, and any query whose
-code changed this round re-enters the window immediately.
+entries, and the full inventory is 121.  Policy: stalest-first — every
+window is filled in order of how long a query has gone without a
+driver row (never-checked first, then oldest round), with two
+overrides: queries whose code changed this round and queries added
+this round always re-enter immediately.  At 121 queries and 50 slots
+the strict "every other round" cadence is arithmetically out of reach
+(it would need ~60 slots); stalest-first is the schedule that
+minimizes the maximum staleness, and the deferral list below names
+exactly which green rows wait and why they lose the least signal.
 
 * r1 window: relational + sampling head (all green except q25/q29/q33).
 * r2 window: all 45 non-relational + 5 changed/canary relational
   (CORRECTNESS_r02: 50/50 green).
-* r3 window: the 46 relational queries with no r2 row — including
-  q96/q98/q99, never driver-checked — plus the 4 queries changed that
-  round (q54/q61/q66/q64).  CORRECTNESS_r03: 50/50 green.
-* r4 window (this file's state): the 8 queries with no driver row in
-  ANY round (q46/q47/q75-q79/ml_adaptive_tuning), the 10 queries
-  added this round (q83b, ann_recall_report, q48/q49/q49b/q49c,
-  q74b, q57b, q67b, q80b), everything changed this round (q61/q66
-  n_planes derivation, q80 connected-components probe rework), then
-  the non-relational block (r2-green, due for rotation).  The
-  candidates exceed the 50 slots: the entries deferred to r5
-  (``_DEFERRED_TO_R5``) are unchanged-since-r2 green rows — mostly
-  rows-only MLlib fits (weakest check class, most driver wall-time
-  per slot), plus the four frozen oracle-backed SQL-text/Python-
-  extension queries (q84/q85/q37/q38) displaced by the late-r4
-  operator additions; new/changed queries always outrank frozen
-  green ones for slots.
-* r5: relational block rotation + the deferred entries above +
-  whatever changes in r4+1.
+* r3 window: 46 relational queries with no r2 row + 4 changed
+  (CORRECTNESS_r03: 50/50 green).
+* r4 window: the 8 never-checked queries, the 15 added that round,
+  the 3 changed, then the non-relational block (CORRECTNESS_r04:
+  50/50 green; 18 entries deferred to r5).
+* r5 window (this file's state), 50 slots exactly:
+  - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
+    the 18 entries deferred from r4 as promised, plus
+    q25/q29/q33/q89/q95 which missed the r3 rotation.
+  - ``_NEW_IN_R5`` (2): sketch_error_report (measured error of q30/
+    q96/q83b sketches vs their exact twins) and
+    stream_equivalence_report (real readStream runs vs batch twins) —
+    the two new driver-visible invariant surfaces.
+  - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
+    q65/q75 (shared two-level coarse quantizer), q67c (two-stage
+    partition-fold candidates).
+  - ``_R5_RELATIONAL_ROTATION`` (20): the r3-green relational block,
+    prioritized by semantic risk — all core joins (q01-q10, q28 asof,
+    q81 range), the window-function spine (q11/q13/q31/q36/q88),
+    grouping-sets q26 (generalizes rollup/cube), q18 distinct-agg,
+    q82 time rollup, q92 sessionization.
+  - ``_DEFERRED_TO_R6`` (26): the remaining r3-green relational
+    entries — frozen single-pass scalar/set-op/projection queries
+    (q12/q14-q17/q19-q24/q27/q32/q34/q35/q39/q86/q87/q90/q91/q93/
+    q98/q99), plus q30/q96/q83 whose sketch-vs-exact behavior is
+    value-surfaced IN-WINDOW this round by sketch_error_report.
+    They lead r6 unconditionally (stalest-first makes that
+    self-executing).
 """
 
 from __future__ import annotations
@@ -52,101 +68,116 @@ def _modules():
     return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational]
 
 
-# The only contract queries with no driver CORRECTNESS row in any of
-# r1-r3 (judge strict-verified in the r3 session; the bar is a driver
-# row) — they lead the r4 window unconditionally.
-_UNPROVEN = [
-    "q46_gap_fill",
-    "q47_scd2_assembly",
-    "q75_semantic_dedup",
-    "q76_pq_ann",
-    "q77_dq_report",
-    "q78_pii_scrub",
-    "q79_corpus_mix",
-    "ml_adaptive_tuning",
-]
-
-# Queries ADDED in round 4.
-_NEW_IN_R4 = [
-    "q83b_percentiles_approx",  # scale-safe percentile twin, rows-only
-    "ann_recall_report",        # driver-visible ANN-quality surface
-    "q48_decontaminate",        # benchmark n-gram overlap scrub
-    "q49_sequence_packing",     # GPT-style concat-and-chop layout
-    "q49b_greedy_packing",      # no-straddle SFT packing (applyInPandas)
-    "q74b_stream_decontaminate",  # stateless ingest-shape scrub (stream ≡ batch)
-    "q57b_repetition_signals",  # Gopher dup/top n-gram repetition fractions
-    "q57c_unigram_logprob",     # CCNet-style unigram-LM quality score
-    "q67b_heavy_hitters",       # exact top-k tokens via merged Misra-Gries
-    "q67c_stream_heavy_hitters",  # sharded-MG streaming shape, same oracle
-    "q49c_rag_chunking",        # overlapping token-window chunking (RAG prep)
-    "q80b_component_representatives",  # keep best-quality doc per near-dup cluster
-    "q100_funnel",              # ordered event funnel (view->click->purchase)
-    "q101_retention_cohorts",   # weekly cohort retention triangle
-    "q81b_band_self_join",      # big-big interval join via bucketization
-]
-
-# Queries whose implementation changed in round 4 — they re-enter the
-# driver window regardless of rotation parity. (q46/q47/q75/q76/q79
-# also changed but already head the window as unproven.)
-_CHANGED_THIS_ROUND = [
-    "q61_knn_lsh_bucketed",     # n_planes derived from corpus count
-    "q66_embedding_near_dup",   # n_planes derived from corpus count
-    "q80_dedup_components",     # component probe checkpoint + threshold
-]
-
-# r2-green rows-only queries deferred to the r5 window: the candidate
-# set above exceeds the 50-entry head, and these are unchanged since
-# their green r2 rows, carry the weakest check form (rows-only — seven
-# MLlib fits plus the MLlib LSH library variant), and cost the most
-# driver wall-time per slot.
-_DEFERRED_TO_R5 = {
+# Every query whose most recent driver CORRECTNESS row is r2 — the
+# stalest class, leads the window unconditionally.
+_R5_STALEST = [
+    "ml_tfidf_features",
     "ml_tuning_results",
     "ml_explained_variance",
     "ml_nb_predictions",
     "ml_rf_predictions",
     "ml_model_metrics",
     "ml_misclassified_inverse",
-    "ml_tfidf_features",
     "q62_brp_lsh_join",
-    # oracle-backed but its sampling machinery is the same code q40
-    # (in-window) exercises — the cheapest oracle row to defer
     "q41_sample_census",
-    # displaced by the four late-r4 additions (q57b/q67b/q49c/q80b):
-    # oracle-backed, r2-green, unchanged since — the SQL-text pair and
-    # the Python-extension pair lose the least signal of the remaining
-    # rotation block (their code paths are frozen and each has a green
-    # value-hash row plus in-suite tests)
-    "q84_sql_shipping_priority",
-    "q85_sql_cte_window_having",
-    "q37_grouped_udaf",
-    "q38_python_udtf",
-    # displaced by q67c (late r4): r2-green oracle-backed, frozen code
-    "q69_tfidf",
-    # displaced by q57c (late r4): r2-green oracle-backed, frozen code;
-    # its recursion machinery has dedicated in-suite tests
-    "q94_recursive_cte",
-    # displaced by q100/q101 (late r4): r2-green oracle-backed stats
-    # queries whose aggregation machinery q42/q44 (in-window) share
+    "q42_census",
     "q43_summary_stats",
     "q45_per_class_mean",
-    # displaced by q81b (late r4): the simplest frozen r2-green agg
-    "q42_census",
+    "q84_sql_shipping_priority",
+    "q85_sql_cte_window_having",
+    "q94_recursive_cte",
+    "q37_grouped_udaf",
+    "q38_python_udtf",
+    "q69_tfidf",
+    "q25_correlated_subquery",
+    "q29_map_array_funcs",
+    "q33_collect_sorted",
+    "q89_fuzzy_match",
+    "q95_variant_shred",
+]
+
+# Queries ADDED in round 5 — never driver-checked.
+_NEW_IN_R5 = [
+    "sketch_error_report",        # q30/q96/q83b measured error vs exact twins
+    "stream_equivalence_report",  # real readStream runs vs batch twins
+]
+
+# Queries whose implementation changed in round 5 — re-enter the
+# window regardless of rotation parity.
+_CHANGED_IN_R5 = [
+    "q61_knn_lsh_bucketed",       # n_bands derivation (OR-amplified LSH)
+    "q66_embedding_near_dup",     # n_bands derivation (OR-amplified LSH)
+    "q65_knn_ivf",                # shared two-level coarse quantizer
+    "q75_semantic_dedup",         # shared two-level coarse quantizer
+    "q67c_stream_heavy_hitters",  # two-stage partition-fold candidates
+]
+
+# r3-green relational block, highest-semantic-risk first (see module
+# docstring for the selection rationale).
+_R5_RELATIONAL_ROTATION = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_outer_join_agg",
+    "q06_forecast_revenue",
+    "q07_broadcast_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_theta_join",
+    "q28_asof_join",
+    "q81_range_join",
+    "q11_window_rank",
+    "q13_window_running_sum",
+    "q31_window_range_frame",
+    "q36_rank_functions",
+    "q88_value_window_funcs",
+    "q26_grouping_sets",
+    "q18_distinct_agg",
+    "q82_time_rollup",
+    "q92_sessionization",
+]
+
+# r3-green entries displaced by the 50-slot cap: frozen single-pass
+# relational queries (every one keeps its green r3 value-hash row and
+# in-suite tests), plus the three sketch queries whose error behavior
+# sketch_error_report value-surfaces in-window this round.  They lead
+# the r6 window.
+_DEFERRED_TO_R6 = {
+    "q12_window_lag",
+    "q14_topk_orders",
+    "q15_union_all",
+    "q16_intersect",
+    "q17_except",
+    "q19_rollup",
+    "q20_cube",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_json_funcs",
+    "q24_math_case",
+    "q27_pivot",
+    "q30_approx_distinct",
+    "q32_stat_aggregates",
+    "q34_date_arithmetic",
+    "q35_cross_join",
+    "q39_unpivot",
+    "q83_percentiles",
+    "q86_explode_lateral",
+    "q87_null_semantics",
+    "q90_histogram",
+    "q91_filtered_agg",
+    "q93_keep_latest",
+    "q96_hll_sketch_union",
+    "q98_embedding_quantize",
+    "q99_deterministic_split",
 }
 
 
 def _window_head() -> list[str]:
-    """The r4 driver-window head: unproven + new + changed, then the
-    non-relational block (due for rotation; the relational block holds
-    r3 rows), minus the five deferred entries."""
-    head = _UNPROVEN + _NEW_IN_R4 + _CHANGED_THIS_ROUND
-    seen = set(head)
-    for m in _modules():
-        if m is relational:
-            continue
-        for q in m.QUERIES:
-            if q not in seen and q not in _DEFERRED_TO_R5:
-                head.append(q)
-                seen.add(q)
+    """The r5 driver-window head: stalest (r2-row) entries, the two
+    new report surfaces, the five changed queries, then the
+    prioritized relational rotation — exactly 50 entries."""
+    head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
+    assert len(head) == len(set(head)) == 50
     return head
 
 

@@ -1877,3 +1877,126 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ------------------------------------------- sketch error surface (r5)
+
+# per-op relative-error bounds asserted by the report (and by
+# tests/test_contract.py): approx_count_distinct is configured at
+# rsd=0.02 (3σ ≈ 6%); hll_sketch_agg defaults to lgConfigK=12
+# (σ ≈ 1.04/√4096 ≈ 1.6%, bound 5%); percentile_approx at
+# accuracy=1000 has ≤0.1% RANK error — the VALUE bound 1% mirrors the
+# q83b twin test's measured margin on this data.
+SKETCH_BOUNDS = {
+    "approx_count_distinct": 0.06,
+    "hll_union": 0.05,
+    "percentile_approx": 0.01,
+}
+
+
+def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured error of every approximate/sketch operator against its
+    exact twin, as one small (op, item, exact, approx, rel_err, bound,
+    within_bound) frame — the ann_recall_report pattern applied to the
+    sketch surface (r4 verdict item 5): q30's HLL++ distinct counts,
+    q96's mergeable HLL union (including the merged ALL row), and
+    q83b's KLL-style approximate percentiles each get a driver-visible
+    error row, so a sketch regression (changed default lgK, a broken
+    union, an accuracy knob typo) shows up as within_bound=false in
+    the driver record, not only in a local test run.
+
+    Everything is computed in-plan (the exact twins are the same
+    one-pass aggregations the exact queries run; the joins are
+    group-count-sized). Rows-only by nature: the sketch estimates
+    aren't reproducible in DuckDB — which is exactly why the report
+    exists."""
+    li = table(spark, sf_dir, "lineitem")
+    e = load_events(spark, sf_dir)
+
+    acd = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+            F.countDistinct("l_orderkey").alias("e_orders"),
+            F.countDistinct("l_partkey").alias("e_parts"),
+        )
+        .select(
+            F.expr(
+                "stack(2,"
+                " 'approx_count_distinct', 'l_orderkey', double(a_orders), double(e_orders),"
+                " 'approx_count_distinct', 'l_partkey',  double(a_parts),  double(e_parts))"
+                " AS (op, item, approx, exact)"
+            )
+        )
+    )
+
+    sketches = e.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
+    hll_per_type = sketches.select(
+        "event_type", F.expr("double(hll_sketch_estimate(s))").alias("approx")
+    )
+    hll_all = sketches.agg(
+        F.expr("double(hll_sketch_estimate(hll_union_agg(s)))").alias("approx")
+    ).select(F.lit("ALL").alias("event_type"), "approx")
+    exact_per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("double").alias("exact")
+    )
+    exact_all = e.agg(F.countDistinct("user_id").cast("double").alias("exact")).select(
+        F.lit("ALL").alias("event_type"), "exact"
+    )
+    hll = (
+        hll_per_type.unionByName(hll_all)
+        .join(exact_per_type.unionByName(exact_all), "event_type")
+        .select(
+            F.lit("hll_union").alias("op"),
+            F.col("event_type").alias("item"),
+            "approx",
+            "exact",
+        )
+    )
+
+    pct = (
+        q83_percentiles(spark, sf_dir)
+        .select(
+            "l_returnflag",
+            F.col("p25_price").alias("e_p25"),
+            F.col("median_price").alias("e_p50"),
+            F.col("p75_price").alias("e_p75"),
+            F.col("p95_qty").alias("e_p95"),
+        )
+        .join(q83b_percentiles_approx(spark, sf_dir), "l_returnflag")
+        .select(
+            F.expr(
+                "stack(4,"
+                " 'p25_price',  p25_price,    e_p25,"
+                " 'median_price', median_price, e_p50,"
+                " 'p75_price',  p75_price,    e_p75,"
+                " 'p95_qty',    p95_qty,      e_p95)"
+                " AS (metric, approx, exact)"
+            ),
+            "l_returnflag",
+        )
+        .select(
+            F.lit("percentile_approx").alias("op"),
+            F.concat_ws("/", "l_returnflag", "metric").alias("item"),
+            "approx",
+            "exact",
+        )
+    )
+
+    bound = (
+        F.when(F.col("op") == "approx_count_distinct", F.lit(SKETCH_BOUNDS["approx_count_distinct"]))
+        .when(F.col("op") == "hll_union", F.lit(SKETCH_BOUNDS["hll_union"]))
+        .otherwise(F.lit(SKETCH_BOUNDS["percentile_approx"]))
+    )
+    return (
+        acd.unionByName(hll)
+        .unionByName(pct)
+        .withColumn("rel_err", F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6))
+        .withColumn("bound", bound)
+        .withColumn("within_bound", F.col("rel_err") <= F.col("bound"))
+        .select("op", "item", "exact", "approx", "rel_err", "bound", "within_bound")
+        .orderBy("op", "item")
+    )
+
+
+QUERIES.update({"sketch_error_report": sketch_error_report})

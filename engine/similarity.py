@@ -579,6 +579,7 @@ def q65_knn_ivf(
     sf_dir: str,
     nlist: int | None = None,
     nprobe: int | None = None,
+    force_two_level: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: seeded KMeans coarse quantizer, queries probe
     their nprobe nearest centroids, exact cosine re-rank within the
@@ -608,7 +609,9 @@ def q65_knn_ivf(
         d_nlist, d_nprobe = _derive_ivf(corpus.count())
         nlist = d_nlist if nlist is None else nlist
         nprobe = d_nprobe if nprobe is None else nprobe
-    qz = fit_quantizer(spark, corpus, nlist, seed=42, max_iter=20)
+    qz = fit_quantizer(
+        spark, corpus, nlist, seed=42, max_iter=20, force_two_level=force_two_level
+    )
     # rerank on unit vectors: norms computed once per row, one dot per pair
     assigned = (
         qz.assigned

@@ -68,24 +68,45 @@ def test_q83_approx_percentile_twin_within_error(spark, sf_dir):
         assert abs(a.p95_qty - e.p95_qty) / e.p95_qty < 0.05
 
 
+def test_sketch_error_report_all_within_bound(spark, sf_dir):
+    # The driver-visible sketch-error surface: one row per (sketch op,
+    # item), each within its documented bound — q30 HLL++ (3 sigma at
+    # rsd=0.02), q96 HLL sketch union (lgK=12 default), q83b approx
+    # percentiles (accuracy=1000). The report IS the invariant the
+    # three rows-only entries previously only carried in-suite.
+    from engine.relational import SKETCH_BOUNDS, sketch_error_report
+
+    rows = sketch_error_report(spark, sf_dir).collect()
+    assert {r.op for r in rows} == set(SKETCH_BOUNDS)
+    # every sketch family contributes, including the merged-union row
+    assert any(r.op == "hll_union" and r.item == "ALL" for r in rows)
+    assert sum(r.op == "approx_count_distinct" for r in rows) == 2
+    assert sum(r.op == "percentile_approx" for r in rows) == 12
+    for r in rows:
+        assert r.within_bound, (r.op, r.item, r.rel_err, r.bound)
+        assert r.bound == SKETCH_BOUNDS[r.op]
+
+
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
-    # entries. Rotation policy (see __spark_entry__ docstring): the r4
-    # window must lead with the 8 queries that have no driver row in
-    # any round, then the queries added/changed this round, then the
-    # non-relational rotation block.
+    # entries. Rotation policy (see __spark_entry__ docstring,
+    # stalest-first): the r5 window must lead with every query whose
+    # latest driver row is r2, then this round's new and changed
+    # queries, then the prioritized relational rotation — 50 exactly.
     names = list(contract.queries())[:50]
-    required = set(contract._window_head())
-    missing = required - set(names)
-    assert not missing, f"queries pushed out of the 50-entry driver window: {sorted(missing)}"
-    # Zero-slack guard: the head must itself fit in the window.
-    assert len(required) <= 50, f"window head overflows: {len(required)} > 50"
-    # The never-driver-checked queries must occupy the head outright.
-    assert names[: len(contract._UNPROVEN)] == contract._UNPROVEN
-    # Deferrals may only hold r2-green, this-round-unchanged entries.
-    assert not (contract._DEFERRED_TO_R5 & set(contract._UNPROVEN))
-    assert not (contract._DEFERRED_TO_R5 & set(contract._NEW_IN_R4))
-    assert not (contract._DEFERRED_TO_R5 & set(contract._CHANGED_THIS_ROUND))
+    head = contract._window_head()
+    assert names == head, "driver window does not match the declared head"
+    # Zero-slack guard: the head is exactly the window.
+    assert len(head) == 50
+    # The stalest entries occupy the head outright.
+    assert names[: len(contract._R5_STALEST)] == contract._R5_STALEST
+    # New/changed queries are in-window, never deferred.
+    for q in contract._NEW_IN_R5 + contract._CHANGED_IN_R5:
+        assert q in names, q
+        assert q not in contract._DEFERRED_TO_R6, q
+    # Deferrals hold only frozen r3-green relational entries.
+    assert not (contract._DEFERRED_TO_R6 & set(contract._R5_STALEST))
+    assert not (contract._DEFERRED_TO_R6 & set(head))
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):

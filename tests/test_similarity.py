@@ -377,6 +377,18 @@ def test_two_level_quantizer_occupancy_and_determinism(spark, sf_dir):
     assert probed == qz2.probe(qv, 6)
 
 
+def test_two_level_ivf_search_recall(spark, sf_dir):
+    """q65 with the two-level quantizer forced must still SEARCH well,
+    not just partition well: recall vs the exact baseline stays above
+    a floor comparable to the flat path's (flat measured 0.58-0.80 at
+    nprobe 4-8; two-level cells differ, so pin a conservative floor)."""
+    from engine.similarity import q60_knn_brute, q65_knn_ivf
+
+    brute = _topk_pairs(q60_knn_brute(spark, sf_dir))
+    ivf2 = _topk_pairs(q65_knn_ivf(spark, sf_dir, force_two_level=True))
+    assert len(brute & ivf2) / len(brute) >= 0.4
+
+
 def test_two_level_semdedup_planted_clusters(spark, tmp_path):
     """q75 with the two-level quantizer forced must preserve SemDeDup
     semantics on planted paraphrase clusters — same contract as the

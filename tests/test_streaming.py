@@ -323,3 +323,22 @@ def test_streaming_heavy_hitters_state_across_batches(spark, sf_dir, tmp_path):
     )
     want = [(r.tok, r.n_occurrences) for r in q67b_heavy_hitters(spark, sf_dir).collect()]
     assert [(r.tok, r.n) for r in recount] == want
+
+
+def test_stream_equivalence_report_all_equal(spark, sf_dir):
+    """The driver-visible stream ≡ batch surface: every covered
+    operator's real readStream run must equal its batch twin exactly
+    (multiset equality, bit-exact floats — same expressions over the
+    same rows on both sides)."""
+    from engine.streaming import stream_equivalence_report
+
+    rows = stream_equivalence_report(spark, sf_dir).collect()
+    assert {r.operator for r in rows} == {
+        "tumbling_watermark_agg",
+        "stream_stream_interval_join",
+        "rowwise_decontaminate",
+        "dedup_quality_census",
+    }
+    for r in rows:
+        assert r.equal, (r.operator, r.batch_rows, r.stream_rows)
+        assert r.batch_rows == r.stream_rows > 0

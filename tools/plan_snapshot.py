@@ -51,6 +51,7 @@ EAGER_SKIP = {
     "q80_dedup_components",
     "q80b_component_representatives",
     "ann_recall_report",
+    "stream_equivalence_report",  # runs real streams during construction
 }
 
 
