@@ -1954,23 +1954,26 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # exact + approx percentiles in ONE grouped agg (one lineitem scan
+    # instead of q83 ⟕ q83b's two — the values are identical to the
+    # contract queries': same expressions, same round-4)
     pct = (
-        q83_percentiles(spark, sf_dir)
-        .select(
-            "l_returnflag",
-            F.col("p25_price").alias("e_p25"),
-            F.col("median_price").alias("e_p50"),
-            F.col("p75_price").alias("e_p75"),
-            F.col("p95_qty").alias("e_p95"),
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("eqs"),
+            F.expr("percentile(l_quantity, 0.95D)").alias("ep95"),
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)"
+            ).alias("aqs"),
+            F.expr("percentile_approx(l_quantity, 0.95D, 1000)").alias("ap95"),
         )
-        .join(q83b_percentiles_approx(spark, sf_dir), "l_returnflag")
         .select(
             F.expr(
                 "stack(4,"
-                " 'p25_price',  p25_price,    e_p25,"
-                " 'median_price', median_price, e_p50,"
-                " 'p75_price',  p75_price,    e_p75,"
-                " 'p95_qty',    p95_qty,      e_p95)"
+                " 'p25_price',    round(aqs[0], 4), round(eqs[0], 4),"
+                " 'median_price', round(aqs[1], 4), round(eqs[1], 4),"
+                " 'p75_price',    round(aqs[2], 4), round(eqs[2], 4),"
+                " 'p95_qty',      round(ap95, 4),   round(ep95, 4))"
                 " AS (metric, approx, exact)"
             ),
             "l_returnflag",
