@@ -103,6 +103,7 @@ HEADLINE = [
     "q78_pii_scrub",
     "q79_corpus_mix",
     "q97_paragraph_dedup",
+    "q102_incremental_dedup",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",
     "q55_simhash",

@@ -1636,3 +1636,77 @@ ORACLE = {
         GROUP BY doc_id
     """,
 }
+
+
+# ------------------------------------ incremental ingest dedup (r5)
+
+INCR_BATCH_MOD = 3  # fixture split: doc_id % 3 == 0 is the "new" batch
+
+
+def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the CONTINUOUS-crawl shape the other
+    dedup legs don't cover: a newly ingested batch is deduped against
+    the STANDING corpus's fingerprint store (q51 canonical-form md5)
+    and against itself, labeling every batch doc
+    ``dup_of_history`` / ``dup_in_batch`` / ``new``. q50 is the
+    periodic global compaction (rescans everything); the streaming
+    dedup is watermark-bounded (forgets beyond the window); this is
+    the middle path a daily 100 TB ingest actually runs: probe a
+    persisted fingerprint table, rescan nothing.
+
+    Fixture split: ``doc_id % INCR_BATCH_MOD == 0`` is the new batch,
+    the rest is history (the q48 holdout-mod pattern, so the oracle
+    reproduces the split exactly).
+
+    Scale shape: the history side is projected to DISTINCT 16-byte
+    fingerprints only — the fingerprint STORE, not the corpus (at
+    100 TB: a bucketed table on fingerprint, making this probe a
+    co-located join with no history-side shuffle; q50's keeper pass
+    is what maintains it). One left join + one within-batch window on
+    the same fingerprint key — the exchange introduced for the join
+    is reused by the window (same partitioning), so the batch shuffles
+    once. No text moves for history; only the new batch carries
+    payload."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    batch = fp.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist = (
+        fp.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        batch.join(hist, "fingerprint", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_hist"), F.lit("dup_of_history"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+QUERIES["q102_incremental_dedup"] = q102_incremental_dedup
+
+ORACLE["q102_incremental_dedup"] = f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+        FROM documents),
+    batch AS (SELECT * FROM fp WHERE doc_id % {INCR_BATCH_MOD} = 0),
+    hist AS (SELECT DISTINCT fingerprint
+             FROM fp WHERE doc_id % {INCR_BATCH_MOD} <> 0)
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                WHEN row_number() OVER (PARTITION BY b.fingerprint
+                                        ORDER BY b.doc_id) > 1
+                     THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN hist h USING (fingerprint)
+"""

@@ -528,3 +528,35 @@ def test_unigram_logprob_orders_rare_above_common(spark, tmp_path):
     assert abs(out[0].avg_neg_logprob - (-math.log(52 / n_total))) < 1e-5
     # hapax doc: every token has count 1 -> -ln(1/56)
     assert abs(out[2].avg_neg_logprob - math.log(n_total)) < 1e-5
+
+
+def test_incremental_dedup_planted_statuses(spark, tmp_path):
+    """q102 on a planted corpus: a batch doc whose canonical form
+    exists in history is dup_of_history (even when the batch also
+    repeats it); of batch-only duplicates the lowest doc_id is the
+    keeper ('new') and later ones are dup_in_batch; unseen content is
+    'new'. Canonicalization (lower/trim/squeeze) must apply before
+    fingerprinting."""
+    from engine.text import q102_incremental_dedup
+
+    rows = [
+        # history (doc_id % 3 != 0)
+        (1, "Alpha  Beta", "en", "h", 10),
+        (2, "gamma", "en", "h", 5),
+        # batch (doc_id % 3 == 0)
+        (3, "alpha beta", "en", "b", 10),   # canonical dup of history 1
+        (6, "delta epsilon", "en", "b", 13),  # new, duplicated by 9
+        (9, "Delta  Epsilon ", "en", "b", 14),  # dup_in_batch of 6
+        (12, "zeta", "en", "b", 4),          # new
+    ]
+    sf_dir = str(tmp_path / "incr")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r.status for r in q102_incremental_dedup(spark, sf_dir).collect()}
+    assert out == {
+        3: "dup_of_history",
+        6: "new",
+        9: "dup_in_batch",
+        12: "new",
+    }
