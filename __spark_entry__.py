@@ -29,27 +29,27 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (3): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (4): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
-    and q102_incremental_dedup (new-batch ingest dedup against the
-    standing fingerprint store).
+    q102_incremental_dedup (new-batch ingest dedup against the
+    standing fingerprint store), and q64b_frame_sample (temporal
+    media sampling — the video/audio multimodal leg).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (19): the r3-green relational block,
+  - ``_R5_RELATIONAL_ROTATION`` (18): the r3-green relational block,
     prioritized by semantic risk — all core joins (q01-q10, q28 asof,
     q81 range), the window-function spine (q11/q13/q31/q36/q88),
-    grouping-sets q26 (generalizes rollup/cube), q18 distinct-agg,
-    q82 time rollup.
-  - ``_DEFERRED_TO_R6`` (27): the remaining r3-green relational
-    entries — frozen single-pass scalar/set-op/projection/window
-    queries (q12/q14-q17/q19-q24/q27/q32/q34/q35/q39/q86/q87/q90-q93/
-    q98/q99 — q92's lag+running-sum machinery is shared with
-    in-window q13/q31), plus q30/q96/q83 whose sketch-vs-exact
-    behavior is value-surfaced IN-WINDOW this round by
-    sketch_error_report.  They lead r6 unconditionally (stalest-first
-    makes that self-executing).
+    grouping-sets q26 (generalizes rollup/cube), q18 distinct-agg.
+  - ``_DEFERRED_TO_R6`` (28): the remaining r3-green relational
+    entries — frozen single-pass scalar/set-op/projection/window/agg
+    queries (q12/q14-q17/q19-q24/q27/q32/q34/q35/q39/q82/q86/q87/
+    q90-q93/q98/q99 — q92's lag+running-sum machinery is shared with
+    in-window q13/q31, q82's multi-grain agg with in-window q26),
+    plus q30/q96/q83 whose sketch-vs-exact behavior is value-surfaced
+    IN-WINDOW this round by sketch_error_report.  They lead r6
+    unconditionally (stalest-first makes that self-executing).
 """
 
 from __future__ import annotations
@@ -103,6 +103,7 @@ _NEW_IN_R5 = [
     "sketch_error_report",        # q30/q96/q83b measured error vs exact twins
     "stream_equivalence_report",  # real readStream runs vs batch twins
     "q102_incremental_dedup",     # batch-vs-fingerprint-store ingest dedup
+    "q64b_frame_sample",          # temporal media sampling (video/audio leg)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -136,7 +137,6 @@ _R5_RELATIONAL_ROTATION = [
     "q88_value_window_funcs",
     "q26_grouping_sets",
     "q18_distinct_agg",
-    "q82_time_rollup",
 ]
 
 # r3-green entries displaced by the 50-slot cap: frozen single-pass
@@ -146,6 +146,7 @@ _R5_RELATIONAL_ROTATION = [
 # the r6 window.
 _DEFERRED_TO_R6 = {
     "q92_sessionization",  # lag+running-sum machinery shared with in-window q13/q31
+    "q82_time_rollup",     # multi-grain agg machinery shared with in-window q26
     "q12_window_lag",
     "q14_topk_orders",
     "q15_union_all",

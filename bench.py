@@ -118,6 +118,7 @@ HEADLINE = [
     "q61_knn_lsh_bucketed",
     "q75_semantic_dedup",
     "q76_pq_ann",
+    "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",
     "q72_stream_sessions",

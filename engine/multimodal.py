@@ -137,13 +137,21 @@ def resize_image(img: np.ndarray, side: int) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+def sample_frame_indices(n_bytes: int, n_frames: int, frame_size: int = 256) -> np.ndarray:
+    """Sorted distinct source-frame indices the sampler reads: n
+    uniformly spaced positions over the stream's total frame count
+    (shared by sample_frames and the q64b contract query so the
+    oracle's index arithmetic and the engine's can never drift)."""
+    total = max(n_bytes // frame_size, 1)
+    return np.unique((np.arange(n_frames) * total // max(n_frames, 1)).clip(0, total - 1))
+
+
 def sample_frames(payload: bytes, n_frames: int, frame_size: int = 256) -> list[np.ndarray]:
     """Deterministic frame sampling for video-like payloads: treat the
     byte stream as consecutive fixed-size frames and take n uniformly
     spaced ones (the standard keyframe-sampling shape; a real codec
     would decode at the same sampled offsets)."""
-    total = max(len(payload) // frame_size, 1)
-    idx = np.unique((np.arange(n_frames) * total // max(n_frames, 1)).clip(0, total - 1))
+    idx = sample_frame_indices(len(payload), n_frames, frame_size)
     out = []
     for i in idx:
         chunk = payload[i * frame_size : (i + 1) * frame_size]
@@ -266,9 +274,63 @@ def q64_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SIZE = 256
+N_SAMPLED_FRAMES = 4
+
+
+def q64b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed temporal media sampling — the video/audio leg of
+    the multimodal surface as a first-class contract query (the shared
+    shape: video keyframe sampling ≡ audio window sampling — both are
+    'read n uniformly spaced fixed-size spans of an opaque byte
+    stream'). One ``mapInPandas`` pass emits a row per sampled frame:
+    (doc_id, frame_idx ordinal, src_frame stream index, frame_bytes
+    actually read, byte_sum) — the generate-shaped output a real
+    frame-decode stage has, with the decode itself the deterministic
+    byte-span reader (a real codec slots into the same offsets; the
+    Spark-side plumbing — schema, batching, fan-out — is what this
+    query pins, per the stub-the-codec rule).
+
+    VALUE-CHECKED: the sampler's index arithmetic
+    (``sample_frame_indices``) and byte sums are pure integer
+    functions of the payload bytes, reproduced by the DuckDB oracle
+    over the same ASCII fixture bytes (q64's tiling pattern).
+    Narrow plan: no shuffle at all — scan → Python worker → rows."""
+    d = with_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                for ordinal, i in enumerate(
+                    sample_frame_indices(len(payload), N_SAMPLED_FRAMES, FRAME_SIZE)
+                ):
+                    chunk = payload[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    buf = np.frombuffer(chunk, dtype=np.uint8)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ordinal,
+                            int(i),
+                            len(chunk),
+                            int(buf.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "src_frame", "frame_bytes", "byte_sum"]
+            )
+
+    return d.mapInPandas(
+        _frames,
+        "doc_id bigint, frame_idx int, src_frame int, frame_bytes int, byte_sum bigint",
+    )
+
+
 QUERIES = {
     "q63_multimodal_meta": q63_multimodal_meta,
     "q64_media_features": q64_media_features,
+    "q64b_frame_sample": q64b_frame_sample,
 }
 
 ORACLE = {
@@ -305,5 +367,34 @@ ORACLE = {
                floor(sum(pixel_sum)::double / (count(*) * 1024) * 1e6) / 1e6
                  AS avg_byte_mean
         FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    # sample_frame_indices in SQL: total = max(n_bytes // 256, 1);
+    # src frames = distinct (j * total) // 4 for j in 0..3 (the clip
+    # is a no-op at n_frames=4 since (3*total)//4 <= total-1 for all
+    # total >= 1); frame ordinal = rank of src index. byte_sum sums
+    # ascii codes over the frame's span (ASCII fixture, q64 pattern);
+    # the engine's zero-padding never changes the sum.
+    "q64b_frame_sample": """
+        WITH f AS (
+            SELECT doc_id, text,
+                   octet_length(text::blob)::int AS n_bytes,
+                   greatest(octet_length(text::blob) // 256, 1)::int AS total
+            FROM documents),
+        srcs AS (
+            SELECT DISTINCT doc_id, text, n_bytes,
+                   ((j * total) // 4)::int AS src_frame
+            FROM f, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+        ordered AS (
+            SELECT doc_id, text, n_bytes, src_frame,
+                   (row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY src_frame) - 1)::int AS frame_idx
+            FROM srcs)
+        SELECT doc_id, frame_idx, src_frame,
+               least(256, n_bytes - src_frame * 256)::int AS frame_bytes,
+               coalesce(list_sum(list_transform(
+                   generate_series(1, least(256, n_bytes - src_frame * 256)),
+                   k -> ascii(substr(text, src_frame * 256 + k, 1))
+               )), 0)::bigint AS byte_sum
+        FROM ordered
     """,
 }

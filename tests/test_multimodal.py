@@ -147,3 +147,36 @@ def test_extract_features_with_real_codec_in_spark(spark):
         assert r.pixel_sum == 28 * 28 * 10 * i
         assert r.pixel_min == 0 and r.pixel_max == 10 * i
         assert r.n_pixels == 1024
+
+
+def test_frame_sample_query_matches_driver_sampler(spark, sf_dir):
+    """q64b (distributed mapInPandas frame sampling) must agree
+    row-for-row with the driver-side sample_frames helper on the same
+    payloads: same source indices, same per-frame byte sums (padding
+    never changes a sum), ordinals dense from 0."""
+    import numpy as np
+
+    from engine.multimodal import (
+        FRAME_SIZE,
+        N_SAMPLED_FRAMES,
+        q64b_frame_sample,
+        sample_frame_indices,
+        sample_frames,
+    )
+    from engine.session import table
+
+    got = {}
+    for r in q64b_frame_sample(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert set(got) == set(docs)
+    for doc_id, rows in got.items():
+        payload = docs[doc_id].encode("utf-8")
+        idx = sample_frame_indices(len(payload), N_SAMPLED_FRAMES, FRAME_SIZE)
+        frames = sample_frames(payload, N_SAMPLED_FRAMES, FRAME_SIZE)
+        rows = sorted(rows, key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(len(idx)))
+        assert [r.src_frame for r in rows] == [int(i) for i in idx]
+        for r, frame in zip(rows, frames):
+            assert r.byte_sum == int(frame.astype(np.int64).sum())
+            assert 0 <= r.frame_bytes <= FRAME_SIZE
