@@ -7,11 +7,11 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 121.  Policy: stalest-first — every
+entries, and the full inventory is 123.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
-this round always re-enter immediately.  At 121 queries and 50 slots
+this round always re-enter immediately.  At 123 queries and 50 slots
 the strict "every other round" cadence is arithmetically out of reach
 (it would need ~60 slots); stalest-first is the schedule that
 minimizes the maximum staleness, and the deferral list below names
@@ -177,9 +177,9 @@ _DEFERRED_TO_R6 = {
 
 
 def _window_head() -> list[str]:
-    """The r5 driver-window head: stalest (r2-row) entries, the two
-    new report surfaces, the five changed queries, then the
-    prioritized relational rotation — exactly 50 entries."""
+    """The r5 driver-window head: the 23 stalest (r2-row) entries,
+    the four new queries, the five changed queries, then the 18
+    prioritized relational rotation slots — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50
     return head

@@ -1991,10 +1991,20 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("op") == "hll_union", F.lit(SKETCH_BOUNDS["hll_union"]))
         .otherwise(F.lit(SKETCH_BOUNDS["percentile_approx"]))
     )
+    # exact == 0 must still yield a NON-NULL verdict (a NULL
+    # within_bound would slip past a `WHERE within_bound = false`
+    # driver check): both-zero is a perfect sketch (rel_err 0),
+    # approx≠0 over a zero truth is an unbounded miss (Infinity,
+    # within_bound false)
+    rel_err = (
+        F.when(F.col("exact") != 0, F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6))
+        .when(F.col("approx") == 0, F.lit(0.0))
+        .otherwise(F.lit(float("inf")))
+    )
     return (
         acd.unionByName(hll)
         .unionByName(pct)
-        .withColumn("rel_err", F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6))
+        .withColumn("rel_err", rel_err)
         .withColumn("bound", bound)
         .withColumn("within_bound", F.col("rel_err") <= F.col("bound"))
         .select("op", "item", "exact", "approx", "rel_err", "bound", "within_bound")

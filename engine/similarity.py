@@ -148,12 +148,22 @@ def _probe_masks(n_planes: int = N_PLANES, hamming: int = PROBE_HAMMING) -> list
 # = union over bands, so a true pair is missed only if it misses
 # EVERY band: recall = 1-(1-p)^B. _derive_n_bands sizes B from the
 # collision model so pairs at LSH_TARGET_SIM are recalled with
-# probability ≥ LSH_TARGET_RECALL; at fixture widths (n_planes ≤ 8,
-# where p ≥ 0.9 already) it derives B=1 and the single-band plan —
-# and the fixed-8 DuckDB oracles — are untouched. Cost is linear in
-# B on the probe side (B×37 probe rows per vector at radius 2); the
-# within-band occupancy bound is unchanged because every band uses
-# the full derived width.
+# probability ≥ LSH_TARGET_RECALL WHENEVER that is achievable within
+# MAX_LSH_BANDS bands; at fixture widths (n_planes ≤ 8, where p ≥ 0.9
+# already) it derives B=1 and the single-band plan — and the fixed-8
+# DuckDB oracles — are untouched. Cost is linear in B on the probe
+# side (B×37 probe rows per vector at radius 2); the within-band
+# occupancy bound is unchanged because every band uses the full
+# derived width.
+#
+# CAP HONESTY: the cap binds from n_planes = 27 (N ≳ 2·10⁹ at default
+# occupancy), where the needed B exceeds 8 — modeled recall at the cap
+# degrades gracefully (0.88 at 27 planes, ~0.68 at 33, via
+# _modeled_recall) rather than holding 0.9. The levers past the cap
+# are raising MAX_LSH_BANDS (linear probe cost), widening
+# PROBE_HAMMING (combinatorial probe cost), or stepping to the IVF/PQ
+# tiers — pinned by the derivation-law test at both the guaranteed
+# and the cap-bound points.
 MAX_LSH_BANDS = 8
 LSH_TARGET_SIM = 0.9
 LSH_TARGET_RECALL = 0.9
@@ -172,7 +182,10 @@ def _collision_prob(n_planes: int, sim: float, hamming: int = PROBE_HAMMING) -> 
 
 def _derive_n_bands(n_planes: int) -> int:
     """Bands needed so a LSH_TARGET_SIM pair survives with probability
-    ≥ LSH_TARGET_RECALL at this plane width; 1 at fixture widths."""
+    ≥ LSH_TARGET_RECALL at this plane width (1 at fixture widths),
+    capped at MAX_LSH_BANDS — see the cap-honesty note above:
+    beyond 26 planes the capped recall falls short of the target and
+    ``_modeled_recall`` is the number to trust."""
     if n_planes <= N_PLANES:
         return 1
     p = _collision_prob(n_planes, LSH_TARGET_SIM)
@@ -181,6 +194,15 @@ def _derive_n_bands(n_planes: int) -> int:
     return min(
         MAX_LSH_BANDS, math.ceil(math.log(1.0 - LSH_TARGET_RECALL) / math.log(1.0 - p))
     )
+
+
+def _modeled_recall(n_planes: int, n_bands: int, sim: float = LSH_TARGET_SIM) -> float:
+    """Modeled probability that a ``sim``-cosine pair is recalled by
+    ``n_bands`` independent Hamming-≤2 plane sets at this width — the
+    honest recall figure at any (width, bands) point, including where
+    the MAX_LSH_BANDS cap binds."""
+    p = _collision_prob(n_planes, sim)
+    return 1.0 - (1.0 - p) ** n_bands
 
 
 def _rand_plane_bucket(col: str, n_planes: int, dim: int, band: int, seed: int = 42) -> str:
@@ -207,17 +229,20 @@ def _banded_hashed(corpus: DataFrame, n_planes: int, n_bands: int, dim: int) -> 
     single-band oracles encode). Band 0 IS the single-band geometry,
     so the banded candidate set is a superset of the single-band one
     — recall is monotone in B by construction."""
-    exprs = [_bucket("emb", n_planes)] + [
+    band_exprs = [
         _rand_plane_bucket("emb", n_planes, dim, s) for s in range(1, n_bands)
     ]
+    # band 0 reuses the materialized bucket0 column instead of
+    # re-evaluating the n_planes-term CASE sum per row
     structs = F.array(
+        F.struct(F.lit(0).alias("band"), F.col("bucket0").alias("bucket")),
         *[
-            F.struct(F.lit(s).alias("band"), F.expr(e).cast("int").alias("bucket"))
-            for s, e in enumerate(exprs)
-        ]
+            F.struct(F.lit(s + 1).alias("band"), F.expr(e).cast("int").alias("bucket"))
+            for s, e in enumerate(band_exprs)
+        ],
     )
     return (
-        corpus.withColumn("bucket0", F.expr(exprs[0]).cast("int"))
+        corpus.withColumn("bucket0", F.expr(_bucket("emb", n_planes)).cast("int"))
         .withColumn("bb", F.explode(structs))
         .select(
             "vec_id",
@@ -441,8 +466,11 @@ def fit_quantizer(
     1. coarse KMeans at k₁ = ⌈√k⌉ (MLlib, distributed, k₁ small);
     2. per-coarse-cell sub-centroids, k₂_c ∝ cell size so Σk₂ ≈ k,
        fit by seeded numpy Lloyd on a deterministic per-cell sample
-       (xxhash64(vec_id) order, ≤ 64 rows per sub-centroid) inside one
-       ``applyInPandas`` — each group is sample-sized, never cell-sized;
+       (uniform xxhash64 lot: a narrow per-cell gate admits ~4× the
+       target before any exchange, then an exact ≤ 64-rows-per-
+       sub-centroid cap in lot order) inside one ``applyInPandas`` —
+       each group is sample-sized, never cell-sized, and the shuffle
+       moves only gate survivors, not the corpus;
     3. assignment: every row argmins over ONLY its own coarse cell's
        sub-centroids (Arrow-batched pandas UDF over a
        sparkContext.broadcast of the codebook) — O((k₁+k₂)·d) ≈
@@ -484,15 +512,35 @@ def fit_quantizer(
     }
     n_total = sum(sizes.values())
     k2_alloc = {c: max(1, round(k * sz / n_total)) for c, sz in sizes.items()}
+    # Per-cell sample-gate threshold on a uniform hash lot: admit ~4x
+    # the wanted sample, so the NARROW filter discards ~(1 - 256·k2/n)
+    # of the corpus BEFORE any exchange — without it, the exactness
+    # window below would shuffle-and-sort every embedding byte just to
+    # keep <=64·k2 rows per cell (the review-flagged full-corpus
+    # shuffle). The window then runs over the small survivor set only,
+    # capping each cell exactly (unlucky under-admission just means a
+    # smaller Lloyd sample — k is clamped to the sample size).
+    _LOT = 1 << 31
+    gate = {
+        c: min(
+            _LOT,
+            -(-_LOT * (SUBFIT_SAMPLE_PER_CENTROID * k2 * 4) // max(sizes[c], 1)),
+        )
+        for c, k2 in k2_alloc.items()
+    }
     k2_df = spark.createDataFrame(
-        sorted(k2_alloc.items()), "coarse int, k2 int"
+        [(c, k2, gate[c]) for c, k2 in sorted(k2_alloc.items())],
+        "coarse int, k2 int, gate bigint",
     )
 
-    w = Window.partitionBy("coarse").orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+    lot = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_LOT))
+    w = Window.partitionBy("coarse").orderBy("lot", "vec_id")
     sampled = (
         a1.select("coarse", "vec_id", "emb")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("lot", lot)
         .join(F.broadcast(k2_df), "coarse")
+        .filter(F.col("lot") < F.col("gate"))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("k2") * SUBFIT_SAMPLE_PER_CENTROID)
     )
 
@@ -516,11 +564,15 @@ def fit_quantizer(
         .applyInPandas(_subfit, "coarse int, sub int, centroid array<double>")
         .collect()  # Σk₂ ≈ k rows — the model object (see docstring)
     )
+    # one O(k) grouping pass (a per-cell scan of sub_rows would be
+    # O(k1·k) driver work — minutes at k≈10⁶)
+    by_coarse: dict[int, list] = {}
+    for r in sub_rows:
+        by_coarse.setdefault(r.coarse, []).append(r)
     books: dict[int, np.ndarray] = {}
-    for c in k2_alloc:
-        rows = sorted((r for r in sub_rows if r.coarse == c), key=lambda r: r.sub)
-        if rows:
-            books[c] = np.vstack([r.centroid for r in rows])
+    for c, rows in by_coarse.items():
+        rows.sort(key=lambda r: r.sub)
+        books[c] = np.vstack([r.centroid for r in rows])
     k2max = max(len(b) for b in books.values())
     bc_books = spark.sparkContext.broadcast(books)
 
@@ -668,9 +720,10 @@ def q66_embedding_near_dup(
     At derived wide widths even multi-probe collision decays (~0.26
     for a cos-0.9 pair at 26 planes), so ``n_bands=None`` also derives
     the OR-amplification factor (_derive_n_bands): B independent plane
-    sets, candidate union, recall 1-(1-p)^B ≥ 0.9 by construction —
-    1 band at fixture widths, keeping this plan and its oracle
-    byte-identical there."""
+    sets, candidate union, recall 1-(1-p)^B — ≥ 0.9 wherever that fits
+    within MAX_LSH_BANDS (through 26 planes; see the cap-honesty note
+    and _modeled_recall for wider) — 1 band at fixture widths, keeping
+    this plan and its oracle byte-identical there."""
     if n_planes is None:
         n_planes = _derive_n_planes(_corpus(spark, sf_dir).count())
     if n_bands is None:

@@ -637,11 +637,10 @@ def stream_equivalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = batch_df.localCheckpoint(eager=True)
         b_rows = b.count()
         s_rows = s.count()
-        equal = (
-            b_rows == s_rows
-            and s.exceptAll(b).isEmpty()
-            and b.exceptAll(s).isEmpty()
-        )
+        # with |s| == |b|, one multiset difference being empty implies
+        # the other (|s\b| = |s| - |s∩b| = |b| - |s∩b| = |b\s|), so a
+        # single exceptAll probe suffices
+        equal = b_rows == s_rows and s.exceptAll(b).isEmpty()
         rows.append((name, b_rows, s_rows, equal))
 
     try:

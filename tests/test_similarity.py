@@ -267,6 +267,8 @@ def test_banded_lsh_derivation_law():
         _derive_n_planes,
     )
 
+    from engine.similarity import _modeled_recall
+
     assert _derive_n_bands(8) == 1
     planes = _derive_n_planes(1_000_000_000)
     bands = _derive_n_bands(planes)
@@ -275,6 +277,12 @@ def test_banded_lsh_derivation_law():
     assert 1 - (1 - p) ** bands >= LSH_TARGET_RECALL
     # monotone: wider planes never need fewer bands
     assert _derive_n_bands(planes + 4) >= bands
+    # cap honesty: past 26 planes the MAX_LSH_BANDS cap binds and the
+    # target is NOT met — the docs promise graceful degradation, not
+    # 0.9; pin the modeled numbers so a silent cap change surfaces
+    assert _derive_n_bands(27) == MAX_LSH_BANDS
+    assert 0.85 <= _modeled_recall(27, MAX_LSH_BANDS) < LSH_TARGET_RECALL
+    assert 0.60 <= _modeled_recall(33, MAX_LSH_BANDS) < 0.75
 
 
 def test_banded_lsh_recall_improves(spark, sf_dir):
