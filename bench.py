@@ -104,6 +104,9 @@ HEADLINE = [
     "q79_corpus_mix",
     "q97_paragraph_dedup",
     "q102_incremental_dedup",
+    "q103_bpe_pair_census",
+    "q103b_bpe_train",
+    "q104_temperature_mixture",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",
     "q55_simhash",

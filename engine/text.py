@@ -1710,3 +1710,293 @@ ORACLE["q102_incremental_dedup"] = f"""
                 ELSE 'new' END AS status
     FROM batch b LEFT JOIN hist h USING (fingerprint)
 """
+
+
+# ------------------------------------------------ BPE tokenizer training (r5)
+
+# pair-census surface: top pairs emitted by q103 (deterministic under
+# the (count DESC, left, right) tie-break)
+BPE_TOP_PAIRS = 20
+# merge rounds learned by the q103b trainer
+BPE_MERGES = 8
+
+
+def _word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) census of the whitespace-tokenized corpus — the
+    frame ALL BPE work runs on.  This is the classic subword-nmt
+    factoring (Sennrich et al. 2016): pair statistics over the word
+    *census* weighted by frequency are identical to pair statistics
+    over the corpus, but the census is vocabulary-sized — the corpus
+    is scanned exactly once, and every training iteration afterwards
+    touches only |vocab| rows (reference parity: the engine-level
+    "aggregate once, iterate on the small frame" pattern of
+    main.py:277-335's incremental fits)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def q103_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 pair census: the weighted frequency of every
+    adjacent character pair, the statistic a byte-pair-encoding
+    tokenizer trainer maximizes at each merge step.  Top
+    BPE_TOP_PAIRS pairs, ties broken (left, right) ascending so the
+    cut is deterministic.
+
+    Scale shape: one corpus scan → word census (vocab-sized shuffle
+    keys); the pair explode + pair agg then run over the CENSUS, so
+    their cost is O(|vocab| · word_len) and the pair-agg shuffle is
+    |alphabet|²-sized — independent of corpus row count.  A naive
+    per-document pair explode would shuffle O(corpus tokens) rows;
+    this plan never does."""
+    words = _word_census(spark, sf_dir).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b over a
+    symbol array — one JVM-side aggregate() fold, no Python UDF.  The
+    fold appends each symbol unless the accumulator tail is exactly
+    ``a`` and the incoming symbol is ``b``, in which case the tail is
+    replaced by the merged symbol.  A freshly merged tail can never
+    re-match as the LEFT of the same pair (a+b != a for non-empty b),
+    which reproduces subword-nmt's scan-from-i+2 semantics, including
+    the overlapping case ("aaa" + merge(a,a) → ["aa","a"])."""
+    merged = a + b
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def q103b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn BPE_MERGES merge
+    rules over the corpus, returning the merge table
+    (rank, left_sym, right_sym, merged, pair_count) — the model a BPE
+    tokenizer ships.  Algorithm = subword-nmt (Sennrich et al. 2016)
+    learn_bpe re-expressed for Spark:
+
+    1. word census (corpus scanned ONCE — see _word_census);
+    2. per round: adjacent-pair census over the symbol arrays (JVM
+       explode + hash agg, |alphabet ∪ merges|²-keyed), top-1 pair
+       by (count DESC, pair ASC) — a 1-row collect;
+    3. apply the merge to every word via a JVM aggregate() fold
+       (_merge_pair — no Python workers anywhere in the loop), then
+       localCheckpoint to truncate the growing lineage.
+
+    Pair counts follow subword-nmt: overlapping occurrences all count
+    ("aaa" contributes 2 to (a,a)), merging is greedy left-to-right —
+    so learned rules match the de-facto standard.  Rows-only by
+    nature (iterative; invariants pinned in tests/test_text.py:
+    round-0 top pair == q103's, total symbol count strictly
+    decreases, concat(syms) always reconstructs the word).
+
+    Scale shape: every iteration is vocab-sized — the corpus never
+    re-enters.  At 100 TB the census is the only corpus-scale job;
+    1e5 merge rounds would schedule 1e5 tiny jobs (the real cost at
+    production merge counts), which is why the census factoring, not
+    the per-round plan, is the load-bearing design choice."""
+    cur = (
+        _word_census(spark, sf_dir)
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rank in range(BPE_MERGES):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((rank, a, b, a + b, int(c)))
+        cur = cur.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )
+
+
+# --------------------------------------- temperature-scaled mixture (r5)
+
+# α = 0.5 (√-share flattening, the mC4/XLM-R "temperature sampling"
+# family; UniMax caps per-language epochs the same way this caps
+# rate ≤ 1).  0.5 specifically because sqrt is IEEE-754 CORRECTLY
+# ROUNDED in both Spark and DuckDB — pow(x, 0.7) is not, and a 1-ulp
+# divergence under the floor() threshold would break the bit-exact
+# oracle compare.
+TEMP_WEIGHT_SCALE = 1_000_000_000  # integer weight grid (see below)
+
+
+def q104_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture: re-weight languages to
+    p_l ∝ share_l^0.5 (flattening head languages, boosting the tail —
+    the mC4/XLM-R sampling scheme), then deterministically sample docs
+    to realize that mix at the largest budget where no language is
+    oversampled (q79's budget law with DERIVED targets instead of the
+    fixed MIX_TARGET map).
+
+    Bit-exact-oracle determinism: the normalizer Σ sqrt(share) is a
+    float sum whose value depends on ADDITION ORDER — unacceptable
+    under the driver's hash gate.  So weights are snapped to an
+    integer grid first (w_l = floor(sqrt(share_l)·1e9)); the bigint
+    sum is exact and order-free, and every downstream double op
+    (divide, min, multiply, floor) is correctly rounded on identical
+    inputs in both engines.  Selection is the engine-portable md5
+    threshold (q79/q99 pattern) — reproducible across engines and
+    stable under corpus growth.
+
+    Scale shape: census → |langs| rows (one partial-agg shuffle); the
+    normalizer/budget scalars are WINDOW functions over that tiny
+    frame — windows-over-the-corpus move 100 TB to one partition
+    (q79's warning), but windows over a |langs|-row census are free
+    and keep the whole derivation in ONE census computation (the
+    agg+crossJoin form re-computes the census per derived scalar:
+    measured 9 document scans vs this plan's 2 — census + selection;
+    the corpus itself never re-partitions)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("toks"),
+    )
+    census = d.groupBy("lang").agg(
+        F.sum("toks").alias("n_l"), F.count(F.lit(1)).alias("docs_l")
+    )
+    wfull = Window.partitionBy(F.lit(1))
+    rated = (
+        census.withColumn("n_tot", F.sum("n_l").over(wfull))
+        .withColumn(
+            "w_l",
+            F.floor(F.sqrt(F.col("n_l") / F.col("n_tot")) * TEMP_WEIGHT_SCALE),
+        )
+        .withColumn("w_sum", F.sum("w_l").over(wfull))
+        .withColumn("p_l", F.col("w_l") / F.col("w_sum"))
+        .withColumn(
+            "budget",
+            F.min(F.when(F.col("w_l") > 0, F.col("n_l") / F.col("p_l"))).over(wfull),
+        )
+        .withColumn("rate", F.col("budget") * F.col("p_l") / F.col("n_l"))
+        .select(
+            "lang",
+            "n_l",
+            "p_l",
+            F.floor(F.col("rate") * 1e6).alias("thresh"),
+        )
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('tmix:', doc_id)), 1, 15), 16, 10) as bigint) % 1000000"
+    )
+    sel = d.join(F.broadcast(rated), "lang").withColumn("keep", h < F.col("thresh"))
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_tokens_before"),
+            F.round(F.max("p_l"), 6).alias("p_target"),
+            F.max("thresh").alias("rate_ppm"),
+            F.sum(F.col("keep").cast("int")).alias("docs_selected"),
+            F.sum(F.when(F.col("keep"), F.col("toks")).otherwise(F.lit(0))).alias(
+                "tokens_selected"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q103_bpe_pair_census"] = q103_bpe_pair_census
+QUERIES["q103b_bpe_train"] = q103b_bpe_train
+QUERIES["q104_temperature_mixture"] = q104_temperature_mixture
+
+ORACLE["q103_bpe_pair_census"] = f"""
+    WITH words AS (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+            SELECT unnest({_DUCK_TOKS}) AS w FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 1))) AS left_sym,
+               unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i + 1, 1))) AS right_sym,
+               freq
+        FROM words)
+    SELECT left_sym, right_sym, sum(freq)::BIGINT AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {BPE_TOP_PAIRS}
+"""
+
+ORACLE["q104_temperature_mixture"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len({_DUCK_TOKS})::BIGINT AS toks
+        FROM documents),
+    census AS (
+        SELECT lang, sum(toks)::BIGINT AS n_l, count(*)::BIGINT AS docs_l
+        FROM per_doc GROUP BY lang),
+    weighted AS (
+        SELECT *, floor(sqrt(n_l / (SELECT sum(n_l)::BIGINT FROM census))
+                        * {TEMP_WEIGHT_SCALE})::BIGINT AS w_l
+        FROM census),
+    rated AS (
+        SELECT lang, n_l,
+               w_l / (SELECT sum(w_l)::BIGINT FROM weighted) AS p_l,
+               floor((SELECT min(CASE WHEN w_l > 0 THEN
+                          n_l / (w_l / (SELECT sum(w_l)::BIGINT FROM weighted))
+                      END) FROM weighted)
+                     * (w_l / (SELECT sum(w_l)::BIGINT FROM weighted)) / n_l
+                     * 1e6)::BIGINT AS thresh
+        FROM weighted),
+    sel AS (
+        SELECT d.lang, d.toks, r.n_l, r.p_l, r.thresh,
+               (('0x' || substr(md5('tmix:' || d.doc_id), 1, 15))::BIGINT % 1000000
+                < r.thresh) AS keep
+        FROM per_doc d JOIN rated r USING (lang))
+    SELECT lang, max(n_l)::BIGINT AS n_tokens_before,
+           round(max(p_l), 6) AS p_target,
+           max(thresh)::BIGINT AS rate_ppm,
+           sum(keep::int)::BIGINT AS docs_selected,
+           sum(CASE WHEN keep THEN toks ELSE 0 END)::BIGINT AS tokens_selected
+    FROM sel GROUP BY lang ORDER BY lang
+"""

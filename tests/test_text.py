@@ -560,3 +560,76 @@ def test_incremental_dedup_planted_statuses(spark, tmp_path):
         9: "dup_in_batch",
         12: "new",
     }
+
+
+def test_bpe_train_planted_merge_sequence(spark, tmp_path):
+    """BPE trainer on a planted corpus with a hand-computed merge
+    sequence, pinning the three semantics that define subword-nmt
+    compatibility: overlapping pairs all COUNT ("aaa" contributes 2
+    to (a,a)), merging is greedy left-to-right ("aaa" -> [aa, a], not
+    [a, aa]), and newly-merged symbols participate in later rounds
+    ((aa, a) merges in round 1)."""
+    from engine.text import q103b_bpe_train
+
+    rows = [(i, "aaa", "en", "p", 3) for i in range(5)] + [
+        (10 + i, "ab", "en", "p", 2) for i in range(3)
+    ]
+    sf = str(tmp_path / "bpe")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(sf + "/documents.parquet")
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in q103b_bpe_train(spark, sf).collect()
+    ]
+    assert got == [
+        (0, "a", "a", "aa", 10),   # 2 overlapping (a,a) per "aaa" x5
+        (1, "aa", "a", "aaa", 5),  # greedy left-to-right left [aa, a]
+        (2, "a", "b", "ab", 3),
+    ]
+
+
+def test_bpe_train_matches_pair_census_and_decreases(spark, sf_dir):
+    """On the fixture corpus: round-0's learned rule IS q103's top
+    census pair (same statistic, independently computed paths), and
+    pair counts are non-increasing in rank (each merge can only
+    remove occurrences of existing pairs; a created pair (x, a+b)
+    inherits at most count(x, a))."""
+    from engine.text import q103_bpe_pair_census, q103b_bpe_train
+
+    merges = q103b_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    assert len(merges) >= 3
+    top = q103_bpe_pair_census(spark, sf_dir).limit(1).collect()[0]
+    assert (merges[0].left_sym, merges[0].right_sym, merges[0].pair_count) == (
+        top.left_sym,
+        top.right_sym,
+        top.pair_count,
+    )
+    counts = [m.pair_count for m in merges]
+    assert counts == sorted(counts, reverse=True)
+    assert all(m.merged == m.left_sym + m.right_sym for m in merges)
+    assert [m.rank for m in merges] == list(range(len(merges)))
+
+
+def test_temperature_mixture_flattens_and_binds(spark, sf_dir):
+    """q104 invariants: (1) sampling rates never exceed 1 (no
+    oversampling — UniMax's defining constraint) and the budget-
+    binding language sits at rate ~1; (2) sqrt-flattening moves the
+    head language's target share BELOW its raw share and the tail
+    language's ABOVE it; (3) selections are subsets."""
+    from engine.session import table
+    from engine.text import q104_temperature_mixture
+
+    rows = q104_temperature_mixture(spark, sf_dir).collect()
+    assert all(0 <= r.rate_ppm <= 1_000_000 for r in rows)
+    assert max(r.rate_ppm for r in rows) >= 999_999  # binding lang at ~1.0
+    n_tot = sum(r.n_tokens_before for r in rows)
+    shares = {r.lang: r.n_tokens_before / n_tot for r in rows}
+    head = max(rows, key=lambda r: r.n_tokens_before)
+    tail = min(rows, key=lambda r: r.n_tokens_before)
+    if head.n_tokens_before != tail.n_tokens_before:
+        assert head.p_target < shares[head.lang]
+        assert tail.p_target > shares[tail.lang]
+    for r in rows:
+        assert 0 <= r.docs_selected
+        assert 0 <= r.tokens_selected <= r.n_tokens_before

@@ -52,6 +52,7 @@ EAGER_SKIP = {
     "q80b_component_representatives",
     "ann_recall_report",
     "stream_equivalence_report",  # runs real streams during construction
+    "q103b_bpe_train",  # iterative merge loop, collects per round
 }
 
 
