@@ -7,11 +7,11 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 126.  Policy: stalest-first — every
+entries, and the full inventory is 127.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
-this round always re-enter immediately.  At 126 queries and 50 slots
+this round always re-enter immediately.  At 127 queries and 50 slots
 the strict "every other round" cadence is arithmetically out of reach
 (it would need ~60 slots); stalest-first is the schedule that
 minimizes the maximum staleness, and the deferral list below names
@@ -29,28 +29,30 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (7): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (8): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
     standing fingerprint store), q64b_frame_sample (temporal
     media sampling — the video/audio multimodal leg),
     q103/q103b (BPE pair census + distributed merge-rule training),
-    and q104 (sqrt-temperature multilingual mixture sampling).
+    q104 (sqrt-temperature multilingual mixture sampling), and
+    q105 (embedding-space benchmark decontamination).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (15): the r3-green relational block,
-    prioritized by semantic risk — all core joins (q01-q10, q28 asof,
+  - ``_R5_RELATIONAL_ROTATION`` (14): the r3-green relational block,
+    prioritized by semantic risk — the core joins (q01-q09, q28 asof,
     q81 range), the window-function spine (q11/q13/q31),
     grouping-sets q26 (generalizes rollup/cube).
-  - ``_DEFERRED_TO_R6`` (31): the remaining r3-green relational
+  - ``_DEFERRED_TO_R6`` (32): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
-    queries (q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
+    queries (q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
     q90-q93/q98/q99 — q92's lag+running-sum machinery is shared with
     in-window q13/q31, q36/q88's rank/value windows with in-window
     q11/q13/q31, q82's multi-grain agg with in-window q26, q18's
-    distinct-agg path with sketch_error_report's exact twins),
+    distinct-agg path with sketch_error_report's exact twins, q10's
+    theta machinery with in-window q81),
     plus q30/q96/q83 whose sketch-vs-exact behavior is value-surfaced
     IN-WINDOW this round by sketch_error_report.  They lead r6
     unconditionally (stalest-first makes that self-executing).
@@ -111,6 +113,7 @@ _NEW_IN_R5 = [
     "q103_bpe_pair_census",       # BPE round-0 pair statistics (oracle-backed)
     "q103b_bpe_train",            # distributed BPE merge-rule training (iterative)
     "q104_temperature_mixture",   # sqrt-temperature multilingual sampling
+    "q105_semantic_decontamination",  # embedding-space eval-overlap scrub
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -134,7 +137,6 @@ _R5_RELATIONAL_ROTATION = [
     "q07_broadcast_join",
     "q08_semi_join",
     "q09_anti_join",
-    "q10_theta_join",
     "q28_asof_join",
     "q81_range_join",
     "q11_window_rank",
@@ -154,6 +156,7 @@ _DEFERRED_TO_R6 = {
     "q36_rank_functions",  # rank/dense_rank machinery shared with in-window q11
     "q88_value_window_funcs",  # value-window machinery shared with in-window q13/q31
     "q18_distinct_agg",    # distinct-agg path exercised in-window by sketch_error_report's exact twins
+    "q10_theta_join",      # theta machinery shared with in-window q81 range join
     "q12_window_lag",
     "q14_topk_orders",
     "q15_union_all",
@@ -185,7 +188,7 @@ _DEFERRED_TO_R6 = {
 
 def _window_head() -> list[str]:
     """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the seven new queries, the five changed queries, then the 15
+    the eight new queries, the five changed queries, then the 14
     prioritized relational rotation slots — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50

@@ -107,6 +107,7 @@ HEADLINE = [
     "q103_bpe_pair_census",
     "q103b_bpe_train",
     "q104_temperature_mixture",
+    "q105_semantic_decontamination",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",
     "q55_simhash",

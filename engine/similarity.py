@@ -1087,8 +1087,65 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------- semantic decontamination (r5)
+
+# eval-holdout rule mirrors q48's lexical decon fixture framing
+# (engine/text.py DECON_HOLDOUT_MOD): every 50th vector stands in for
+# the benchmark suite's embeddings.
+SEM_DECON_MOD = 50
+# similarity-above-which a corpus item counts as eval contamination.
+# Real deployments set this near the paraphrase band (~0.9, cf.
+# SemDeDup's 0.9+); the fixture embeddings are unplanted across the
+# holdout boundary (max cross sim ≈ 0.45 measured), so the DEFAULT
+# sits in the fixture's regime to keep the flag column live — the
+# semantics at any threshold are pinned by a planted-contamination
+# test (tests/test_similarity.py).
+SEM_DECON_THRESHOLD = 0.4
+
+
+def q105_semantic_decontamination(
+    spark: SparkSession, sf_dir: str, threshold: float = SEM_DECON_THRESHOLD
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — q48's scrub for
+    paraphrased/translated contamination that shares no n-grams with
+    the eval set: flag every corpus vector whose cosine against ANY
+    eval vector reaches ``threshold``, with the max similarity and
+    hit count as evidence columns.
+
+    Scale shape: the eval set (tiny vs the corpus, same asymmetry
+    q48 exploits) is collected into ONE array-of-structs row and
+    broadcast; each corpus row evaluates all its eval similarities
+    inside a single JVM transform/aggregate expression — scan →
+    project, ZERO corpus shuffles (the q74b broadcast-literal idea,
+    but as a plan-side broadcast so the eval set never inlines into
+    the query text). A crossJoin+groupBy(vec_id) form would re-shuffle
+    the corpus to regroup what was never apart. Cosine = single dot
+    product on pre-normalized vectors (q60's bit-exact arithmetic,
+    same oracle helpers)."""
+    c = _corpus_normed(spark, sf_dir)
+    evals = c.filter(F.col("vec_id") % SEM_DECON_MOD == 0).agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("evals")
+    )
+    dot = _DOT.format(a="emb", b="e.emb")
+    sims = f"transform(evals, e -> {dot})"
+    thr = f"CAST({threshold!r} AS DOUBLE)"
+    return (
+        c.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+        .crossJoin(F.broadcast(evals))
+        .withColumn("mx", F.expr(f"array_max({sims})"))
+        .withColumn("n_hits", F.expr(f"size(filter({sims}, s -> s >= {thr}))"))
+        .select(
+            "vec_id",
+            F.round("mx", 6).alias("max_eval_sim"),
+            "n_hits",
+            (F.col("mx") >= F.expr(thr)).alias("contaminated"),
+        )
+    )
+
+
 QUERIES = {
     "q60_knn_brute": q60_knn_brute,
+    "q105_semantic_decontamination": q105_semantic_decontamination,
     "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
     "q62_brp_lsh_join": q62_brp_lsh_join,
     "q65_knn_ivf": q65_knn_ivf,
@@ -1116,6 +1173,18 @@ _DUCK_BUCKET = " + ".join(
 )
 
 ORACLE = {
+    "q105_semantic_decontamination": f"""
+        WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} = 0),
+        corp AS (SELECT vec_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} <> 0),
+        scored AS (
+            SELECT a.vec_id, list_dot_product(a.emb, q.emb) AS sim
+            FROM corp a, ev q)
+        SELECT vec_id, round(max(sim), 6) AS max_eval_sim,
+               sum((sim >= {SEM_DECON_THRESHOLD!r})::int)::int AS n_hits,
+               max(sim) >= {SEM_DECON_THRESHOLD!r} AS contaminated
+        FROM scored GROUP BY vec_id
+    """,
     "q66_embedding_near_dup": f"""
         -- GEOMETRY NOTE: this oracle encodes the FIXTURE bucket width
         -- (n_planes = 8, the _derive_n_planes floor, which binds for

@@ -478,3 +478,34 @@ def test_semantic_dedup_fixture_groups_consistent(spark, sf_dir):
     total_members = sum(r.group_size for r in out)
     assert len({r.component for r in out}) == len(out)
     assert total_members >= 2 * len(out)
+
+
+def test_semantic_decontamination_planted(spark, tmp_path):
+    """q105 on a planted embedding space: an eval-identical corpus
+    vector is contaminated with n_hits=1 and max_eval_sim=1; an
+    orthogonal one is clean with max 0; a negated eval vector scores
+    -1 (max over the single eval) and stays clean.  Exercises the
+    high-threshold regime the fixture corpus can't (no planted
+    cross-holdout near-dups there)."""
+    from engine.similarity import q105_semantic_decontamination
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # eval (vec_id % 50 == 0)
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact contamination
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal — clean
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # antipodal — clean
+        (4, [1.0, 1.0, 0.0, 0.0]),   # cos = 1/sqrt(2) ≈ 0.707
+    ]
+    sf = str(tmp_path / "sem")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").write.parquet(
+        sf + "/embeddings.parquet"
+    )
+    out = {
+        r.vec_id: (r.max_eval_sim, r.n_hits, r.contaminated)
+        for r in q105_semantic_decontamination(spark, sf, threshold=0.9).collect()
+    }
+    assert out[1] == (1.0, 1, True)
+    assert out[2] == (0.0, 0, False)
+    assert out[3] == (-1.0, 0, False)
+    assert out[4][2] is False and abs(out[4][0] - 0.707107) < 1e-6
