@@ -7,11 +7,11 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 127.  Policy: stalest-first — every
+entries, and the full inventory is 128.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
-this round always re-enter immediately.  At 127 queries and 50 slots
+this round always re-enter immediately.  At 128 queries and 50 slots
 the strict "every other round" cadence is arithmetically out of reach
 (it would need ~60 slots); stalest-first is the schedule that
 minimizes the maximum staleness, and the deferral list below names
@@ -29,30 +29,32 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (8): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (9): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
     standing fingerprint store), q64b_frame_sample (temporal
     media sampling — the video/audio multimodal leg),
-    q103/q103b (BPE pair census + distributed merge-rule training),
+    q103/q103b/q103c (BPE pair census, distributed merge-rule
+    training, and learned-merge tokenization),
     q104 (sqrt-temperature multilingual mixture sampling), and
     q105 (embedding-space benchmark decontamination).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (14): the r3-green relational block,
-    prioritized by semantic risk — the core joins (q01-q09, q28 asof,
-    q81 range), the window-function spine (q11/q13/q31),
+  - ``_R5_RELATIONAL_ROTATION`` (13): the r3-green relational block,
+    prioritized by semantic risk — the core joins (q01-q05 minus the
+    filter+agg-only q06, q07-q09, q28 asof, q81 range), the window-function spine (q11/q13/q31),
     grouping-sets q26 (generalizes rollup/cube).
-  - ``_DEFERRED_TO_R6`` (32): the remaining r3-green relational
+  - ``_DEFERRED_TO_R6`` (33): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
-    queries (q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
+    queries (q06/q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
     q90-q93/q98/q99 — q92's lag+running-sum machinery is shared with
     in-window q13/q31, q36/q88's rank/value windows with in-window
     q11/q13/q31, q82's multi-grain agg with in-window q26, q18's
     distinct-agg path with sketch_error_report's exact twins, q10's
-    theta machinery with in-window q81),
+    theta machinery with in-window q81, q06's filter+agg with
+    in-window q01/q02),
     plus q30/q96/q83 whose sketch-vs-exact behavior is value-surfaced
     IN-WINDOW this round by sketch_error_report.  They lead r6
     unconditionally (stalest-first makes that self-executing).
@@ -112,6 +114,7 @@ _NEW_IN_R5 = [
     "q64b_frame_sample",          # temporal media sampling (video/audio leg)
     "q103_bpe_pair_census",       # BPE round-0 pair statistics (oracle-backed)
     "q103b_bpe_train",            # distributed BPE merge-rule training (iterative)
+    "q103c_bpe_tokenize",         # learned-merge tokenization (train->apply loop)
     "q104_temperature_mixture",   # sqrt-temperature multilingual sampling
     "q105_semantic_decontamination",  # embedding-space eval-overlap scrub
 ]
@@ -133,7 +136,6 @@ _R5_RELATIONAL_ROTATION = [
     "q02_revenue_by_nation",
     "q03_top_orders",
     "q04_outer_join_agg",
-    "q06_forecast_revenue",
     "q07_broadcast_join",
     "q08_semi_join",
     "q09_anti_join",
@@ -157,6 +159,7 @@ _DEFERRED_TO_R6 = {
     "q88_value_window_funcs",  # value-window machinery shared with in-window q13/q31
     "q18_distinct_agg",    # distinct-agg path exercised in-window by sketch_error_report's exact twins
     "q10_theta_join",      # theta machinery shared with in-window q81 range join
+    "q06_forecast_revenue",  # filter+agg shape shared with in-window q01/q02
     "q12_window_lag",
     "q14_topk_orders",
     "q15_union_all",
@@ -188,7 +191,7 @@ _DEFERRED_TO_R6 = {
 
 def _window_head() -> list[str]:
     """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the eight new queries, the five changed queries, then the 14
+    the nine new queries, the five changed queries, then the 13
     prioritized relational rotation slots — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50

@@ -106,6 +106,7 @@ HEADLINE = [
     "q102_incremental_dedup",
     "q103_bpe_pair_census",
     "q103b_bpe_train",
+    "q103c_bpe_tokenize",
     "q104_temperature_mixture",
     "q105_semantic_decontamination",
     "q52_ngram_jaccard",

@@ -2000,3 +2000,54 @@ ORACLE["q104_temperature_mixture"] = f"""
            sum(CASE WHEN keep THEN toks ELSE 0 END)::BIGINT AS tokens_selected
     FROM sel GROUP BY lang ORDER BY lang
 """
+
+
+def q103c_bpe_tokenize(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned BPE merge table (q103b) to the corpus — the
+    tokenize step every training pipeline runs after training the
+    tokenizer: per-doc subword token counts next to the whitespace
+    baseline, with the compression ratio.
+
+    Plan: the merge table is MODEL-scale (n_merges rows — collected
+    like the PQ codebooks), applied to the vocabulary-sized word
+    census as ``n_merges`` chained JVM ``aggregate()`` folds in ONE
+    projection (no Python workers, no per-round jobs — training
+    needed per-round censuses, applying does not).  Per-doc counts
+    then come from explode → broadcast-join(word → n_subtokens) →
+    re-agg; the exploded rows stay co-located with their document, so
+    partial aggregation collapses the shuffle to ~1 row per doc.
+    Rows-only: the learned merges are data-derived, so no static SQL
+    oracle exists (invariants: ws_tokens ≤ bpe_tokens ≤ non-space
+    chars, monotone non-increasing in n_merges — tests/test_text.py).
+
+    This contract query trains-then-applies for self-containment; a
+    production pipeline persists the merge table once (model sink,
+    engine/io.py) and runs only the apply side per corpus snapshot."""
+    merges = q103b_bpe_train(spark, sf_dir).orderBy("rank").collect()[:n_merges]
+    syms = F.split("w", "")
+    for m in merges:
+        syms = _merge_pair(syms, m.left_sym, m.right_sym)
+    word_tokens = _word_census(spark, sf_dir).select(
+        "w", F.size(syms).alias("n_sub")
+    )
+    d = table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        exploded.join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sub").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
+        )
+    )
+
+
+QUERIES["q103c_bpe_tokenize"] = q103c_bpe_tokenize

@@ -633,3 +633,84 @@ def test_temperature_mixture_flattens_and_binds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.docs_selected
         assert 0 <= r.tokens_selected <= r.n_tokens_before
+
+
+def test_bpe_merge_fold_matches_reference_impl(spark):
+    """The JVM aggregate()-fold merge (_merge_pair) against a plain-
+    Python reference implementation of subword-nmt's merge step, over
+    randomized symbol sequences INCLUDING multi-char symbols and
+    pathological overlap runs — all evaluated in one DataFrame pass."""
+    import random
+
+    from engine.text import _merge_pair
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c", "aa", "ab", "ba"]
+    cases = []
+    for i in range(60):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, a, b, ref_merge(syms, a, b)))
+    # pathological overlap runs
+    cases.append((60, ["a"] * 7, "a", "a", ref_merge(["a"] * 7, "a", "a")))
+    cases.append((61, ["aa", "a", "a", "aa"], "aa", "a", ref_merge(["aa", "a", "a", "aa"], "aa", "a")))
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, s, a, b, _ in cases],
+        "i int, syms array<string>, a string, b string",
+    )
+    # one pass: group rows by (a, b) pair so each distinct pair gets
+    # one _merge_pair expression
+    by_pair: dict[tuple, list] = {}
+    for i, s, a, b, want in cases:
+        by_pair.setdefault((a, b), []).append((i, want))
+    import pyspark.sql.functions as F
+
+    got: dict[int, list] = {}
+    for (a, b), members in by_pair.items():
+        ids = [i for i, _ in members]
+        rows = (
+            df.filter(F.col("i").isin(ids))
+            .select("i", _merge_pair(F.col("syms"), a, b).alias("m"))
+            .collect()
+        )
+        got.update({r.i: list(r.m) for r in rows})
+    for i, _, a, b, want in cases:
+        assert got[i] == want, (i, a, b, got[i], want)
+
+
+def test_bpe_tokenize_invariants(spark, sf_dir):
+    """q103c: every doc satisfies ws_tokens <= bpe_tokens <= non-space
+    chars; token counts are non-increasing in the number of applied
+    merges; zero merges degenerate to character count."""
+    import pyspark.sql.functions as F
+
+    from engine.session import table
+    from engine.text import q103c_bpe_tokenize
+
+    full = {r.doc_id: r for r in q103c_bpe_tokenize(spark, sf_dir).collect()}
+    none = {r.doc_id: r for r in q103c_bpe_tokenize(spark, sf_dir, n_merges=0).collect()}
+    chars = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")).alias("n"),
+        )
+        .collect()
+    }
+    assert full.keys() == none.keys()
+    for doc_id, r in full.items():
+        assert r.ws_tokens <= r.bpe_tokens <= chars[doc_id]
+        assert r.bpe_tokens <= none[doc_id].bpe_tokens  # merges only shrink
+        assert none[doc_id].bpe_tokens == chars[doc_id]  # 0 merges = chars

@@ -53,6 +53,7 @@ EAGER_SKIP = {
     "ann_recall_report",
     "stream_equivalence_report",  # runs real streams during construction
     "q103b_bpe_train",  # iterative merge loop, collects per round
+    "q103c_bpe_tokenize",  # trains (collects the merge table) at build
 }
 
 
