@@ -1104,7 +1104,10 @@ SEM_DECON_THRESHOLD = 0.4
 
 
 def q105_semantic_decontamination(
-    spark: SparkSession, sf_dir: str, threshold: float = SEM_DECON_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEM_DECON_THRESHOLD,
+    broadcast_evals: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — q48's scrub for
     paraphrased/translated contamination that shares no n-grams with
@@ -1119,27 +1122,40 @@ def q105_semantic_decontamination(
     project, ZERO corpus shuffles (the q74b broadcast-literal idea,
     but as a plan-side broadcast so the eval set never inlines into
     the query text). A crossJoin+groupBy(vec_id) form would re-shuffle
-    the corpus to regroup what was never apart. Cosine = single dot
-    product on pre-normalized vectors (q60's bit-exact arithmetic,
-    same oracle helpers)."""
+    the corpus to regroup what was never apart.  Bound: the single
+    collected row must fit the broadcast budget (|eval|·dim·8 B —
+    ~60 MB for a 10⁴-suite at dim 768); ``broadcast_evals=False`` is
+    the implemented fallback for eval suites beyond that — broadcast
+    hash join of eval ROWS + partial-agg groupBy, whose shuffle is
+    still only ~1 row per corpus vector (equality with the default
+    path is tested).  Cosine = single dot product on pre-normalized
+    vectors (q60's bit-exact arithmetic, same oracle helpers)."""
     c = _corpus_normed(spark, sf_dir)
-    evals = c.filter(F.col("vec_id") % SEM_DECON_MOD == 0).agg(
-        F.collect_list(F.struct("vec_id", "emb")).alias("evals")
-    )
-    dot = _DOT.format(a="emb", b="e.emb")
-    sims = f"transform(evals, e -> {dot})"
+    corpus = c.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    ev = c.filter(F.col("vec_id") % SEM_DECON_MOD == 0)
     thr = f"CAST({threshold!r} AS DOUBLE)"
-    return (
-        c.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
-        .crossJoin(F.broadcast(evals))
-        .withColumn("mx", F.expr(f"array_max({sims})"))
-        .withColumn("n_hits", F.expr(f"size(filter({sims}, s -> s >= {thr}))"))
-        .select(
-            "vec_id",
-            F.round("mx", 6).alias("max_eval_sim"),
-            "n_hits",
-            (F.col("mx") >= F.expr(thr)).alias("contaminated"),
+    if broadcast_evals:
+        evals = ev.agg(F.collect_list(F.struct("vec_id", "emb")).alias("evals"))
+        dot = _DOT.format(a="emb", b="e.emb")
+        sims = f"transform(evals, e -> {dot})"
+        scored = (
+            corpus.crossJoin(F.broadcast(evals))
+            .withColumn("mx", F.expr(f"array_max({sims})"))
+            .withColumn("n_hits", F.expr(f"size(filter({sims}, s -> s >= {thr}))"))
         )
+    else:
+        pair = corpus.crossJoin(
+            F.broadcast(ev.select(F.col("vec_id").alias("eval_id"), F.col("emb").alias("eemb")))
+        ).withColumn("sim", F.expr(_DOT.format(a="emb", b="eemb")))
+        scored = pair.groupBy("vec_id").agg(
+            F.max("sim").alias("mx"),
+            F.sum((F.col("sim") >= F.expr(thr)).cast("int")).cast("int").alias("n_hits"),
+        )
+    return scored.select(
+        "vec_id",
+        F.round("mx", 6).alias("max_eval_sim"),
+        "n_hits",
+        (F.col("mx") >= F.expr(thr)).alias("contaminated"),
     )
 
 

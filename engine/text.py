@@ -2018,6 +2018,10 @@ def q103c_bpe_tokenize(
     then come from explode → broadcast-join(word → n_subtokens) →
     re-agg; the exploded rows stay co-located with their document, so
     partial aggregation collapses the shuffle to ~1 row per doc.
+    The broadcast assumes a BOUNDED vocabulary (same precondition and
+    same fallback as q57c's unigram-LM join: for unbounded key
+    domains drop the hint so AQE shuffle-joins, or min-count-prune
+    the census first — q67b's heavy-hitter machinery).
     Rows-only: the learned merges are data-derived, so no static SQL
     oracle exists (invariants: ws_tokens ≤ bpe_tokens ≤ non-space
     chars, monotone non-increasing in n_merges — tests/test_text.py).

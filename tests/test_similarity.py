@@ -509,3 +509,22 @@ def test_semantic_decontamination_planted(spark, tmp_path):
     assert out[2] == (0.0, 0, False)
     assert out[3] == (-1.0, 0, False)
     assert out[4][2] is False and abs(out[4][0] - 0.707107) < 1e-6
+
+
+def test_semantic_decontamination_fallback_path_equal(spark, sf_dir):
+    """The giant-eval fallback (broadcast join of eval rows +
+    partial-agg groupBy) must produce exactly the broadcast-array
+    default's rows — same max, same hits, same flags."""
+    from engine.similarity import q105_semantic_decontamination
+
+    a = {
+        r.vec_id: (r.max_eval_sim, r.n_hits, r.contaminated)
+        for r in q105_semantic_decontamination(spark, sf_dir).collect()
+    }
+    b = {
+        r.vec_id: (r.max_eval_sim, r.n_hits, r.contaminated)
+        for r in q105_semantic_decontamination(
+            spark, sf_dir, broadcast_evals=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
