@@ -43,8 +43,9 @@ exactly which green rows wait and why they lose the least signal.
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
   - ``_R5_RELATIONAL_ROTATION`` (13): the r3-green relational block,
-    prioritized by semantic risk — the core joins (q01-q05 minus the
-    filter+agg-only q06, q07-q09, q28 asof, q81 range), the window-function spine (q11/q13/q31),
+    prioritized by semantic risk — the relational core (q01-q04,
+    q07-q09 joins, q28 asof, q81 range; q06's filter+agg shape is
+    deferred, shared with in-window q01/q02), the window-function spine (q11/q13/q31),
     grouping-sets q26 (generalizes rollup/cube).
   - ``_DEFERRED_TO_R6`` (33): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg

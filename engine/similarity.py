@@ -416,6 +416,11 @@ IVF_NPROBE = 6
 TWO_LEVEL_MIN_K = 4096
 SUBFIT_SAMPLE_PER_CENTROID = 64
 SUB_LLOYD_ITERS = 10
+# sample-gate over-admission factor: the per-cell hash-lot gate
+# admits ~this multiple of the wanted sample before the exact cap
+# (test knob: 0 forces every cell onto the coarse-centroid-fallback
+# codebook path)
+SUBFIT_GATE_FACTOR = 4
 
 
 def _np_lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
@@ -524,7 +529,7 @@ def fit_quantizer(
     gate = {
         c: min(
             _LOT,
-            -(-_LOT * (SUBFIT_SAMPLE_PER_CENTROID * k2 * 4) // max(sizes[c], 1)),
+            -(-_LOT * (SUBFIT_SAMPLE_PER_CENTROID * k2 * SUBFIT_GATE_FACTOR) // max(sizes[c], 1)),
         )
         for c, k2 in k2_alloc.items()
     }
@@ -573,6 +578,14 @@ def fit_quantizer(
     for c, rows in by_coarse.items():
         rows.sort(key=lambda r: r.sub)
         books[c] = np.vstack([r.centroid for r in rows])
+    # a populated cell whose hash-gate admitted NO sample rows (all
+    # its vec_ids drew losing lots) still needs a codebook entry —
+    # the assignment UDF indexes bk[c] unguarded.  Quantize such a
+    # cell by its coarse centroid alone: degenerate but correct, and
+    # vanishingly rare (gate admits ~4× the target in expectation).
+    for c in k2_alloc:
+        if c not in books:
+            books[c] = coarse_centers[int(c)][None, :].astype(float)
     k2max = max(len(b) for b in books.values())
     bc_books = spark.sparkContext.broadcast(books)
 
@@ -1147,15 +1160,27 @@ def q105_semantic_decontamination(
         pair = corpus.crossJoin(
             F.broadcast(ev.select(F.col("vec_id").alias("eval_id"), F.col("emb").alias("eemb")))
         ).withColumn("sim", F.expr(_DOT.format(a="emb", b="eemb")))
-        scored = pair.groupBy("vec_id").agg(
+        agg = pair.groupBy("vec_id").agg(
             F.max("sim").alias("mx"),
             F.sum((F.col("sim") >= F.expr(thr)).cast("int")).cast("int").alias("n_hits"),
         )
+        # left join back onto the corpus ids so an EMPTY eval set
+        # yields the same rows as the broadcast path (every corpus
+        # vector, clean) instead of an empty frame
+        scored = (
+            corpus.select("vec_id")
+            .join(agg, "vec_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        )
+    # coalesce: with NO eval vectors, max_eval_sim is honestly NULL
+    # but the FLAG must stay boolean — a NULL contaminated would slip
+    # past a `WHERE contaminated = false` driver check (same zero
+    # guard as sketch_error_report's rel_err)
     return scored.select(
         "vec_id",
         F.round("mx", 6).alias("max_eval_sim"),
         "n_hits",
-        (F.col("mx") >= F.expr(thr)).alias("contaminated"),
+        F.coalesce(F.col("mx") >= F.expr(thr), F.lit(False)).alias("contaminated"),
     )
 
 

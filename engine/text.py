@@ -1798,7 +1798,9 @@ def _merge_pair(syms, a: str, b: str):
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
-def q103b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103b_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
     """Distributed BPE tokenizer training: learn BPE_MERGES merge
     rules over the corpus, returning the merge table
     (rank, left_sym, right_sym, merged, pair_count) — the model a BPE
@@ -1831,7 +1833,7 @@ def q103b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []
-    for rank in range(BPE_MERGES):
+    for rank in range(n_merges):
         pairs = cur.filter(F.size("syms") >= 2).select(
             "freq",
             F.explode(
@@ -2029,7 +2031,7 @@ def q103c_bpe_tokenize(
     This contract query trains-then-applies for self-containment; a
     production pipeline persists the merge table once (model sink,
     engine/io.py) and runs only the apply side per corpus snapshot."""
-    merges = q103b_bpe_train(spark, sf_dir).orderBy("rank").collect()[:n_merges]
+    merges = q103b_bpe_train(spark, sf_dir, n_merges=n_merges).orderBy("rank").collect()
     syms = F.split("w", "")
     for m in merges:
         syms = _merge_pair(syms, m.left_sym, m.right_sym)

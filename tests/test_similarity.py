@@ -528,3 +528,51 @@ def test_semantic_decontamination_fallback_path_equal(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_semantic_decontamination_empty_eval_set(spark, tmp_path):
+    """With NO eval vectors (no vec_id % 50 == 0), both q105 paths
+    must agree: every corpus vector reported, n_hits 0, contaminated
+    False (never NULL — a NULL flag slips past boolean driver
+    checks), max_eval_sim honestly NULL."""
+    from engine.similarity import q105_semantic_decontamination
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(1, 6)]  # ids 1..5
+    sf = str(tmp_path / "noev")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").write.parquet(
+        sf + "/embeddings.parquet"
+    )
+    for bc in (True, False):
+        out = q105_semantic_decontamination(spark, sf, broadcast_evals=bc).collect()
+        assert len(out) == 5, bc
+        assert all(r.n_hits == 0 and r.contaminated is False for r in out), bc
+        assert all(r.max_eval_sim is None for r in out), bc
+
+
+def test_quantizer_empty_cell_fallback(spark, sf_dir, monkeypatch):
+    """SUBFIT_GATE_FACTOR=0 admits no sample rows anywhere, forcing
+    every cell onto the coarse-centroid-fallback codebook: the
+    two-level fit must still assign every vector (no KeyError) with
+    sub == 0 everywhere."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    import engine.similarity as sim
+    from engine.session import table
+
+    monkeypatch.setattr(sim, "SUBFIT_GATE_FACTOR", 0)
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    n = corpus.count()
+    q = sim.fit_quantizer(
+        spark, corpus, max(16, n // 8), seed=7, max_iter=5, force_two_level=True
+    )
+    assigned = q.assigned
+    assert assigned.count() == n
+    assert assigned.filter(assigned.cell.isNull()).count() == 0
+    cells = q.probe(np.zeros(len(corpus.first().emb)), nprobe=4)
+    assert len(cells) > 0
