@@ -109,6 +109,7 @@ HEADLINE = [
     "q103c_bpe_tokenize",
     "q104_temperature_mixture",
     "q105_semantic_decontamination",
+    "scaling_law_report",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",
     "q55_simhash",

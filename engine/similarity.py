@@ -1289,3 +1289,47 @@ ORACLE = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
 }
+
+
+def scaling_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible record of every derived scale knob — the
+    ann_recall_report pattern applied to the DERIVATION LAWS
+    themselves: one row per corpus size (the live fixture count plus
+    10⁶/10⁹/10¹² hypotheticals) with the sign-LSH width and band
+    count (+ modeled recall at the cap, _modeled_recall), the IVF
+    nlist/nprobe pair, the SemDeDup k, and which quantizer path
+    (flat vs two-level) that k selects.  A silent change to any
+    derivation (the r2 class of scale-killer: a constant someone
+    hard-codes back) shows up as a changed driver row, not only in
+    the in-suite law tests.  Rows-only by design: the frame is
+    arithmetic over module constants, deterministic, and intentionally
+    NOT reproducible from the parquet tables alone."""
+    n_live = _corpus(spark, sf_dir).count()
+    rows = []
+    for label, n in [("fixture", n_live), ("1e6", 10**6), ("1e9", 10**9), ("1e12", 10**12)]:
+        planes = _derive_n_planes(n)
+        bands = _derive_n_bands(planes)
+        nlist, nprobe = _derive_ivf(n)
+        k = _derive_semdedup_k(n)
+        rows.append(
+            (
+                label,
+                n,
+                planes,
+                bands,
+                round(_modeled_recall(planes, bands), 6),
+                nlist,
+                nprobe,
+                k,
+                "two_level" if k > TWO_LEVEL_MIN_K else "flat",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_label string, n_corpus bigint, lsh_n_planes int, lsh_n_bands int, "
+        "lsh_modeled_recall double, ivf_nlist int, ivf_nprobe int, "
+        "semdedup_k int, quantizer_path string",
+    )
+
+
+QUERIES["scaling_law_report"] = scaling_law_report

@@ -576,3 +576,36 @@ def test_quantizer_empty_cell_fallback(spark, sf_dir, monkeypatch):
     assert assigned.filter(assigned.cell.isNull()).count() == 0
     cells = q.probe(np.zeros(len(corpus.first().emb)), nprobe=4)
     assert len(cells) > 0
+
+
+def test_scaling_law_report_consistent_with_derivations(spark, sf_dir):
+    """The report's fixture row must equal the LIVE derivations (so
+    the driver record can't drift from the code), the hypothetical
+    rows must show the documented behavior: plane width grows with N,
+    modeled recall ≥ target while bands fit under the cap and
+    degrades past it, and the quantizer path flips to two-level
+    exactly when derived k exceeds TWO_LEVEL_MIN_K."""
+    from engine.similarity import (
+        LSH_TARGET_RECALL,
+        MAX_LSH_BANDS,
+        TWO_LEVEL_MIN_K,
+        _derive_ivf,
+        _derive_n_bands,
+        _derive_n_planes,
+        _derive_semdedup_k,
+        scaling_law_report,
+    )
+
+    rows = {r.n_label: r for r in scaling_law_report(spark, sf_dir).collect()}
+    fx = rows["fixture"]
+    assert fx.lsh_n_planes == _derive_n_planes(fx.n_corpus)
+    assert fx.lsh_n_bands == _derive_n_bands(fx.lsh_n_planes)
+    assert (fx.ivf_nlist, fx.ivf_nprobe) == _derive_ivf(fx.n_corpus)
+    assert fx.semdedup_k == _derive_semdedup_k(fx.n_corpus)
+    assert rows["1e6"].lsh_n_planes < rows["1e9"].lsh_n_planes < rows["1e12"].lsh_n_planes
+    for label in ("fixture", "1e6", "1e9"):
+        assert rows[label].lsh_modeled_recall >= LSH_TARGET_RECALL
+    assert rows["1e12"].lsh_n_bands == MAX_LSH_BANDS
+    assert rows["1e12"].lsh_modeled_recall < LSH_TARGET_RECALL  # cap honesty
+    for r in rows.values():
+        assert (r.quantizer_path == "two_level") == (r.semdedup_k > TWO_LEVEL_MIN_K)

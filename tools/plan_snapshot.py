@@ -54,6 +54,7 @@ EAGER_SKIP = {
     "stream_equivalence_report",  # runs real streams during construction
     "q103b_bpe_train",  # iterative merge loop, collects per round
     "q103c_bpe_tokenize",  # trains (collects the merge table) at build
+    "scaling_law_report",  # counts the corpus at build (pure derivation frame)
 }
 
 
