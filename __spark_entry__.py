@@ -7,11 +7,11 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 129.  Policy: stalest-first — every
+entries, and the full inventory is 130.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
-this round always re-enter immediately.  At 129 queries and 50 slots
+this round always re-enter immediately.  At 130 queries and 50 slots
 the strict "every other round" cadence is arithmetically out of reach
 (it would need ~60 slots); stalest-first is the schedule that
 minimizes the maximum staleness, and the deferral list below names
@@ -29,7 +29,7 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (10): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (11): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -38,21 +38,24 @@ exactly which green rows wait and why they lose the least signal.
     q103/q103b/q103c (BPE pair census, distributed merge-rule
     training, and learned-merge tokenization),
     q104 (sqrt-temperature multilingual mixture sampling),
-    q105 (embedding-space benchmark decontamination), and
-    scaling_law_report (every derived scale knob at fixture +
-    hypothetical corpus sizes, driver-visible).
+    q105 (embedding-space benchmark decontamination),
+    q106 (leakage-safe split — near-dup clusters move between
+    train/val/test as one unit), and scaling_law_report (every
+    derived scale knob at fixture + hypothetical corpus sizes,
+    driver-visible).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (12): the r3-green relational block,
-    prioritized by semantic risk — the relational core (q01-q04,
+  - ``_R5_RELATIONAL_ROTATION`` (11): the r3-green relational block,
+    prioritized by semantic risk — the relational core (q01/q02/q04,
     q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
-    q09's anti-join — the flag-twin of in-window q08's semi — are
-    deferred), the window-function spine (q11/q13/q31),
+    q09's anti-join — the flag-twin of in-window q08's semi — and
+    q03's sort+limit shape (shared with deferred q14 and in-window
+    q02's orderBy) are deferred), the window-function spine (q11/q13/q31),
     grouping-sets q26 (generalizes rollup/cube).
-  - ``_DEFERRED_TO_R6`` (34): the remaining r3-green relational
+  - ``_DEFERRED_TO_R6`` (35): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
-    queries (q06/q09/q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
+    queries (q03/q06/q09/q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
     q90-q93/q98/q99 — q92's lag+running-sum machinery is shared with
     in-window q13/q31, q36/q88's rank/value windows with in-window
     q11/q13/q31, q82's multi-grain agg with in-window q26, q18's
@@ -121,6 +124,7 @@ _NEW_IN_R5 = [
     "q103c_bpe_tokenize",         # learned-merge tokenization (train->apply loop)
     "q104_temperature_mixture",   # sqrt-temperature multilingual sampling
     "q105_semantic_decontamination",  # embedding-space eval-overlap scrub
+    "q106_leakage_safe_split",    # near-dup-cluster-coherent train/val/test
     "scaling_law_report",         # derived scale knobs vs corpus size
 ]
 
@@ -139,7 +143,6 @@ _CHANGED_IN_R5 = [
 _R5_RELATIONAL_ROTATION = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
-    "q03_top_orders",
     "q04_outer_join_agg",
     "q07_broadcast_join",
     "q08_semi_join",
@@ -165,6 +168,7 @@ _DEFERRED_TO_R6 = {
     "q10_theta_join",      # theta machinery shared with in-window q81 range join
     "q06_forecast_revenue",  # filter+agg shape shared with in-window q01/q02
     "q09_anti_join",       # flag-twin of in-window q08's broadcast semi join
+    "q03_top_orders",      # sort+limit shape shared with deferred q14 / in-window q02
     "q12_window_lag",
     "q14_topk_orders",
     "q15_union_all",
@@ -196,7 +200,7 @@ _DEFERRED_TO_R6 = {
 
 def _window_head() -> list[str]:
     """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the ten new queries, the five changed queries, then the 12
+    the eleven new queries, the five changed queries, then the 11
     prioritized relational rotation slots — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50

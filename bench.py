@@ -109,6 +109,7 @@ HEADLINE = [
     "q103c_bpe_tokenize",
     "q104_temperature_mixture",
     "q105_semantic_decontamination",
+    "q106_leakage_safe_split",
     "scaling_law_report",
     "q52_ngram_jaccard",
     "q54_minhash_candidates",

@@ -2057,3 +2057,65 @@ def q103c_bpe_tokenize(
 
 
 QUERIES["q103c_bpe_tokenize"] = q103c_bpe_tokenize
+
+
+def q106_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    MUST land in the same split, or the held-out sets silently leak
+    training content (the eval-hygiene failure decontamination papers
+    warn about from the other direction).  The split key is therefore
+    the near-dup COMPONENT (q54 candidates at est_jaccard ≥ 0.5 →
+    connected components, exactly q80's clustering), falling back to
+    the doc's own id for singletons; assignment is q99's
+    engine-portable md5-mod-100 80/10/10 rule on that key, so the
+    entire cluster moves as one unit and assignments never reshuffle
+    as the corpus grows.
+
+    Scale shape: the component frame is CANDIDATE-graph-sized (pairs
+    above threshold), orders of magnitude smaller than the corpus; it
+    left-joins onto the corpus as a broadcast and the corpus itself
+    never re-partitions.  Oracle: q80's recursive-CTE components +
+    the same hash arithmetic."""
+    pairs = q54_minhash_candidates(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(F.broadcast(comps), "doc_id", "left").withColumn(
+        "split_key", F.coalesce("component", "doc_id")
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('split:', split_key)), 1, 15), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return labeled.select("doc_id", "split_key", split.alias("split"))
+
+
+QUERIES["q106_leakage_safe_split"] = q106_leakage_safe_split
+
+ORACLE["q106_leakage_safe_split"] = f"""
+    WITH RECURSIVE edges AS ({_DUCK_EDGES}),
+    undirected AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+    reach(doc, r) AS (
+        SELECT a, a FROM undirected
+        UNION
+        SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.doc),
+    comp AS (
+        SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+    hashed AS (
+        SELECT doc_id, split_key,
+               ('0x' || substr(md5('split:' || split_key), 1, 15))::BIGINT % 100 AS h
+        FROM labeled)
+    SELECT doc_id, split_key,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+"""

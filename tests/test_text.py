@@ -714,3 +714,51 @@ def test_bpe_tokenize_invariants(spark, sf_dir):
         assert r.ws_tokens <= r.bpe_tokens <= chars[doc_id]
         assert r.bpe_tokens <= none[doc_id].bpe_tokens  # merges only shrink
         assert none[doc_id].bpe_tokens == chars[doc_id]  # 0 merges = chars
+
+
+def test_leakage_safe_split_clusters_move_together(spark, tmp_path, sf_dir):
+    """q106's defining property: near-duplicate documents land in the
+    SAME split even when their own ids would hash to different splits
+    (that is exactly the train/test leakage a per-doc split causes).
+    Planted corpus: three exact-duplicate groups with ids chosen far
+    apart, plus distinct singletons; every group must be
+    split-homogeneous with split_key = min id of the group. On the
+    fixture corpus: splits are keyed per component, fractions are
+    sane, and q80's clusters are split-homogeneous."""
+    import pyspark.sql.functions as F
+
+    from engine.text import q106_leakage_safe_split
+
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "lorem ipsum dolor sit amet consectetur",
+    ]
+    rows = []
+    for g, txt in enumerate(base):
+        for j in range(3):  # ids spread across the hash space
+            rows.append((g * 1000 + j * 337 + 1, txt, "en", "p", len(txt)))
+    for i in range(40):  # singletons
+        rows.append((10_000 + i, f"unique document number {i} with words {i*7}", "en", "p", 30))
+    sf = str(tmp_path / "leak")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(sf + "/documents.parquet")
+    out = q106_leakage_safe_split(spark, sf).collect()
+    by_key: dict = {}
+    splits_of_group: dict = {}
+    for r in out:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_key.values())  # key-homogeneous
+    for g in range(len(base)):
+        ids = {g * 1000 + j * 337 + 1 for j in range(3)}
+        recs = [r for r in out if r.doc_id in ids]
+        assert len(recs) == 3
+        assert len({r.split for r in recs}) == 1, f"group {g} split across sets"
+        assert all(r.split_key == min(ids) for r in recs)
+
+    fx = q106_leakage_safe_split(spark, sf_dir).collect()
+    n = len(fx)
+    frac_train = sum(r.split == "train" for r in fx) / n
+    assert 0.6 <= frac_train <= 0.95  # 80% nominal, hash noise + clusters
+    assert {r.split for r in fx} <= {"train", "val", "test"}

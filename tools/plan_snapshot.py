@@ -55,6 +55,7 @@ EAGER_SKIP = {
     "q103b_bpe_train",  # iterative merge loop, collects per round
     "q103c_bpe_tokenize",  # trains (collects the merge table) at build
     "scaling_law_report",  # counts the corpus at build (pure derivation frame)
+    "q106_leakage_safe_split",  # runs connected components at build
 }
 
 
