@@ -7,7 +7,7 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 130.  Policy: stalest-first — every
+entries, and the full inventory is 135.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
@@ -29,7 +29,7 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (11): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (16): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -40,28 +40,36 @@ exactly which green rows wait and why they lose the least signal.
     q104 (sqrt-temperature multilingual mixture sampling),
     q105 (embedding-space benchmark decontamination),
     q106 (leakage-safe split — near-dup clusters move between
-    train/val/test as one unit), and scaling_law_report (every
+    train/val/test as one unit), scaling_law_report (every
     derived scale knob at fixture + hypothetical corpus sizes,
-    driver-visible).
+    driver-visible), q76b (IVF-PQ residual ADC — the combined
+    FAISS-style scale tier), q102b (bloom-prefiltered ingest dedup,
+    oracle identical to q102), q107 (snapshot diff by content hash),
+    ml_quality_classifier (hashed-TF logistic quality filter), and
+    q108 (crawl-graph PageRank authority scoring, numpy-parity
+    tested).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (11): the r3-green relational block,
+  - ``_R5_RELATIONAL_ROTATION`` (6): the r3-green relational block,
     prioritized by semantic risk — the relational core (q01/q02/q04,
     q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
     q09's anti-join — the flag-twin of in-window q08's semi — and
     q03's sort+limit shape (shared with deferred q14 and in-window
-    q02's orderBy) are deferred), the window-function spine (q11/q13/q31),
-    grouping-sets q26 (generalizes rollup/cube).
-  - ``_DEFERRED_TO_R6`` (35): the remaining r3-green relational
+    q02's orderBy) are deferred). The window-function spine
+    (q11/q13/q31), grouping-sets q26, and outer-join q04 (its
+    full-outer machinery is exercised in-window by q107's diff join)
+    originally held the last five slots but were displaced by the
+    five late-r5 additions (added queries outrank frozen green
+    rotation per the policy above).
+  - ``_DEFERRED_TO_R6`` (40): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
-    queries (q03/q06/q09/q10/q12/q14-q24/q27/q32/q34-q36/q39/q82/q86-q88/
-    q90-q93/q98/q99 — q92's lag+running-sum machinery is shared with
-    in-window q13/q31, q36/q88's rank/value windows with in-window
-    q11/q13/q31, q82's multi-grain agg with in-window q26, q18's
-    distinct-agg path with sketch_error_report's exact twins, q10's
-    theta machinery with in-window q81, q06's filter+agg with
-    in-window q01/q02),
+    queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
+    q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
+    shared with q13/q31, q36/q88's rank/value windows with q11/q13,
+    q82's multi-grain agg with q26, q18's distinct-agg path with
+    sketch_error_report's exact twins, q10's theta machinery with
+    in-window q81, q06's filter+agg with in-window q01/q02),
     plus q30/q96/q83 whose sketch-vs-exact behavior is value-surfaced
     IN-WINDOW this round by sketch_error_report.  They lead r6
     unconditionally (stalest-first makes that self-executing).
@@ -126,6 +134,11 @@ _NEW_IN_R5 = [
     "q105_semantic_decontamination",  # embedding-space eval-overlap scrub
     "q106_leakage_safe_split",    # near-dup-cluster-coherent train/val/test
     "scaling_law_report",         # derived scale knobs vs corpus size
+    "q76b_ivfpq_ann",             # IVF+PQ residual ADC — the combined scale tier
+    "q102b_bloom_incremental_dedup",  # bloom-prefiltered history probe (oracle = q102's)
+    "q107_snapshot_diff",         # corpus release diff by content hash (oracle-backed)
+    "ml_quality_classifier",      # hashed-TF logistic quality filter (CCNet-style)
+    "q108_crawl_pagerank",        # link-graph authority (iterative power iteration)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -143,15 +156,10 @@ _CHANGED_IN_R5 = [
 _R5_RELATIONAL_ROTATION = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
-    "q04_outer_join_agg",
     "q07_broadcast_join",
     "q08_semi_join",
     "q28_asof_join",
     "q81_range_join",
-    "q11_window_rank",
-    "q13_window_running_sum",
-    "q31_window_range_frame",
-    "q26_grouping_sets",
 ]
 
 # r3-green entries displaced by the 50-slot cap: frozen single-pass
@@ -160,10 +168,19 @@ _R5_RELATIONAL_ROTATION = [
 # sketch_error_report value-surfaces in-window this round.  They lead
 # the r6 window.
 _DEFERRED_TO_R6 = {
-    "q92_sessionization",  # lag+running-sum machinery shared with in-window q13/q31
-    "q82_time_rollup",     # multi-grain agg machinery shared with in-window q26
-    "q36_rank_functions",  # rank/dense_rank machinery shared with in-window q11
-    "q88_value_window_funcs",  # value-window machinery shared with in-window q13/q31
+    # the four late-r5 additions (q76b/q102b/q107/ml_quality_classifier)
+    # claimed the last four window slots; the window-function spine and
+    # grouping-sets queries below (all r3-green, machinery frozen since
+    # r1) are the displaced block and lead r6 with the rest
+    "q11_window_rank",
+    "q13_window_running_sum",
+    "q31_window_range_frame",
+    "q26_grouping_sets",
+    "q04_outer_join_agg",  # full-outer machinery exercised in-window by q107's diff join
+    "q92_sessionization",  # lag+running-sum machinery shared with q13/q31
+    "q82_time_rollup",     # multi-grain agg machinery shared with q26
+    "q36_rank_functions",  # rank/dense_rank machinery shared with q11
+    "q88_value_window_funcs",  # value-window machinery shared with q13/q31
     "q18_distinct_agg",    # distinct-agg path exercised in-window by sketch_error_report's exact twins
     "q10_theta_join",      # theta machinery shared with in-window q81 range join
     "q06_forecast_revenue",  # filter+agg shape shared with in-window q01/q02

@@ -125,6 +125,10 @@ HEADLINE = [
     "q61_knn_lsh_bucketed",
     "q75_semantic_dedup",
     "q76_pq_ann",
+    "q76b_ivfpq_ann",
+    "q102b_bloom_incremental_dedup",
+    "q107_snapshot_diff",
+    "q108_crawl_pagerank",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

@@ -2027,3 +2027,195 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"sketch_error_report": sketch_error_report})
+
+
+# ------------------------------------------------ snapshot diff (r5)
+
+# fixture snapshot simulation (deterministic mods so the oracle
+# reproduces the split): snapshot A lacks doc_id % 7 == 0, snapshot B
+# lacks doc_id % 5 == 0, and B carries an edit on doc_id % 11 == 0.
+SNAP_ABSENT_A_MOD = 7
+SNAP_ABSENT_B_MOD = 5
+SNAP_EDIT_B_MOD = 11
+
+
+def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit step between two crawls /
+    dataset releases: classify every doc_id as added / removed /
+    changed between snapshot A and snapshot B by content hash, and
+    emit only the non-identical rows (the diff, not the corpus).
+
+    Scale shape: each snapshot is projected to (doc_id, 16-byte md5)
+    BEFORE the join, so the full-outer join shuffles 24-byte rows on
+    an int64 key — the text never moves; at 100 TB both sides are
+    one narrow scan + one hash-partitioned exchange, and with both
+    snapshots stored bucketed by doc_id (the layout q102's
+    fingerprint store already argues for) the exchange disappears
+    entirely. The unchanged majority (the common case: daily diffs
+    touch a sliver) is filtered before any ordering. Fixture
+    snapshots derive from `documents` by deterministic mods (header
+    note) so the DuckDB oracle replays the exact split."""
+    d = table(spark, sf_dir, "documents")
+    snap_a = d.filter(F.col("doc_id") % SNAP_ABSENT_A_MOD != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("h_a")
+    )
+    b_text = F.when(
+        F.col("doc_id") % SNAP_EDIT_B_MOD == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    snap_b = d.filter(F.col("doc_id") % SNAP_ABSENT_B_MOD != 0).select(
+        "doc_id", F.md5(b_text).alias("h_b")
+    )
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        snap_a.join(snap_b, "doc_id", "full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("doc_id", "status")
+    )
+
+
+QUERIES.update({"q107_snapshot_diff": q107_snapshot_diff})
+
+ORACLE.update(
+    {
+        "q107_snapshot_diff": f"""
+            WITH a AS (
+                SELECT doc_id, md5(text) AS h_a FROM documents
+                WHERE doc_id % {SNAP_ABSENT_A_MOD} <> 0),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % {SNAP_EDIT_B_MOD} = 0
+                                THEN text || ' rev2' ELSE text END) AS h_b
+                FROM documents
+                WHERE doc_id % {SNAP_ABSENT_B_MOD} <> 0)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.h_a IS NULL THEN 'added'
+                        WHEN b.h_b IS NULL THEN 'removed'
+                        WHEN a.h_a <> b.h_b THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE (CASE WHEN a.h_a IS NULL THEN 'added'
+                        WHEN b.h_b IS NULL THEN 'removed'
+                        WHEN a.h_a <> b.h_b THEN 'changed'
+                        ELSE 'unchanged' END) <> 'unchanged'
+        """,
+    }
+)
+
+
+# ------------------------------------- crawl-graph authority (r5)
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+PR_OUT_DEGREE = 3  # synthetic fixture graph: every page has 3 out-links
+PR_TOP = 20
+
+
+def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+             iters: int = PR_ITERS, damping: float = PR_DAMPING) -> DataFrame:
+    """Distributed power-iteration PageRank over (src, dst) edges —
+    pure DataFrame joins/aggs, the Spark-idiomatic form (no GraphX,
+    no RDDs): per iteration, each node's rank splits evenly over its
+    out-links (broadcast-joined out-degree), contributions hash-agg
+    by dst, and the damping term re-adds (1-d)/N through a left join
+    against the node frame so sink-only nodes keep mass.
+
+    Scale shape: the edge table is the only big operand and it is
+    NEVER mutated — each iteration shuffles (edge-count) 16-byte
+    (dst, contrib) rows into a node-sized agg; ranks (node-sized) are
+    localCheckpoint-ed per round to truncate lineage exactly like
+    connected_components' loop (engine/text.py). Dangling mass: nodes
+    with no out-links redistribute uniformly via a 1-row aggregate
+    folded into the additive term (the standard correction), so
+    Σrank = 1 is invariant every round (asserted in tests)."""
+    n_row = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_row).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        # dangling rank mass (no out-links) — 1-row aggregate
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]
+            .m
+        )
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n_row + damping * dangling / n_row
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph authority scores for the document corpus — the
+    link-graph quality signal web-scale pretraining pipelines rank
+    crawl frontiers with (Common Crawl publishes exactly this as its
+    harmonic-centrality/PageRank rankings; quality-weighting docs by
+    link authority is the OTHER quality axis next to q57's content
+    heuristics and ml_quality_classifier's model). Fixture link graph
+    is derived deterministically from the corpus itself (no link
+    column exists): pages get dense ids by doc_id order and page u
+    links to md5-hash-derived targets h(u, k) mod N for k < 3 —
+    engine-portable, so the graph (not the float iteration) is
+    SQL-reproducible. Returns the top-20 authorities.
+
+    Rows-only: 10 rounds of float power iteration aren't
+    SQL-expressible (each round's sums are order-sensitive at the
+    ulp); invariants pinned in tests instead — Σrank = 1 after every
+    round, and the fixture ranks match an independent numpy power
+    iteration to 1e-9."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    # dense 0..N-1 ids: one pass, node-sized (the global-window sort is
+    # over the NODE table, not the corpus text; at crawl scale use
+    # zipWithIndex-style partition offsets or the URL hash directly)
+    nodes = d.select("doc_id", (F.row_number().over(w) - 1).alias("node")).localCheckpoint(
+        eager=True
+    )
+    n_row = nodes.count()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(PR_OUT_DEGREE)])).alias("k")
+    h = (
+        "cast(conv(substr(md5(concat('pr:', doc_id, ':', k)), 1, 15), 16, 10) as bigint)"
+        f" % {n_row}"
+    )
+    edges = (
+        nodes.select("doc_id", F.col("node").alias("src"))
+        .select("doc_id", "src", ks)
+        .withColumn("dst", F.expr(h))
+        .filter(F.col("src") != F.col("dst"))  # drop self-links
+        .select("src", "dst")
+    )
+    ranks = pagerank(spark, nodes.select("node"), edges)
+    top = (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(PR_TOP)
+        .join(nodes, "node")
+        .select("doc_id", F.col("node"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+    )
+    return top
+
+
+QUERIES.update({"q108_crawl_pagerank": q108_crawl_pagerank})

@@ -445,11 +445,15 @@ class Quantizer:
     """Fitted coarse quantizer: ``assigned`` is the input frame plus an
     int ``cell`` column; ``probe(qv, nprobe)`` returns the nprobe cell
     ids nearest a query vector (raw-space squared distance, matching
-    how the cells were fit)."""
+    how the cells were fit); ``cell_centers`` maps cell id → centroid
+    ndarray (the residual anchor q76b's IVF-PQ encoding needs — a
+    model-scale dict, k·d floats, same object the probe closure
+    already captures)."""
 
-    def __init__(self, assigned: DataFrame, probe):
+    def __init__(self, assigned: DataFrame, probe, cell_centers):
         self.assigned = assigned
         self.probe = probe
+        self.cell_centers = cell_centers
 
 
 def fit_quantizer(
@@ -502,7 +506,9 @@ def fit_quantizer(
             d = ((centers - qv) ** 2).sum(axis=1)
             return [int(c) for c in np.argsort(d)[:nprobe]]
 
-        return Quantizer(km.transform(df), _probe_flat)
+        return Quantizer(
+            km.transform(df), _probe_flat, {i: centers[i] for i in range(len(centers))}
+        )
 
     k1 = max(2, math.ceil(math.sqrt(k)))
     km1 = KMeans(
@@ -622,7 +628,15 @@ def fit_quantizer(
         cand.sort()
         return [cell for _, cell in cand[:nprobe]]
 
-    return Quantizer(assigned, _probe_two_level)
+    return Quantizer(
+        assigned,
+        _probe_two_level,
+        {
+            int(c) * k2max + s: books[c][s]
+            for c in books
+            for s in range(len(books[c]))
+        },
+    )
 
 
 def _derive_ivf(n_corpus: int) -> tuple[int, int]:
@@ -1061,6 +1075,153 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76b_ivfpq_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with residual encoding + ADC — the two scale levers
+    COMBINED, which is the configuration actually deployed at 100 TB
+    (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V "IVFADC"): IVF bounds
+    WHICH vectors a query touches (nprobe/nlist of the corpus), PQ
+    bounds the BYTES per touched vector (4-bit codes, 64× smaller
+    than float32). q65 alone still reads full vectors in probed
+    cells; q76 alone still scans every code; this tier does neither —
+    the ADC pass reads ~(nprobe/nlist) · N · m/2 bytes.
+
+    Residual encoding: each vector is PQ-coded as (x − centroid(cell)),
+    so the codebooks span only the within-cell spread — on clustered
+    real-world corpora that spread is much smaller than the global one
+    and residual codes quantize finer at equal budget (why FAISS's
+    IVFADC defaults to it). Honesty note for THIS fixture: its
+    embeddings are weak-structured (top-10 cosine ≈ 0.3, near-random
+    cells), so residuals barely shrink and measured recall@10 at
+    sf0.001 is 0.60 at the derived (16, 6) geometry vs 0.72 for
+    either single-lever tier — the expected price of reading
+    nprobe/nlist of the codes; probing all 16 cells isolates the
+    quantizer at 0.66. The floors in tests pin these. Stages:
+
+    1. coarse cells via the shared ``fit_quantizer`` (flat at fixture
+       nlist, two-level above TWO_LEVEL_MIN_K — the same fit q65/q75
+       use, so the k ∝ √N derivation stays fittable at any N);
+    2. residual PQ codebooks on an order-pinned driver sample
+       (model-scale, like q76's);
+    3. encode: one Arrow-batched pandas UDF computes x − centroid and
+       the per-subspace argmin in the same kernel — one corpus pass,
+       narrow;
+    4. search: each query probes its nprobe nearest cells and builds
+       one (m × k) ADC table PER PROBED CELL from the query residual
+       q − centroid(cell) (the asymmetric part); the tables broadcast
+       with the probe rows, the cell equi-join touches only probed
+       cells, and a vectorized UDF sums table lookups per code;
+    5. salted two-phase top-rerank by ADC distance, then exact cosine
+       re-rank of the survivors JVM-side (q76's tail, shared shape).
+
+    Rows-only (KMeans + codebooks aren't SQL-expressible); recall@10
+    vs the q60 exact baseline is measured in ann_recall_report and
+    floor-pinned in tests/test_similarity.py."""
+    corpus = _corpus(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        array_to_vector(F.col("emb")).alias("features"),
+    )
+    n_corpus = corpus.count()
+    if nlist is None or nprobe is None:
+        d_nlist, d_nprobe = _derive_ivf(n_corpus)
+        nlist = d_nlist if nlist is None else nlist
+        nprobe = d_nprobe if nprobe is None else nprobe
+    rerank = max(PQ_RERANK_FLOOR, int(n_corpus * PQ_RERANK_FRAC))
+    qz = fit_quantizer(spark, corpus, nlist, seed=42, max_iter=20)
+    assigned = qz.assigned.select("vec_id", "emb", "cell")
+
+    # residual training sample: order-pinned (q76's determinism note —
+    # a bare limit would leak partition layout into the codebooks)
+    cells = qz.cell_centers
+    sample_rows = assigned.orderBy("vec_id").limit(4096).collect()
+    resid_sample = np.array([np.array(r.emb) - cells[int(r.cell)] for r in sample_rows])
+    books = _pq_codebooks(resid_sample, PQ_M, PQ_K, PQ_ITERS, seed=42)
+    m, k, sub = books.shape
+    # centroid lookup shipped as a dense (nlist_like, d) array keyed by
+    # cell id — task-serialized like q76's codebooks (model-scale)
+    max_cell = max(cells)
+    cent_arr = np.zeros((max_cell + 1, resid_sample.shape[1]))
+    for c, v in cells.items():
+        cent_arr[c] = v
+
+    @F.pandas_udf("array<smallint>")
+    def _encode_resid(cell: pd.Series, emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy())
+        r = x - cent_arr[cell.to_numpy().astype(np.int64)]
+        n = r.shape[0]
+        rs = r.reshape(n, m, sub)
+        codes = np.empty((n, m), dtype=np.int16)
+        for j in range(m):
+            d = ((rs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encoded = assigned.select("vec_id", "cell", _encode_resid("cell", "emb").alias("code"))
+
+    # per-(query, probed-cell) ADC tables from the query RESIDUAL
+    raw_queries = sorted(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
+    )
+    probe_rows = []
+    for q in raw_queries:
+        qv = np.array(q.emb)
+        for cell in qz.probe(qv, nprobe):
+            rq = (qv - cells[int(cell)]).reshape(m, sub)
+            tab = np.empty((m, k))
+            for j in range(m):
+                tab[j] = ((books[j] - rq[j][None, :]) ** 2).sum(axis=1)
+            probe_rows.append((int(q.vec_id), int(cell), [float(v) for v in tab.ravel()]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, adc_table array<double>"
+    )
+
+    @F.pandas_udf("double")
+    def _adc_resid(code: pd.Series, table: pd.Series) -> pd.Series:
+        c = np.vstack(code.to_numpy()).astype(np.int64)          # (n, m)
+        t = np.vstack(table.to_numpy()).reshape(-1, m, k)        # (n, m, k)
+        d = t[np.arange(len(c))[:, None], np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(d)
+
+    scored_adc = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", _adc_resid("code", "adc_table"))
+        .select("query_id", "vec_id", "adist")
+    )
+    # salted two-phase top-rerank (q76's pattern — no |Q| giant reducers)
+    salted = scored_adc.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(16)))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    cand = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= rerank)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    normed = _corpus_normed(spark, sf_dir)
+    qn = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        cand.join(normed, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("sim", F.expr(_DOT.format(a="emb", b="qemb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every ANN tier against the q60 exact baseline, as
     one small (tier, recall_at_10, n_hits, n_truth) frame — the
@@ -1079,6 +1240,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe": q61_knn_lsh_bucketed,
         "ivf": q65_knn_ivf,
         "pq_adc": q76_pq_ann,
+        "ivfpq_adc": q76b_ivfpq_ann,
     }
     got = None
     for tier, fn in tiers.items():
@@ -1193,6 +1355,7 @@ QUERIES = {
     "q66_embedding_near_dup": q66_embedding_near_dup,
     "q75_semantic_dedup": q75_semantic_dedup,
     "q76_pq_ann": q76_pq_ann,
+    "q76b_ivfpq_ann": q76b_ivfpq_ann,
     "ann_recall_report": ann_recall_report,
 }
 
@@ -1304,6 +1467,8 @@ def scaling_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-suite law tests.  Rows-only by design: the frame is
     arithmetic over module constants, deterministic, and intentionally
     NOT reproducible from the parquet tables alone."""
+    from .text import _derive_bloom_bits
+
     n_live = _corpus(spark, sf_dir).count()
     rows = []
     for label, n in [("fixture", n_live), ("1e6", 10**6), ("1e9", 10**9), ("1e12", 10**12)]:
@@ -1322,13 +1487,14 @@ def scaling_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nprobe,
                 k,
                 "two_level" if k > TWO_LEVEL_MIN_K else "flat",
+                _derive_bloom_bits(n),
             )
         )
     return spark.createDataFrame(
         rows,
         "n_label string, n_corpus bigint, lsh_n_planes int, lsh_n_bands int, "
         "lsh_modeled_recall double, ivf_nlist int, ivf_nprobe int, "
-        "semdedup_k int, quantizer_path string",
+        "semdedup_k int, quantizer_path string, bloom_bits bigint",
     )
 
 

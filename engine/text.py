@@ -25,6 +25,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1710,6 +1712,142 @@ ORACLE["q102_incremental_dedup"] = f"""
                 ELSE 'new' END AS status
     FROM batch b LEFT JOIN hist h USING (fingerprint)
 """
+
+
+# ---------------------------------- Bloom-prefiltered ingest dedup (r5)
+
+# bloom geometry: bits-per-key 16 with 8 hash functions gives
+# fpp ≈ 0.057^... (1 - e^(-8/16))^8 ≈ 4.6e-4 — small enough that the
+# exact-join side stays ≈ true-dup-sized. Bits derive from the
+# history count (power of two so the mod is a mask), floored for
+# fixture corpora.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_HASHES = 8
+BLOOM_MIN_BITS = 1 << 14
+# broadcast-budget cap (2^33 bits = 1 GiB bitmap). CAP HONESTY (the
+# MAX_LSH_BANDS pattern): above ~5·10^8 history keys the capped
+# bitmap's fill ratio rises and fpp degrades toward 1 — the prefilter
+# admits more rows but NEVER drops a true duplicate, so correctness
+# holds and the cost gracefully reverts to q102's plain join. Past
+# that point the right deployment is a PARTITIONED bloom (one bitmap
+# per fingerprint bucket, probed after the batch is bucketed the same
+# way) rather than a bigger broadcast.
+BLOOM_MAX_BITS = 1 << 33
+
+
+def _derive_bloom_bits(n_keys: int) -> int:
+    bits = BLOOM_MIN_BITS
+    while bits < min(n_keys * BLOOM_BITS_PER_KEY, BLOOM_MAX_BITS):
+        bits <<= 1
+    return bits
+
+
+def q102b_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q102's ingest dedup with a BLOOM PREFILTER on the history
+    probe — the shape that matters when the standing fingerprint
+    store is 100 TB-corpus-sized but the daily batch is mostly NEW
+    content (a crawl frontier): rows whose fingerprint is
+    bloom-negative are *provably* absent from history (no false
+    negatives by construction), so they skip the history join
+    entirely and only the bloom-positive sliver (true dups + fpp ≈
+    5e-4 of the new rows) pays the shuffle. Same answer as q102 —
+    the bloom is an optimization, the oracle is identical.
+
+    Scale shape, stage by stage:
+    1. build: history fingerprints fold into ONE bitmap per partition
+       via ``mapInPandas`` (the q67b per-partition-summary pattern —
+       each task emits bits/8 bytes regardless of partition size),
+       and the driver ORs the ≤ numPartitions summaries (at cluster
+       scale: treeAggregate, same algebra). Bits derive from the
+       history count (_derive_bloom_bits) so fpp holds at any N.
+    2. probe: the 8 hash positions are computed JVM-side
+       (xxhash64 & mask — no Python in the hash path); a vectorized
+       pandas UDF only gathers bits from the broadcast bitmap.
+    3. bloom-negative rows short-circuit to in_hist = false; ONLY
+       bloom-positives join the history store. The within-batch
+       dup_in_batch window runs over the whole batch either way
+       (a bloom-negative row can still be a within-batch dup).
+
+    History-side note: the bitmap build scans the store once; a real
+    deployment maintains it incrementally (bloom bitmaps OR, so each
+    day's additions fold in without a rebuild) — the merge property
+    the test pins."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    batch = fp.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist = (
+        fp.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select("fingerprint")
+        .distinct()
+    )
+    n_hist = hist.count()
+    bits = _derive_bloom_bits(n_hist)
+    mask = bits - 1
+
+    def _positions(col):
+        return F.array(
+            *[
+                (F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(mask))).cast("int")
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+
+    def _fold(batches):
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            seen = True
+            pos = np.concatenate(pdf["pos"].to_numpy()) if len(pdf) else np.array([], dtype=np.int64)
+            pos = pos.astype(np.int64)
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = (
+        hist.select(_positions(F.col("fingerprint")).alias("pos"))
+        .mapInPandas(_fold, "bitmap binary")
+        .collect()  # ≤ numPartitions rows of bits/8 bytes — bounded
+    )
+    bitmap = np.zeros(bits // 8, dtype=np.uint8)
+    for r in parts:
+        bitmap |= np.frombuffer(r.bitmap, dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _maybe_in_hist(pos: pd.Series) -> pd.Series:
+        bm = bc.value
+        p = np.vstack(pos.to_numpy()).astype(np.int64)        # (n, k)
+        hit = (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    probed = batch.withColumn("maybe", _maybe_in_hist(_positions(F.col("fingerprint"))))
+    negatives = probed.filter(~F.col("maybe")).withColumn("in_hist", F.lit(False))
+    positives = probed.filter(F.col("maybe")).join(
+        hist.withColumn("in_hist_j", F.lit(True)), "fingerprint", "left"
+    ).withColumn("in_hist", F.coalesce(F.col("in_hist_j"), F.lit(False))).drop("in_hist_j")
+    merged = negatives.select("doc_id", "fingerprint", "in_hist").unionByName(
+        positives.select("doc_id", "fingerprint", "in_hist")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_hist"), F.lit("dup_of_history"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+QUERIES["q102b_bloom_incremental_dedup"] = q102b_bloom_incremental_dedup
+
+# the bloom is an optimization with zero false negatives; the answer —
+# and therefore the oracle — is exactly q102's
+ORACLE["q102b_bloom_incremental_dedup"] = ORACLE["q102_incremental_dedup"]
 
 
 # ------------------------------------------------ BPE tokenizer training (r5)

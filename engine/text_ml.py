@@ -119,3 +119,69 @@ ORACLE = {
         SELECT doc_id, term, tf, rank, tfidf FROM ranked WHERE rank <= {TOP_TERMS}
     """,
 }
+
+
+# ---------------------------------- model-based quality filter (r5)
+
+# deterministic holdout: doc_id % 5 == 0 is the eval fold
+QCLF_EVAL_MOD = 5
+# weak-label threshold on the q57 heuristic composite (its "mid"
+# bucket boundary)
+QCLF_LABEL_THRESHOLD = 0.5
+# hashed feature width — the no-vocabulary-shuffle knob; at real
+# corpus scale this goes to 2^18-2^20 without changing the plan
+QCLF_FEATURES = 256
+
+
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality filter — the CCNet/GPT-3-style
+    second stage the heuristic q57 filter feeds: weak labels from the
+    heuristic composite (quality ≥ 0.5), a hashed-TF logistic
+    regression trained on the non-holdout folds, and every holdout
+    doc scored by the MODEL (not the heuristic). In production the
+    weak labels come from a trusted reference corpus (Wikipedia vs
+    crawl); the trainable surface is identical — this pins it with
+    the in-repo heuristic as the label source so the whole query is
+    self-contained and seeded.
+
+    Scale shape: HashingTF is the part that survives 100 TB — fixed
+    QCLF_FEATURES-wide vectors, NO vocabulary shuffle (the hashing
+    trick); LogisticRegression is MLlib's distributed LBFGS (each
+    iteration one treeAggregate over gradient partials); scoring is a
+    single narrow transform. Nothing collects but the model
+    coefficients (model-scale). Rows-only: murmur bucketing + LBFGS
+    internals aren't SQL-expressible; the accuracy floor and
+    determinism are pinned in tests/test_text.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    from .text import q57_quality_score
+
+    labels = q57_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= QCLF_LABEL_THRESHOLD).cast("int").alias("label")
+    )
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .join(labels, "doc_id")
+    )
+    train = d.filter(F.col("doc_id") % QCLF_EVAL_MOD != 0)
+    heldout = d.filter(F.col("doc_id") % QCLF_EVAL_MOD == 0)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(numFeatures=QCLF_FEATURES, inputCol="tokens", outputCol="features"),
+            LogisticRegression(maxIter=25, regParam=0.01, labelCol="label"),
+        ]
+    )
+    model = pipe.fit(train)
+    return model.transform(heldout).select(
+        "doc_id",
+        "label",
+        F.col("prediction").cast("int").alias("pred"),
+        (F.col("prediction").cast("int") == F.col("label")).alias("correct"),
+    )
+
+
+QUERIES["ml_quality_classifier"] = ml_quality_classifier

@@ -256,3 +256,64 @@ def test_retention_cohort_math(spark, tmp_path):
         ("2024-01-01", 2): 1,  # u1 back two weeks later
         ("2024-01-08", 0): 1,  # u3's own cohort
     }
+
+
+def test_pagerank_matches_numpy_and_conserves_mass(spark, sf_dir):
+    """q108's distributed power iteration must agree with an
+    independent dense numpy implementation of the SAME spec (damping
+    0.85, 10 rounds, uniform dangling redistribution) to 1e-9 on the
+    fixture graph, and total rank mass must be 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from engine.relational import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_OUT_DEGREE,
+        PR_TOP,
+        q108_crawl_pagerank,
+    )
+    from engine.session import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    nodes = d.select("doc_id", (F.row_number().over(w) - 1).alias("node"))
+    n = nodes.count()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(PR_OUT_DEGREE)])).alias("k")
+    h = (
+        "cast(conv(substr(md5(concat('pr:', doc_id, ':', k)), 1, 15), 16, 10) as bigint)"
+        f" % {n}"
+    )
+    edges = [
+        (r.src, r.dst)
+        for r in nodes.select("doc_id", F.col("node").alias("src"))
+        .select("doc_id", "src", ks)
+        .withColumn("dst", F.expr(h))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .collect()
+    ]
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] / out_deg[s]
+        r = (1 - PR_DAMPING) / n + PR_DAMPING * dangling / n + PR_DAMPING * contrib
+    assert abs(r.sum() - 1.0) < 1e-9
+
+    got = q108_crawl_pagerank(spark, sf_dir).collect()
+    assert len(got) == PR_TOP
+    order = np.argsort(-r, kind="stable")
+    for row in got:
+        assert abs(row.rank - round(float(r[row.node]), 6)) <= 1e-6, row
+    # the distributed top-20 node set matches numpy's (rank-6 rounding
+    # ties broken by node id in both)
+    top_numpy = sorted(
+        range(n), key=lambda i: (-round(float(r[i]), 6), i)
+    )[:PR_TOP]
+    assert sorted(row.node for row in got) == sorted(top_numpy)

@@ -171,15 +171,48 @@ def test_pq_ann_recall_floor_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
 
 
+def test_ivfpq_recall_floor_and_determinism(spark, sf_dir):
+    """IVF-PQ (residual ADC within probed cells) reads
+    ~(nprobe/nlist)·m/2 bytes per corpus vector, so its recall sits
+    below both single-lever tiers on this weak-neighbor fixture
+    (measured 0.60 at sf0.001 at the derived (16, 6) geometry vs 0.72
+    each); floor 0.45. Probing every cell isolates the residual
+    quantizer (measured 0.66, floor 0.55) and must dominate the
+    restricted run. Seeded end-to-end, so bit-deterministic."""
+    from engine.similarity import q60_knn_brute, q76b_ivfpq_ann
+
+    exact, got = {}, {}
+    for r in q60_knn_brute(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    r1 = q76b_ivfpq_ann(spark, sf_dir).collect()
+    for r in r1:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    mean_restricted = sum(recalls) / len(recalls)
+    assert mean_restricted >= 0.45
+
+    full = {}
+    for r in q76b_ivfpq_ann(spark, sf_dir, nlist=16, nprobe=16).collect():
+        full.setdefault(r.query_id, set()).add(r.vec_id)
+    full_recalls = [len(exact[q] & full.get(q, set())) / len(exact[q]) for q in exact]
+    mean_full = sum(full_recalls) / len(full_recalls)
+    assert mean_full >= 0.55
+    assert mean_full >= mean_restricted
+
+    r2 = q76b_ivfpq_ann(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
 def test_recall_report_floors(spark, sf_dir):
     # The driver-visible ANN-quality surface: one row per tier, each
     # above the same floors the per-tier tests pin (lsh 0.15 / ivf 0.5
-    # / pq 0.6 — measured 0.24-0.38 / 0.72 / 0.78-0.84 across SFs).
+    # / pq 0.6 / ivfpq 0.45 — measured 0.24-0.38 / 0.72 / 0.78-0.84 /
+    # 0.60 across SFs).
     from engine.similarity import ann_recall_report
 
     rows = {r.tier: r for r in ann_recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh_multiprobe", "ivf", "pq_adc"}
-    floors = {"lsh_multiprobe": 0.15, "ivf": 0.5, "pq_adc": 0.6}
+    assert set(rows) == {"lsh_multiprobe", "ivf", "pq_adc", "ivfpq_adc"}
+    floors = {"lsh_multiprobe": 0.15, "ivf": 0.5, "pq_adc": 0.6, "ivfpq_adc": 0.45}
     for tier, r in rows.items():
         assert r.recall_at_10 >= floors[tier], (tier, r.recall_at_10)
         assert r.n_hits == round(r.recall_at_10 * r.n_truth)
@@ -609,3 +642,12 @@ def test_scaling_law_report_consistent_with_derivations(spark, sf_dir):
     assert rows["1e12"].lsh_modeled_recall < LSH_TARGET_RECALL  # cap honesty
     for r in rows.values():
         assert (r.quantizer_path == "two_level") == (r.semdedup_k > TWO_LEVEL_MIN_K)
+    from engine.text import BLOOM_BITS_PER_KEY, BLOOM_MAX_BITS, _derive_bloom_bits
+
+    for r in rows.values():
+        assert r.bloom_bits == _derive_bloom_bits(r.n_corpus)
+        assert r.bloom_bits & (r.bloom_bits - 1) == 0  # power of two
+    assert rows["1e6"].bloom_bits >= 10**6 * BLOOM_BITS_PER_KEY
+    # cap honesty: at 1e9+ keys the broadcast budget binds
+    assert rows["1e9"].bloom_bits == BLOOM_MAX_BITS
+    assert rows["1e12"].bloom_bits == BLOOM_MAX_BITS

@@ -562,6 +562,81 @@ def test_incremental_dedup_planted_statuses(spark, tmp_path):
     }
 
 
+def test_bloom_incremental_dedup_matches_exact(spark, sf_dir, tmp_path):
+    """q102b (bloom-prefiltered) must produce EXACTLY q102's answer —
+    the bloom has no false negatives by construction, so the
+    prefilter is invisible in the output: checked on the fixture and
+    on the planted corpus that exercises all three statuses (the
+    fixture yields only 'new'). Also pins the derivation law
+    (power-of-two bits ≥ 16/key) and the bitmap OR-merge property the
+    incremental-maintenance story rests on."""
+    from engine.text import (
+        BLOOM_MIN_BITS,
+        _derive_bloom_bits,
+        q102_incremental_dedup,
+        q102b_bloom_incremental_dedup,
+    )
+
+    exact = sorted(map(tuple, q102_incremental_dedup(spark, sf_dir).collect()))
+    bloom = sorted(map(tuple, q102b_bloom_incremental_dedup(spark, sf_dir).collect()))
+    assert exact == bloom
+
+    rows = [
+        (1, "Alpha  Beta", "en", "h", 10),
+        (2, "gamma", "en", "h", 5),
+        (3, "alpha beta", "en", "b", 10),
+        (6, "delta epsilon", "en", "b", 13),
+        (9, "Delta  Epsilon ", "en", "b", 14),
+        (12, "zeta", "en", "b", 4),
+    ]
+    planted = str(tmp_path / "bloom_incr")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(planted + "/documents.parquet")
+    out = {r.doc_id: r.status for r in q102b_bloom_incremental_dedup(spark, planted).collect()}
+    assert out == {3: "dup_of_history", 6: "new", 9: "dup_in_batch", 12: "new"}
+
+    assert _derive_bloom_bits(1) == BLOOM_MIN_BITS
+    assert _derive_bloom_bits(10**6) == 1 << 24  # 16.8M bits ≥ 16e6
+    assert _derive_bloom_bits(10**6) & (_derive_bloom_bits(10**6) - 1) == 0
+
+    # OR-merge: membership in (A | B) == membership in A or in B —
+    # numpy model of the same bit algebra the fold uses
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    bits = BLOOM_MIN_BITS
+    pos_a = rng.randint(0, bits, size=64)
+    pos_b = rng.randint(0, bits, size=64)
+    def _bm(pos):
+        m = np.zeros(bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(m, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return m
+    merged = _bm(pos_a) | _bm(pos_b)
+    both = _bm(np.concatenate([pos_a, pos_b]))
+    assert np.array_equal(merged, both)
+
+
+def test_quality_classifier_floor_and_determinism(spark, sf_dir):
+    """The hashed-TF logistic model must RECOVER the heuristic weak
+    labels on the held-out fold well above chance (measured 0.94-0.95
+    across SFs; floor 0.8 — the labels are a deterministic function
+    of text, so a working text model should separate them), with both
+    classes present in the fold, and be run-to-run deterministic
+    (seeded split, fixed LBFGS iteration budget)."""
+    from engine.text_ml import ml_quality_classifier
+
+    r1 = ml_quality_classifier(spark, sf_dir).collect()
+    n = len(r1)
+    assert n > 0
+    labels = {r.label for r in r1}
+    assert labels == {0, 1}
+    acc = sum(r.correct for r in r1) / n
+    assert acc >= 0.8, acc
+    r2 = ml_quality_classifier(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
 def test_bpe_train_planted_merge_sequence(spark, tmp_path):
     """BPE trainer on a planted corpus with a hand-computed merge
     sequence, pinning the three semantics that define subword-nmt

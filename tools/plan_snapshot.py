@@ -48,6 +48,7 @@ EAGER_SKIP = {
     "q65_knn_ivf",
     "q75_semantic_dedup",
     "q76_pq_ann",
+    "q76b_ivfpq_ann",  # KMeans fit + codebook sample collect at build
     "q80_dedup_components",
     "q80b_component_representatives",
     "ann_recall_report",
@@ -56,6 +57,9 @@ EAGER_SKIP = {
     "q103c_bpe_tokenize",  # trains (collects the merge table) at build
     "scaling_law_report",  # counts the corpus at build (pure derivation frame)
     "q106_leakage_safe_split",  # runs connected components at build
+    "q102b_bloom_incremental_dedup",  # builds the bloom bitmap (mapInPandas collect) at build
+    "ml_quality_classifier",  # MLlib pipeline fit at build
+    "q108_crawl_pagerank",  # iterative power iteration, collects at build
 }
 
 
