@@ -2126,42 +2126,53 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
     against the node frame so sink-only nodes keep mass.
 
     Scale shape: the edge table is the only big operand and it is
-    NEVER mutated — each iteration shuffles (edge-count) 16-byte
-    (dst, contrib) rows into a node-sized agg; ranks (node-sized) are
-    localCheckpoint-ed per round to truncate lineage exactly like
-    connected_components' loop (engine/text.py). Dangling mass: nodes
-    with no out-links redistribute uniformly via a 1-row aggregate
-    folded into the additive term (the standard correction), so
-    Σrank = 1 is invariant every round (asserted in tests)."""
+    NEVER mutated — the (src, dst, out_deg) frame is built ONCE
+    (degree join hoisted out of the loop) and each iteration shuffles
+    (edge-count) 16-byte (dst, contrib) rows into a node-sized agg;
+    ranks (node-sized) are localCheckpoint-ed per round to truncate
+    lineage exactly like connected_components' loop (engine/text.py).
+    Dangling mass (nodes with no out-links) redistributes uniformly:
+    since Σrank = 1, dangling = 1 − Σ(emitted contributions), so the
+    correction is a broadcast 1-row aggregate INSIDE each round's
+    plan — the loop makes NO driver round-trips (the r5 first cut
+    collected the dangling mass per round: 10 extra sync barriers,
+    measured ~30% of q108's wall). Σrank = 1 is invariant every round
+    (asserted in tests)."""
     n_row = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n_row).alias("rank")).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
-        # dangling rank mass (no out-links) — 1-row aggregate
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]
-            .m
-        )
+        # node-sized; checkpointed so the emitted-total aggregate and
+        # the rank update both read it once instead of re-running the
+        # edge join
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
-        base = (1.0 - damping) / n_row + damping * dangling / n_row
+        # Σ emitted = 1 - dangling mass → the dangling correction as a
+        # broadcast scalar, no collect
+        emitted = contribs.agg(F.sum("in_mass").alias("emitted_total"))
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(emitted))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n_row)
+                    + F.lit(damping / n_row)
+                    * (F.lit(1.0) - F.coalesce(F.col("emitted_total"), F.lit(0.0)))
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
