@@ -1804,14 +1804,24 @@ def q102b_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         if seen:
             yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    parts = (
-        hist.select(_positions(F.col("fingerprint")).alias("pos"))
-        .mapInPandas(_fold, "bitmap binary")
-        .collect()  # ≤ numPartitions rows of bits/8 bytes — bounded
+    folded = hist.select(_positions(F.col("fingerprint")).alias("pos")).mapInPandas(
+        _fold, "bitmap binary"
     )
-    bitmap = np.zeros(bits // 8, dtype=np.uint8)
-    for r in parts:
-        bitmap |= np.frombuffer(r.bitmap, dtype=np.uint8)
+
+    def _or_bytes(a: bytes, b: bytes) -> bytes:
+        return (np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)).tobytes()
+
+    # executor-side tree OR (bloom bitmaps are a commutative monoid):
+    # the driver receives ONE bits/8-byte bitmap, not one per
+    # partition — at the BLOOM_MAX_BITS cap a per-partition collect
+    # would be numPartitions × 1 GiB on the driver
+    if n_hist == 0:
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
+    else:
+        bitmap = np.frombuffer(
+            folded.rdd.map(lambda r: r.bitmap).treeReduce(_or_bytes, depth=2),
+            dtype=np.uint8,
+        ).copy()
     bc = spark.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf("boolean")
