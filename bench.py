@@ -129,6 +129,7 @@ HEADLINE = [
     "q102b_bloom_incremental_dedup",
     "q107_snapshot_diff",
     "q108_crawl_pagerank",
+    "q109_pmi_collocations",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

@@ -2230,3 +2230,65 @@ def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"q108_crawl_pagerank": q108_crawl_pagerank})
+
+
+# ---------------------------------- frequent-itemset mining (r5)
+
+FPG_MIN_COUNT = 3   # absolute support floor (baskets containing the set)
+FPG_TOP_PER_SIZE = 20
+
+
+def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining (MLlib FPGrowth) over order baskets —
+    the co-occurrence-mining leg of the analytics surface (same
+    algorithm family a corpus pipeline uses for frequent template /
+    co-occurring-span detection; here in its classic market-basket
+    form: parts that ship together). Output: the top
+    FPG_TOP_PER_SIZE itemsets PER itemset size by (freq desc,
+    itemset asc) — per-size ranking because singleton frequencies
+    always dominate raw pair frequencies and would crowd every
+    multi-item discovery out of a global top-k. Items sorted within
+    each set so the output is canonical.
+
+    minSupport derives from the basket count as an ABSOLUTE count
+    floor (FPG_MIN_COUNT baskets): co-occurrence support is a count
+    phenomenon — a fixed fraction shrinks emitted sets to singletons
+    as N grows (measured here: max pair support 5 baskets at both
+    sf0.001 and sf0.01).
+
+    Scale shape: basket assembly is ONE hash agg (collect_set on the
+    order key); FPGrowth is MLlib's parallel FP-growth (PFP, Li et
+    al. 2008) — frequency census, then group-dependent conditional
+    trees built per partition of the item-rank space, which is the
+    published way this scales past single-node memory. The absolute
+    floor admits most items as "frequent", which is honest about
+    cost: conditional-tree work scales with the frequent-item census
+    and per-basket set size (~4 here), not raw basket count.
+    Rows-only (FP-tree construction isn't SQL-expressible); the
+    emitted supports are exactly recounted against the basket table
+    in tests/test_contract.py."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
+    n_baskets = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=FPG_MIN_COUNT / n_baskets, minConfidence=0.1
+    ).fit(baskets)
+    w = Window.partitionBy("set_size").orderBy(
+        F.col("freq").desc(), F.col("items").cast("string")
+    )
+    return (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("items"),
+            F.size("items").alias("set_size"),
+            "freq",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FPG_TOP_PER_SIZE)
+        .select("set_size", "items", "freq")
+        .orderBy("set_size", F.col("freq").desc(), F.col("items").cast("string"))
+    )
+
+
+QUERIES.update({"ml_fpgrowth_baskets": ml_fpgrowth_baskets})

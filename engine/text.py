@@ -2267,3 +2267,111 @@ ORACLE["q106_leakage_safe_split"] = f"""
                 ELSE 'test' END AS split
     FROM hashed
 """
+
+
+# ---------------------------------- collocation mining / PMI (r5)
+
+PMI_MIN_PAIR = 5   # min bigram occurrences before a pair is scored
+PMI_TOP = 30
+
+
+def q109_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: score adjacent word pairs by
+    pointwise mutual information, PMI = ln(p(a,b) / (p(a)·p(b))) —
+    the classic corpus-linguistics statistic for multiword
+    expressions, used in training-data work to pick phrase-level
+    tokenizer units and to spot templated/boilerplate constructions
+    (an implausibly high-PMI pair repeated across documents is a
+    fill-in-the-blank template). Top-30 pairs with ≥ PMI_MIN_PAIR
+    occurrences, deterministic (pmi desc, pair asc).
+
+    Scale shape: one exploded pass feeds BOTH censuses (unigram via
+    the pair's left token + a per-doc tail correction would distort;
+    instead tokens and bigrams are two projections of the same scan —
+    Spark schedules them as one shuffle each with map-side partial
+    agg). The unigram census is vocab-bounded (q57c's precondition);
+    the bigram census is bounded by the distinct-bigram vocabulary —
+    large but min-count-prunable: at open-web scale run q67b's
+    heavy-hitter pass first and score only surviving pairs (same
+    prune CCNet applies before LM scoring). Totals ride as broadcast
+    1-row aggregates inside the plan (q69's pattern). Every count is
+    exact; the single float op chain (ln of a quotient of exact
+    bigints, 6-decimal floor) is engine-portable — q57c/q69 precedent
+    — so the DuckDB oracle hash-matches."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = d.select("doc_id", toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    # both normalizers from ONE narrow scan (Σ|toks| and Σ(|toks|−1)₊)
+    # — NOT from the censuses: deriving them there duplicates the
+    # census subtree in the plan, and summing the FILTERED bigram
+    # census would normalize p(a,b) over surviving pairs only, which
+    # is not PMI
+    totals = base.agg(
+        F.sum(F.size("toks")).alias("n_uni"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n_bi"),
+    )
+    bi_expr = """
+        CASE WHEN size(toks) >= 2 THEN
+            transform(sequence(0, size(toks) - 2),
+                      i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))
+        ELSE array() END
+    """
+    bi = (
+        base.select(F.explode(F.expr(bi_expr)).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIR)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.log(
+        (F.col("cab") / F.col("n_bi"))
+        / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+    )
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(totals))
+        .select("w1", "w2", "cab", _trunc6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+QUERIES["q109_pmi_collocations"] = q109_pmi_collocations
+
+ORACLE["q109_pmi_collocations"] = f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+        FROM documents),
+    uni AS (
+        SELECT w, count(*)::bigint AS cw
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+    totals AS (
+        SELECT sum(len(toks))::bigint AS n_uni,
+               sum(greatest(len(toks) - 1, 0))::bigint AS n_bi
+        FROM base),
+    bi AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*)::bigint AS cab
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> struct_pack(w1 := toks[i],
+                                                          w2 := toks[i + 1]))) AS p
+            FROM base WHERE len(toks) >= 2)
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_PAIR})
+    SELECT b.w1, b.w2, b.cab,
+           floor(ln((b.cab / totals.n_bi::double)
+                    / ((u1.cw / totals.n_uni::double)
+                       * (u2.cw / totals.n_uni::double))) * 1e6) / 1e6 AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w, totals
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT {PMI_TOP}
+"""

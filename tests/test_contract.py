@@ -317,3 +317,33 @@ def test_pagerank_matches_numpy_and_conserves_mass(spark, sf_dir):
         range(n), key=lambda i: (-round(float(r[i]), 6), i)
     )[:PR_TOP]
     assert sorted(row.node for row in got) == sorted(top_numpy)
+
+
+def test_fpgrowth_supports_recount_exactly(spark, sf_dir):
+    """Every itemset ml_fpgrowth_baskets emits must have its support
+    equal an exact recount over the basket table (baskets whose item
+    set contains the whole itemset), be at or above the absolute
+    FPG_MIN_COUNT floor, and the per-size top-k output must be
+    canonically ordered."""
+    from pyspark.sql import functions as F
+
+    from engine.relational import FPG_MIN_COUNT, FPG_TOP_PER_SIZE, ml_fpgrowth_baskets
+    from engine.session import table
+
+    rows = ml_fpgrowth_baskets(spark, sf_dir).collect()
+    assert rows
+    sizes = {r.set_size for r in rows}
+    assert 1 in sizes and 2 in sizes  # co-occurrence actually surfaced
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = [set(r.items) for r in li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")).collect()]
+    per_size_counts: dict[int, int] = {}
+    for r in rows:
+        got = sum(1 for b in baskets if set(r.items) <= b)
+        assert got == r.freq, (r.items, r.freq, got)
+        assert r.freq >= FPG_MIN_COUNT
+        assert list(r.items) == sorted(r.items)
+        per_size_counts[r.set_size] = per_size_counts.get(r.set_size, 0) + 1
+    for n in per_size_counts.values():
+        assert n <= FPG_TOP_PER_SIZE

@@ -837,3 +837,27 @@ def test_leakage_safe_split_clusters_move_together(spark, tmp_path, sf_dir):
     frac_train = sum(r.split == "train" for r in fx) / n
     assert 0.6 <= frac_train <= 0.95  # 80% nominal, hash noise + clusters
     assert {r.split for r in fx} <= {"train", "val", "test"}
+
+
+def test_pmi_collocations_planted(spark, tmp_path):
+    """A pair that ALWAYS co-occurs ('new york' — every occurrence of
+    either word is in the pair) must out-score a pair of
+    independently common words, and the min-count floor must drop
+    rare pairs."""
+    from engine.text import PMI_MIN_PAIR, q109_pmi_collocations
+
+    filler = "the cat sat on the mat"
+    rows = [(i, f"new york {filler}", "en", "p", 30) for i in range(PMI_MIN_PAIR + 2)]
+    # 'the mat' / 'the cat' co-occur but 'the' is everywhere → low PMI
+    rows += [(100 + i, "rare pair", "en", "p", 9) for i in range(PMI_MIN_PAIR - 1)]
+    sf_dir = str(tmp_path / "pmi")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    got = q109_pmi_collocations(spark, sf_dir).collect()
+    pairs = {(r.w1, r.w2): r.pmi for r in got}
+    assert ("new", "york") in pairs
+    assert ("rare", "pair") not in pairs  # below the count floor
+    assert pairs[("new", "york")] == max(pairs.values())
+    the_pairs = [v for (a, b), v in pairs.items() if a == "the" or b == "the"]
+    assert all(pairs[("new", "york")] > v for v in the_pairs)
