@@ -130,6 +130,7 @@ HEADLINE = [
     "q107_snapshot_diff",
     "q108_crawl_pagerank",
     "q109_pmi_collocations",
+    "q110_embedding_drift",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

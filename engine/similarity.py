@@ -1499,3 +1499,64 @@ def scaling_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["scaling_law_report"] = scaling_law_report
+
+
+# ---------------------------------- embedding drift report (r5)
+
+DRIFT_SNAP_MOD = 3       # vec_id % 3 == 0 → snapshot B, else snapshot A
+DRIFT_SMD_THRESHOLD = 0.25  # |standardized mean diff| flagged as drift
+
+
+def q110_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots —
+    the data-validation twin of q107's content diff: when a new crawl
+    or a re-embedded corpus lands, per-dimension moment shifts catch
+    encoder version skew, normalization bugs, and genuine domain
+    drift BEFORE a training run consumes the data. One row per
+    dimension: snapshot means/stds and the standardized mean
+    difference smd = (μ_B − μ_A)/√((σ²_A + σ²_B)/2) (Cohen's d with
+    pooled variance), flagged against DRIFT_SMD_THRESHOLD.
+
+    Scale shape: ONE corpus pass — posexplode(embedding) keys rows by
+    dimension and every statistic is an algebraic aggregate
+    (conditional count/sum/sumsq), so map-side partial aggregation
+    collapses the shuffle to numPartitions × d rows regardless of N;
+    the output is d rows. The fixture split derives from vec_id mods
+    (q107's pattern) so the frame is deterministic. Rows-only: float
+    sums are order-sensitive at the ulp across engines; instead the
+    smd values are pinned against an independent numpy computation
+    and a planted-shift detection test in tests/test_similarity.py."""
+    c = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % DRIFT_SNAP_MOD == 0).alias("is_b"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+
+    def _side(flag, name):
+        cond = F.col("is_b") == flag
+        n = F.sum(F.when(cond, 1).otherwise(0))
+        s = F.sum(F.when(cond, F.col("v")))
+        s2 = F.sum(F.when(cond, F.col("v") * F.col("v")))
+        return [n.alias(f"n_{name}"), s.alias(f"s_{name}"), s2.alias(f"s2_{name}")]
+
+    agg = c.groupBy("dim").agg(*_side(False, "a"), *_side(True, "b"))
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = F.col("s2_a") / F.col("n_a") - mean_a * mean_a
+    var_b = F.col("s2_b") / F.col("n_b") - mean_b * mean_b
+    smd = (mean_b - mean_a) / F.sqrt((var_a + var_b) / 2)
+    return (
+        agg.select(
+            "dim",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(F.sqrt(var_a), 6).alias("std_a"),
+            F.round(F.sqrt(var_b), 6).alias("std_b"),
+            F.round(smd, 6).alias("smd"),
+            (F.abs(smd) >= DRIFT_SMD_THRESHOLD).alias("drifted"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["q110_embedding_drift"] = q110_embedding_drift

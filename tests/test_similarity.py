@@ -651,3 +651,41 @@ def test_scaling_law_report_consistent_with_derivations(spark, sf_dir):
     # cap honesty: at 1e9+ keys the broadcast budget binds
     assert rows["1e9"].bloom_bits == BLOOM_MAX_BITS
     assert rows["1e12"].bloom_bits == BLOOM_MAX_BITS
+
+
+def test_embedding_drift_numpy_parity_and_planted_shift(spark, sf_dir, tmp_path):
+    """q110's per-dimension smd must equal an independent numpy
+    computation on the fixture (1e-9 before rounding ⇒ equal at the
+    6-decimal output grid), and a planted mean shift on one dimension
+    must be the ONLY flagged drift."""
+    import numpy as np
+    from engine.similarity import DRIFT_SNAP_MOD, DRIFT_SMD_THRESHOLD, q110_embedding_drift
+    from engine.session import table
+
+    rows = {r.dim: r for r in q110_embedding_drift(spark, sf_dir).collect()}
+    data = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    a = np.array([r.embedding for r in data if r.vec_id % DRIFT_SNAP_MOD != 0], dtype=np.float64)
+    b = np.array([r.embedding for r in data if r.vec_id % DRIFT_SNAP_MOD == 0], dtype=np.float64)
+    smd = (b.mean(0) - a.mean(0)) / np.sqrt((a.var(0) + b.var(0)) / 2)
+    assert len(rows) == a.shape[1]
+    for d in range(a.shape[1]):
+        assert abs(rows[d].smd - round(float(smd[d]), 6)) <= 2e-6, d
+
+    # planted: shift dim 5 of snapshot B by +1.0 — strong drift there,
+    # nowhere else
+    rng = np.random.RandomState(11)
+    n, dim = 600, 8
+    emb = rng.normal(0, 1, size=(n, dim))
+    ids = np.arange(n)
+    emb[ids % DRIFT_SNAP_MOD == 0, 5] += 1.0
+    sf_dir2 = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in emb[i]], 0) for i in ids],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(sf_dir2 + "/embeddings.parquet")
+    got = {r.dim: r for r in q110_embedding_drift(spark, sf_dir2).collect()}
+    assert got[5].drifted and got[5].smd > 0.5
+    for d in range(dim):
+        if d != 5:
+            assert not got[d].drifted, (d, got[d].smd)
+    assert DRIFT_SMD_THRESHOLD < 0.5
