@@ -2131,13 +2131,16 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
     (edge-count) 16-byte (dst, contrib) rows into a node-sized agg;
     ranks (node-sized) are localCheckpoint-ed per round to truncate
     lineage exactly like connected_components' loop (engine/text.py).
-    Dangling mass (nodes with no out-links) redistributes uniformly:
-    since Σrank = 1, dangling = 1 − Σ(emitted contributions), so the
-    correction is a broadcast 1-row aggregate INSIDE each round's
-    plan — the loop makes NO driver round-trips (the r5 first cut
-    collected the dangling mass per round: 10 extra sync barriers,
-    measured ~30% of q108's wall). Σrank = 1 is invariant every round
-    (asserted in tests)."""
+    Dangling mass (nodes with no out-links) redistributes uniformly;
+    it is Σrank over the no-out-link nodes — a broadcast 1-row
+    aggregate over the PREVIOUS round's checkpointed node-sized ranks,
+    computed INSIDE the round's plan, so each round is exactly ONE
+    eager job and the loop makes NO driver round-trips (the r5 first
+    cut collected the dangling mass per round — 10 extra sync
+    barriers, ~30% of q108's wall; the second cut checkpointed the
+    contribution agg per round just to derive it as 1 − Σemitted —
+    2 jobs per round where 1 suffices, ~20%). Σrank = 1 is invariant
+    every round (asserted in tests)."""
     n_row = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edges_deg = (
@@ -2145,32 +2148,35 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
         .select("src", "dst", "out_deg")
         .localCheckpoint(eager=True)
     )
+    # node-sized, built once: the nodes with no out-links — their rank
+    # is the dangling mass each round
+    no_out = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left_anti")
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n_row).alias("rank")).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        # node-sized; checkpointed so the emitted-total aggregate and
-        # the rank update both read it once instead of re-running the
-        # edge join
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
-            .localCheckpoint(eager=True)
         )
-        # Σ emitted = 1 - dangling mass → the dangling correction as a
-        # broadcast scalar, no collect
-        emitted = contribs.agg(F.sum("in_mass").alias("emitted_total"))
+        dangling = (
+            ranks.join(F.broadcast(no_out), "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(emitted))
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n_row)
-                    + F.lit(damping / n_row)
-                    * (F.lit(1.0) - F.coalesce(F.col("emitted_total"), F.lit(0.0)))
+                    + F.lit(damping / n_row) * F.col("dangling_mass")
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
             )
