@@ -174,10 +174,11 @@ _R5_RELATIONAL_ROTATION = [
 # sketch_error_report value-surfaces in-window this round.  They lead
 # the r6 window.
 _DEFERRED_TO_R6 = {
-    # the four late-r5 additions (q76b/q102b/q107/ml_quality_classifier)
-    # claimed the last four window slots; the window-function spine and
-    # grouping-sets queries below (all r3-green, machinery frozen since
-    # r1) are the displaced block and lead r6 with the rest
+    # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
+    # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
+    # slots; the window-function spine and grouping-sets queries below
+    # (all r3-green, machinery frozen since r1) are the displaced block
+    # and lead r6 with the rest
     "q11_window_rank",
     "q13_window_running_sum",
     "q31_window_range_frame",
@@ -226,8 +227,8 @@ _DEFERRED_TO_R6 = {
 
 def _window_head() -> list[str]:
     """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the eleven new queries, the five changed queries, then the 11
-    prioritized relational rotation slots — exactly 50 entries."""
+    the nineteen new queries, the five changed queries, then the 3
+    surviving relational rotation slots — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50
     return head

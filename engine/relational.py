@@ -2225,11 +2225,16 @@ def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     ranks = pagerank(spark, nodes.select("node"), edges)
+    # cut the top-20 on the ROUNDED rank so the published tie rule
+    # (rank-6 ties broken by node id) is the actual cut rule — cutting
+    # on the unrounded float would let sub-1e-6 noise at the #20/#21
+    # boundary pick a different node than an independent implementation
     top = (
-        ranks.orderBy(F.col("rank").desc(), "node")
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
         .limit(PR_TOP)
         .join(nodes, "node")
-        .select("doc_id", F.col("node"), F.round("rank", 6).alias("rank"))
+        .select("doc_id", F.col("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
     )
     return top
@@ -2278,8 +2283,17 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
     n_baskets = baskets.count()
+    # MLlib applies the floor as ceil(minSupport * n_baskets); passing
+    # exactly FPG_MIN_COUNT / n_baskets round-trips through float and
+    # for ~5% of basket counts (e.g. n=187: (3/187)*187 =
+    # 3.0000000000000004) ceils to FPG_MIN_COUNT + 1, silently
+    # dropping itemsets AT the documented absolute floor.  Half a
+    # basket below the floor ceils to exactly FPG_MIN_COUNT for every
+    # n, with no float hazard anywhere near the 0.5 margin.
     model = FPGrowth(
-        itemsCol="items", minSupport=FPG_MIN_COUNT / n_baskets, minConfidence=0.1
+        itemsCol="items",
+        minSupport=(FPG_MIN_COUNT - 0.5) / n_baskets,
+        minConfidence=0.1,
     ).fit(baskets)
     w = Window.partitionBy("set_size").orderBy(
         F.col("freq").desc(), F.col("items").cast("string")

@@ -118,7 +118,13 @@ def _derive_n_planes(n_corpus: int) -> int:
 
 def _bucket(col: str, n_planes: int = N_PLANES) -> str:
     """Sign-bit LSH bucket over dims 0..n_planes-1 (axis-aligned
-    hyperplanes — engine-portable, so the DuckDB oracle reproduces it)."""
+    hyperplanes — engine-portable, so the DuckDB oracle reproduces it).
+
+    Bucket values are BIGINT everywhere (callers cast 'bigint', the
+    q61 oracle emits ::bigint): _derive_n_planes reaches 36 at the
+    1e12-row corpus scaling_law_report models, where 1 << 35 exceeds
+    int32 and an int cast would throw under ANSI mode (the PySpark 4
+    default) or wrap-alias buckets under legacy mode."""
     return " + ".join(
         f"(CASE WHEN {col}[{j}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
@@ -237,12 +243,12 @@ def _banded_hashed(corpus: DataFrame, n_planes: int, n_bands: int, dim: int) -> 
     structs = F.array(
         F.struct(F.lit(0).alias("band"), F.col("bucket0").alias("bucket")),
         *[
-            F.struct(F.lit(s + 1).alias("band"), F.expr(e).cast("int").alias("bucket"))
+            F.struct(F.lit(s + 1).alias("band"), F.expr(e).cast("bigint").alias("bucket"))
             for s, e in enumerate(band_exprs)
         ],
     )
     return (
-        corpus.withColumn("bucket0", F.expr(_bucket("emb", n_planes)).cast("int"))
+        corpus.withColumn("bucket0", F.expr(_bucket("emb", n_planes)).cast("bigint"))
         .withColumn("bb", F.explode(structs))
         .select(
             "vec_id",
@@ -289,7 +295,7 @@ def q61_knn_lsh_bucketed(
     if n_bands > 1:
         return _q61_banded(spark, sf_dir, n_planes, n_bands)
     corpus = _corpus_normed(spark, sf_dir).withColumn(
-        "bucket", F.expr(_bucket("emb", n_planes)).cast("int")
+        "bucket", F.expr(_bucket("emb", n_planes)).cast("bigint")
     )
     probes = (
         corpus.filter(F.col("vec_id") < N_QUERIES)
@@ -304,7 +310,7 @@ def q61_knn_lsh_bucketed(
             F.explode(F.array(*[F.lit(m) for m in _probe_masks(n_planes)])).alias("mask"),
             "qbucket",
         )
-        .withColumn("probe_bucket", F.expr("int(qbucket ^ mask)"))
+        .withColumn("probe_bucket", F.expr("bigint(qbucket ^ mask)"))
         .drop("qbucket", "mask")
     )
     joined = corpus.join(
@@ -341,7 +347,7 @@ def _q61_banded(
             F.explode(F.array(*[F.lit(m) for m in _probe_masks(n_planes)])).alias("mask"),
             F.col("bucket").alias("qbucket"),
         )
-        .select("query_id", "pband", F.expr("int(qbucket ^ mask)").alias("probe_bucket"))
+        .select("query_id", "pband", F.expr("bigint(qbucket ^ mask)").alias("probe_bucket"))
     )
     cand = (
         hashed.join(
@@ -610,7 +616,7 @@ def fit_quantizer(
 
     assigned = (
         a1.withColumn("sub", _sub_assign("coarse", "emb"))
-        .withColumn("cell", (F.col("coarse") * F.lit(k2max) + F.col("sub")).cast("int"))
+        .withColumn("cell", (F.col("coarse") * F.lit(k2max) + F.col("sub")).cast("bigint"))
         .drop("coarse", "sub")
     )
 
@@ -758,7 +764,7 @@ def q66_embedding_near_dup(
     if n_bands > 1:
         return _q66_banded(spark, sf_dir, n_planes, n_bands)
     corpus = _corpus_normed(spark, sf_dir).withColumn(
-        "bucket", F.expr(_bucket("emb", n_planes)).cast("int")
+        "bucket", F.expr(_bucket("emb", n_planes)).cast("bigint")
     )
     probes = corpus.select(
         F.col("vec_id").alias("vec_a"),
@@ -766,7 +772,7 @@ def q66_embedding_near_dup(
         F.explode(F.array(*[F.lit(m) for m in _probe_masks(n_planes)])).alias("mask"),
         "bucket",
     ).select(
-        "vec_a", "a_emb", F.expr("int(bucket ^ mask)").alias("probe_bucket")
+        "vec_a", "a_emb", F.expr("bigint(bucket ^ mask)").alias("probe_bucket")
     )
     pairs = probes.join(
         corpus,
@@ -798,7 +804,7 @@ def _q66_banded(
         F.col("band").alias("pband"),
         F.explode(F.array(*[F.lit(m) for m in _probe_masks(n_planes)])).alias("mask"),
         F.col("bucket").alias("abucket"),
-    ).select("vec_a", "pband", F.expr("int(abucket ^ mask)").alias("probe_bucket"))
+    ).select("vec_a", "pband", F.expr("bigint(abucket ^ mask)").alias("probe_bucket"))
     pairs = (
         probes.join(
             hashed,
@@ -1431,11 +1437,11 @@ ORACLE = {
         -- by passing n_planes=8 explicitly to the query.
         WITH c AS (
             SELECT vec_id, {_DUCK_NORMED} AS emb,
-                   ({_DUCK_BUCKET})::int AS bucket
+                   ({_DUCK_BUCKET})::bigint AS bucket
             FROM embeddings),
         probes AS (
             SELECT q.vec_id AS query_id, q.emb AS qemb,
-                   xor(q.bucket, m.mask)::int AS probe_bucket
+                   xor(q.bucket, m.mask)::bigint AS probe_bucket
             FROM c q, (SELECT unnest([{", ".join(map(str, _probe_masks()))}]) AS mask) m
             WHERE q.vec_id < {N_QUERIES}),
         scored AS (

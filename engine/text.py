@@ -1669,6 +1669,18 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reused by the window (same partitioning), so the batch shuffles
     once. No text moves for history; only the new batch carries
     payload."""
+    batch, hist = _ingest_split(spark, sf_dir)
+    joined = batch.join(
+        hist.withColumn("in_hist", F.lit(True)), "fingerprint", "left"
+    )
+    return _ingest_status(joined)
+
+
+def _ingest_split(spark: SparkSession, sf_dir: str):
+    """The (batch, distinct-history-fingerprint) split shared by q102
+    and q102b — ONE definition so the canonical form and the split rule
+    cannot drift between the plain probe and its bloom-prefiltered
+    twin (their oracle is literally the same SQL)."""
     d = table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
     fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
@@ -1677,12 +1689,17 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
         .select("fingerprint")
         .distinct()
-        .withColumn("in_hist", F.lit(True))
     )
+    return batch, hist
+
+
+def _ingest_status(frame: DataFrame) -> DataFrame:
+    """Shared q102/q102b status labeling over (doc_id, fingerprint,
+    in_hist): history dups, then within-batch first-occurrence keeper,
+    else new."""
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        batch.join(hist, "fingerprint", "left")
-        .withColumn("rn", F.row_number().over(w))
+        frame.withColumn("rn", F.row_number().over(w))
         .select(
             "doc_id",
             "fingerprint",
@@ -1772,23 +1789,18 @@ def q102b_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     deployment maintains it incrementally (bloom bitmaps OR, so each
     day's additions fold in without a rebuild) — the merge property
     the test pins."""
-    d = table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
-    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
-    batch = fp.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
-    hist = (
-        fp.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
-        .select("fingerprint")
-        .distinct()
-    )
+    batch, hist = _ingest_split(spark, sf_dir)
     n_hist = hist.count()
     bits = _derive_bloom_bits(n_hist)
     mask = bits - 1
 
     def _positions(col):
+        # positions stay BIGINT: bits may legitimately exceed 2^31
+        # (the cap is BLOOM_MAX_BITS = 2^33), where an int cast would
+        # throw under ANSI mode / wrap-alias under legacy mode
         return F.array(
             *[
-                (F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(mask))).cast("int")
+                F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(mask))
                 for i in range(BLOOM_HASHES)
             ]
         )
@@ -1839,18 +1851,7 @@ def q102b_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     merged = negatives.select("doc_id", "fingerprint", "in_hist").unionByName(
         positives.select("doc_id", "fingerprint", "in_hist")
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        merged.withColumn("rn", F.row_number().over(w))
-        .select(
-            "doc_id",
-            "fingerprint",
-            F.when(F.col("in_hist"), F.lit("dup_of_history"))
-            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-        )
-    )
+    return _ingest_status(merged)
 
 
 QUERIES["q102b_bloom_incremental_dedup"] = q102b_bloom_incremental_dedup
