@@ -131,6 +131,7 @@ HEADLINE = [
     "q108_crawl_pagerank",
     "q109_pmi_collocations",
     "q110_embedding_drift",
+    "q111_dsir_selection",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

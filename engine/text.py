@@ -351,6 +351,23 @@ def _trunc6(col):
     return F.floor(col * F.lit(1e6)) / F.lit(1e6)
 
 
+def _quality_col():
+    """The q57 composite-quality column as a row-wise expression over
+    ``text`` — exposed so consumers that need only the SCORE (q111's
+    target split) can evaluate it inline on their own scan instead of
+    joining against q57's output (an inline projection is free; the
+    join doubles the corpus scans)."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens)
+    return _trunc6(
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0))
+    )
+
+
 def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, lexical diversity, mean token length →
     composite score and bucket (the classic pre-training filters).
@@ -361,11 +378,7 @@ def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens)
-    score = _trunc6(
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (n_distinct / n_tokens)
-        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0))
-    )
+    score = _quality_col()
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -2375,4 +2388,180 @@ ORACLE["q109_pmi_collocations"] = f"""
     JOIN uni u2 ON b.w2 = u2.w, totals
     ORDER BY pmi DESC, b.w1, b.w2
     LIMIT {PMI_TOP}
+"""
+
+
+# ----------------------------- DSIR importance-weighted selection (r5)
+
+# hashed n-gram feature space — FIXED width, so the importance table is
+# unconditionally model-scale (stronger than q57c's vocab-bounded
+# precondition: the bound here is by construction, not by assumption)
+DSIR_BUCKETS = 4096
+DSIR_TOP = 50
+# target split: the q57 heuristic composite at the ml_quality_classifier
+# label threshold — the "trusted reference corpus" role Wikipedia plays
+# in the paper, pinned to an in-repo deterministic signal
+DSIR_TARGET_QUALITY = 0.5
+
+
+def q111_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) — the published target-distribution-matching selection
+    method, the third quality axis next to q57's heuristics and
+    ml_quality_classifier's model: score every candidate document by
+    how much more likely its hashed-n-gram features are under the
+    TARGET distribution than under the raw-pool distribution, and
+    select the top scorers. Where the classifier learns a decision
+    boundary, DSIR matches distributions — it up-weights docs that
+    look like the target corpus even when no single feature is
+    individually discriminative.
+
+    Estimator, exactly the paper's: features are unigrams + adjacent
+    bigrams hashed into DSIR_BUCKETS buckets; both distributions are
+    bag-of-buckets multinomials with add-one smoothing; a doc's score
+    is Σ_grams log(p_target(b)/p_raw(b)). The paper then samples with
+    Gumbel noise; this takes the deterministic top-k (documented
+    delta — seeded Gumbel keys are a one-line extension on the same
+    scores and would break the oracle for no semantic gain at
+    fixture scale).
+
+    Bit-exactness: each bucket's log-likelihood ratio is computed
+    ONCE, floor-truncated to a 1e-6 integer grid (llr6, a BIGINT),
+    and the per-doc score is an exact integer sum of llr6 over gram
+    occurrences — order-free, so the only cross-engine float surface
+    is one ln per bucket on identical doubles (q109/q69 precedent),
+    never a float accumulation.
+
+    Scale shape — TWO corpus scans, plan-snapshot-pinned, which is
+    exactly the train/apply structure (q57c's LM shape): scan 1
+    (train) feeds ONE conditional hash agg producing both multinomials
+    — census rows are (b, ct, cr), FIXED DSIR_BUCKETS width, so
+    map-side partials collapse the shuffle to numPartitions × 4096
+    rows regardless of N; the smoothing totals are window sums OVER
+    the census (every gram lands in a bucket, so Σct/Σcr ARE the
+    totals — the q104 window-over-census move; a separate totals agg
+    re-scanned the corpus, and the first cut's join-per-census shape
+    cost 8 scans). Scan 2 (apply) re-derives grams and joins the
+    4096-row broadcast llr table, re-aggregating ~1 row per doc
+    (exploded rows stay doc-co-located, the q103c pattern). The
+    target split is the inline _quality_col expression, not a join
+    against q57's output — same scan, zero extra shuffles. At 100 TB
+    the llr table would be FIT on yesterday's censuses and APPLIED to
+    today's ingest unchanged — the apply scan never touches the
+    target corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = d.select(
+        "doc_id",
+        (_quality_col() >= DSIR_TARGET_QUALITY).alias("is_target"),
+        toks.alias("toks"),
+    )
+    bi_expr = """
+        CASE WHEN size(toks) >= 2 THEN
+            transform(sequence(0, size(toks) - 2),
+                      i -> concat(toks[i], ' ', toks[i + 1]))
+        ELSE array() END
+    """
+    grams = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("toks"), F.expr(bi_expr))).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id",
+        "is_target",
+        (F.expr(_SPARK_H60.format(expr="g")) % DSIR_BUCKETS).alias("b"),
+    )
+    census = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    # smoothing totals as unpartitioned window sums over the census —
+    # ≤ DSIR_BUCKETS rows in one partition by construction, never
+    # corpus-sized, so the single-partition window is model-scale
+    wall = Window.partitionBy()
+    census = census.select(
+        "b",
+        "ct",
+        "cr",
+        F.sum("ct").over(wall).alias("nt"),
+        F.sum("cr").over(wall).alias("nr"),
+    )
+    # one ln per bucket over exact-bigint-derived doubles, identical op
+    # order in the oracle: (ct+1)*(nr+B) / ((cr+1)*(nt+B)) as doubles
+    # (double PRODUCTS, not bigint — bigint products overflow at
+    # web-scale gram counts; the IEEE double ops are engine-identical)
+    llr6 = F.floor(
+        F.log(
+            (F.col("ct") + 1).cast("double")
+            * (F.col("nr") + DSIR_BUCKETS).cast("double")
+            / ((F.col("cr") + 1).cast("double") * (F.col("nt") + DSIR_BUCKETS).cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    llr = census.filter(F.col("cr") > 0).select("b", llr6.alias("llr6"))
+    scored = (
+        bucketed.filter(~F.col("is_target"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("llr6").alias("dsir_score"))
+    )
+    top = scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(DSIR_TOP)
+    w = Window.orderBy(F.col("dsir_score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_grams", "dsir_score", "rank"
+    )
+
+
+QUERIES["q111_dsir_selection"] = q111_dsir_selection
+
+ORACLE["q111_dsir_selection"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), ' +') AS qtoks,
+               length(regexp_replace(trim(text), ' +', '', 'g')) AS n_alpha,
+               string_split_regex(trim(lower(text)), ' +') AS toks
+        FROM documents),
+    q AS (
+        SELECT doc_id, toks,
+               floor((0.4 * least(len(qtoks) / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(qtoks))::double / len(qtoks))
+                     + 0.3 * least((n_alpha::double / len(qtoks)) / 10.0, 1.0))
+                     * 1e6) / 1e6 >= {DSIR_TARGET_QUALITY} AS is_target
+        FROM t),
+    grams AS (
+        SELECT doc_id, is_target, unnest(
+            list_concat(toks,
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END)) AS g
+        FROM q),
+    b AS (
+        SELECT doc_id, is_target,
+               {_DUCK_H60.format(expr="g")} % {DSIR_BUCKETS} AS b
+        FROM grams),
+    tgt AS (SELECT b, count(*)::bigint AS ct FROM b WHERE is_target GROUP BY b),
+    raw AS (SELECT b, count(*)::bigint AS cr FROM b WHERE NOT is_target GROUP BY b),
+    totals AS (
+        SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END)::bigint AS nt,
+               sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END)::bigint AS nr
+        FROM b),
+    llr AS (
+        SELECT raw.b,
+               floor(ln((coalesce(tgt.ct, 0) + 1)::double
+                        * (totals.nr + {DSIR_BUCKETS})::double
+                        / ((raw.cr + 1)::double
+                           * (totals.nt + {DSIR_BUCKETS})::double)) * 1e6)::bigint AS llr6
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, totals),
+    scored AS (
+        SELECT p.doc_id, count(*)::bigint AS n_grams, sum(l.llr6)::bigint AS dsir_score
+        FROM b p JOIN llr l ON p.b = l.b
+        WHERE NOT p.is_target
+        GROUP BY p.doc_id)
+    SELECT doc_id, n_grams, dsir_score,
+           row_number() OVER (ORDER BY dsir_score DESC, doc_id)::int AS rank
+    FROM scored
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {DSIR_TOP}
 """

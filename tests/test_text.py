@@ -861,3 +861,72 @@ def test_pmi_collocations_planted(spark, tmp_path):
     assert pairs[("new", "york")] == max(pairs.values())
     the_pairs = [v for (a, b), v in pairs.items() if a == "the" or b == "the"]
     assert all(pairs[("new", "york")] > v for v in the_pairs)
+
+
+def test_dsir_selection_matches_independent_python(spark, sf_dir):
+    """q111's distributed DSIR pipeline must agree with a from-scratch
+    single-machine reimplementation (hashlib md5 buckets, python
+    Counter censuses, math.log llr grid) on the full ranked top-50 —
+    pinning the hash mapping, the smoothing, the llr integer grid, and
+    the exact-bigint score accumulation end to end."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from engine.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_QUALITY,
+        DSIR_TOP,
+        q57_quality_score,
+        q111_dsir_selection,
+    )
+    from engine.session import table
+
+    quality = {
+        r.doc_id: r.quality for r in q57_quality_score(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    per_doc: dict[int, list[int]] = {}
+    is_target: dict[int, bool] = {}
+    for r in docs:
+        toks = re.split(" +", r.text.strip().lower())
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc[r.doc_id] = [bucket(g) for g in grams]
+        is_target[r.doc_id] = quality[r.doc_id] >= DSIR_TARGET_QUALITY
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for did, bs in per_doc.items():
+        (ct if is_target[did] else cr).update(bs)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    llr6 = {
+        b: math.floor(
+            math.log(
+                (ct.get(b, 0) + 1)
+                * float(nr + DSIR_BUCKETS)
+                / ((c + 1) * float(nt + DSIR_BUCKETS))
+            )
+            * 1e6
+        )
+        for b, c in cr.items()
+    }
+    scored = [
+        (did, len(bs), sum(llr6[b] for b in bs))
+        for did, bs in per_doc.items()
+        if not is_target[did]
+    ]
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    expected = [
+        (did, n, s, i + 1) for i, (did, n, s) in enumerate(scored[:DSIR_TOP])
+    ]
+
+    got = [
+        (r.doc_id, r.n_grams, r.dsir_score, r.rank)
+        for r in q111_dsir_selection(spark, sf_dir).collect()
+    ]
+    assert got == expected
