@@ -7,7 +7,7 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 139.  Policy: stalest-first — every
+entries, and the full inventory is 140.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
@@ -29,7 +29,7 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (20): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (21): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -50,13 +50,14 @@ exactly which green rows wait and why they lose the least signal.
     tested), q109 (PMI collocation mining, oracle-backed),
     ml_fpgrowth_baskets (parallel FP-growth itemsets, support-recount
     tested), q110 (embedding-distribution drift between
-    snapshots, numpy-parity + planted-shift tested), and q111 (DSIR
+    snapshots, numpy-parity + planted-shift tested), q111 (DSIR
     importance-weighted selection, oracle-backed + python-parity
-    tested).
+    tested), and dedup_recall_report (measured MinHash-LSH candidate
+    recall vs the exact shingle-join truth, oracle-backed).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (2): the r3-green relational block,
+  - ``_R5_RELATIONAL_ROTATION`` (1): the r3-green relational block,
     prioritized by semantic risk — the relational core (q01/q02/q04,
     q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
     q09's anti-join — the flag-twin of in-window q08's semi — and
@@ -68,11 +69,13 @@ exactly which green rows wait and why they lose the least signal.
     queries — q48/q79/q102b/q109 broadcasts, q48's semi/anti decon
     legs), and q01 (one-pass agg machinery shared with the in-window
     q42/q43/q45 censuses) originally held the last eight slots but
-    were displaced by the eight late-r5 additions, and q02 by the
-    ninth (q111) — added queries outrank frozen green rotation per
-    the policy above; q02's join+agg+sort machinery still runs every
-    round as the driver's entry() smoke.
-  - ``_DEFERRED_TO_R6`` (44): the remaining r3-green relational
+    were displaced by the eight late-r5 additions, q02 by the ninth
+    (q111), and q81 by the tenth (dedup_recall_report) — added
+    queries outrank frozen green rotation per the policy above;
+    q02's join+agg+sort machinery still runs every round as the
+    driver's entry() smoke, and q81's range machinery is adjacent to
+    r4-green q81b's bucketized band join.
+  - ``_DEFERRED_TO_R6`` (45): the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
     queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
     q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
@@ -153,6 +156,7 @@ _NEW_IN_R5 = [
     "ml_fpgrowth_baskets",        # frequent-itemset mining (PFP, support-recount tested)
     "q110_embedding_drift",       # per-dimension snapshot drift (numpy-parity tested)
     "q111_dsir_selection",        # DSIR importance-weighted selection (oracle-backed)
+    "dedup_recall_report",        # measured LSH candidate recall vs exact truth (oracle-backed)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -169,7 +173,6 @@ _CHANGED_IN_R5 = [
 # docstring for the selection rationale).
 _R5_RELATIONAL_ROTATION = [
     "q28_asof_join",
-    "q81_range_join",
 ]
 
 # r3-green entries displaced by the 50-slot cap: frozen single-pass
@@ -193,6 +196,8 @@ _DEFERRED_TO_R6 = {
     "q01_pricing_summary",  # one-pass agg machinery shared with in-window q42/q43/q45 censuses
     "q02_revenue_by_nation",  # displaced by late-added q111; its join+agg+sort
                               # machinery runs every round as the entry() smoke
+    "q81_range_join",         # displaced by late-added dedup_recall_report;
+                              # range machinery adjacent to r4-green q81b
     "q92_sessionization",  # lag+running-sum machinery shared with q13/q31
     "q82_time_rollup",     # multi-grain agg machinery shared with q26
     "q36_rank_functions",  # rank/dense_rank machinery shared with q11
@@ -233,8 +238,8 @@ _DEFERRED_TO_R6 = {
 
 def _window_head() -> list[str]:
     """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the twenty new queries, the five changed queries, then the 2
-    surviving relational rotation slots — exactly 50 entries."""
+    the twenty-one new queries, the five changed queries, then the 1
+    surviving relational rotation slot — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50
     return head

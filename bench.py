@@ -132,6 +132,7 @@ HEADLINE = [
     "q109_pmi_collocations",
     "q110_embedding_drift",
     "q111_dsir_selection",
+    "dedup_recall_report",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

@@ -2565,3 +2565,137 @@ ORACLE["q111_dsir_selection"] = f"""
     ORDER BY dsir_score DESC, doc_id
     LIMIT {DSIR_TOP}
 """
+
+
+# --------------------------------- dedup candidate-recall report (r5)
+
+# Jaccard tiers the report measures candidate recall at
+DEDUP_RECALL_TIERS = [0.2, 0.5, 0.8]
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH candidate recall vs the EXACT near-dup
+    truth — the ann_recall_report pattern applied to text dedup: the
+    q53/q54 signature+banding pipeline promises that true near-dups
+    collide in some band, and this report measures that promise
+    in-plan instead of leaving it to the test suite. One row per
+    Jaccard tier: exact pairs at/above the tier, how many the banding
+    recalled, how many it missed, and the recall ratio, plus the total
+    LSH candidate count (the cost side of the trade).
+
+    Ground truth is complete by construction: a pair with Jaccard > 0
+    shares at least one shingle, so the shingle-index self-join
+    enumerates every pair any tier can admit (no pair is silently out
+    of scope). This is the measurement query running the exact
+    baseline DELIBERATELY — the self-join is the q52 docstring's
+    avoided all-pairs shape, linear only in shared-shingle pairs; it
+    prices like the brute-force leg of ann_recall_report and is meant
+    for audit runs on samples at scale, not for the production dedup
+    path (which remains q54 → q52 → q80).
+
+    All tier counts are exact bigints off ONE pass over the
+    truth⟕candidates join (tiers explode inside the agg input);
+    jaccard is the q52 rounding, so the tier compare is
+    engine-deterministic; recall is one _trunc6 quotient per tier."""
+    cand = (
+        q54_minhash_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("is_cand", F.lit(True))
+    )
+    sh = _with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
+        sa.join(sb, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .withColumn("is_cand", F.coalesce(F.col("is_cand"), F.lit(False)))
+    )
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("lsh_candidates"))
+    tiers = F.explode(
+        F.array(*[F.lit(t) for t in DEDUP_RECALL_TIERS])
+    ).alias("threshold")
+    per_tier = (
+        truth.select("jaccard", "is_cand", tiers)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("true_pairs"),
+            F.sum(F.col("is_cand").cast("bigint")).alias("recalled"),
+        )
+    )
+    return (
+        per_tier.join(F.broadcast(n_cand))
+        .select(
+            "threshold",
+            "true_pairs",
+            "recalled",
+            (F.col("true_pairs") - F.col("recalled")).alias("missed"),
+            _trunc6(F.col("recalled") / F.col("true_pairs")).alias("recall"),
+            "lsh_candidates",
+        )
+        .orderBy("threshold")
+    )
+
+
+QUERIES["dedup_recall_report"] = dedup_recall_report
+
+ORACLE["dedup_recall_report"] = f"""
+    WITH per_doc AS ({_DUCK_PER_DOC_SIG}),
+    bands AS (
+        SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM per_doc),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sh AS (
+        SELECT doc_id, {_DUCK_H60.format(expr="shingle")} AS sh_h
+        FROM ({_DUCK_SHINGLES_SQL}) raw),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_inter::double
+                     / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard,
+               c.doc_a IS NOT NULL AS is_cand
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        LEFT JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b),
+    n_cand AS (SELECT count(*)::bigint AS lsh_candidates FROM cand),
+    per_tier AS (
+        SELECT t.threshold,
+               count(*)::bigint AS true_pairs,
+               sum(is_cand::int)::bigint AS recalled
+        FROM truth, (SELECT unnest([{", ".join(map(str, DEDUP_RECALL_TIERS))}]) AS threshold) t
+        WHERE truth.jaccard >= t.threshold
+        GROUP BY t.threshold)
+    SELECT threshold, true_pairs, recalled,
+           (true_pairs - recalled)::bigint AS missed,
+           floor((recalled::double / true_pairs) * 1e6) / 1e6 AS recall,
+           lsh_candidates
+    FROM per_tier, n_cand
+    ORDER BY threshold
+"""

@@ -930,3 +930,27 @@ def test_dsir_selection_matches_independent_python(spark, sf_dir):
         for r in q111_dsir_selection(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_dedup_recall_report_floors_and_consistency(spark, sf_dir):
+    """The LSH banding (4 bands x 2 rows) gives a j=0.8 pair collision
+    probability 1-(1-0.8^2)^4 ~ 0.98, and the fixture's planted dups
+    are higher-sim than that — pin recall >= 0.9 at the top tier, and
+    the report's internal arithmetic (missed complement, recall
+    quotient, monotone true-pair counts as tiers tighten)."""
+    from engine.text import DEDUP_RECALL_TIERS, dedup_recall_report
+
+    rows = {r.threshold: r for r in dedup_recall_report(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(DEDUP_RECALL_TIERS)
+    top = rows[max(DEDUP_RECALL_TIERS)]
+    assert top.true_pairs > 0
+    assert top.recall >= 0.9
+    prev_true = None
+    for t in sorted(rows):
+        r = rows[t]
+        assert 0 <= r.recalled <= r.true_pairs
+        assert r.missed == r.true_pairs - r.recalled
+        assert abs(r.recall - (r.recalled / r.true_pairs)) < 1e-6
+        if prev_true is not None:
+            assert r.true_pairs <= prev_true  # tighter tier, fewer pairs
+        prev_true = r.true_pairs
