@@ -15,6 +15,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+CODEGEN_RE = re.compile(r"\*\((\d+)\)")
+
+
 def audit(plan: str) -> dict:
     scans = re.findall(r"FileScan parquet[^\[]*\[([^\]]*)\]", plan)
     return {
@@ -23,7 +26,7 @@ def audit(plan: str) -> dict:
         "scans": len(scans),
         "scan_cols": [len(s.split(",")) for s in scans],
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "codegen_spans": len(set(CODEGEN_RE.findall(plan))),
         "python_workers": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
         "sorts": plan.count("Sort "),
     }
