@@ -347,3 +347,23 @@ def test_fpgrowth_supports_recount_exactly(spark, sf_dir):
         per_size_counts[r.set_size] = per_size_counts.get(r.set_size, 0) + 1
     for n in per_size_counts.values():
         assert n <= FPG_TOP_PER_SIZE
+
+
+def test_fpgrowth_min_support_floor_never_rounds_up():
+    """Regression for the r5 review finding: minSupport passed as
+    exactly FPG_MIN_COUNT/n float-round-trips through MLlib's
+    ceil(minSupport * n) to FPG_MIN_COUNT + 1 for ~5% of basket
+    counts (n=187 is the smallest). The shipped (floor - 0.5)/n form
+    must ceil to exactly FPG_MIN_COUNT for every n."""
+    import math
+
+    from engine.relational import FPG_MIN_COUNT
+
+    bad = [
+        n
+        for n in range(1, 20001)
+        if math.ceil((FPG_MIN_COUNT / n) * n) != FPG_MIN_COUNT
+    ]
+    assert len(bad) > 900  # the naive form really is broken this often
+    for n in range(1, 20001):
+        assert math.ceil(((FPG_MIN_COUNT - 0.5) / n) * n) == FPG_MIN_COUNT

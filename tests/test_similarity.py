@@ -689,3 +689,32 @@ def test_embedding_drift_numpy_parity_and_planted_shift(spark, sf_dir, tmp_path)
         if d != 5:
             assert not got[d].drifted, (d, got[d].smd)
     assert DRIFT_SMD_THRESHOLD < 0.5
+
+
+def test_wide_lsh_buckets_and_banding_survive_int32(spark, sf_dir):
+    """Regression for the r5 review finding: at the 36-plane width a
+    1e12-row corpus derives (scaling_law_report's last row), bucket
+    values reach 2^35 and the old int casts threw CAST_OVERFLOW under
+    ANSI mode. Pin that (a) a 36-plane bucket value exceeding int32
+    evaluates fine and (b) the multi-band q61 path runs end-to-end at
+    that width and keeps the contract shape."""
+    from pyspark.sql import functions as F
+
+    from engine.similarity import TOP_K, _bucket, q61_knn_lsh_bucketed
+
+    df = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(4)], "vec_id long, emb array<double>"
+    )
+    vals = [
+        r.b
+        for r in df.select(
+            F.expr(_bucket("emb", 36)).cast("bigint").alias("b")
+        ).collect()
+    ]
+    assert vals == [(1 << 36) - 1] * 4  # all-positive dims -> all sign bits set
+
+    out = q61_knn_lsh_bucketed(spark, sf_dir, n_planes=36, n_bands=2)
+    rows = out.collect()
+    assert out.columns == ["query_id", "vec_id", "bucket", "cosine", "rank"]
+    assert all(1 <= r.rank <= TOP_K for r in rows)
+
