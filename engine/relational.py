@@ -1941,8 +1941,13 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sketches = e.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
+    # a genuinely-NULL event_type becomes the '(null)' item: an inner
+    # equi-join never matches NULL = NULL, so without the coalesce that
+    # group's sketch-vs-exact row would silently VANISH from the report
+    # — the exact failure mode this report exists to prevent
     hll_per_type = sketches.select(
-        "event_type", F.expr("double(hll_sketch_estimate(s))").alias("approx")
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("event_type"),
+        F.expr("double(hll_sketch_estimate(s))").alias("approx"),
     )
     hll_all = sketches.agg(
         F.expr("double(hll_sketch_estimate(hll_union_agg(s)))").alias("approx")
@@ -1954,7 +1959,9 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("double").alias("exact"),
         F.grouping("event_type").alias("g"),
     ).select(
-        F.when(F.col("g") == 1, F.lit("ALL")).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("g") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce(F.col("event_type"), F.lit("(null)")))
+        .alias("event_type"),
         "exact",
     )
     hll = (

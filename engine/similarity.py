@@ -337,7 +337,12 @@ def _q61_banded(
     cosine rank. Output schema matches single-band q61 (``bucket`` is
     the band-0 bucket, the oracle geometry)."""
     corpus = _corpus_normed(spark, sf_dir)
-    dim = len(corpus.select("emb").head().emb)
+    first = corpus.select(F.size("emb").alias("d")).head()
+    if first is None:  # empty corpus: same empty frame the single-band path yields
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, bucket bigint, cosine double, rank int"
+        )
+    dim = first.d
     hashed = _banded_hashed(corpus, n_planes, n_bands, dim).drop("emb")
     probes = (
         hashed.filter(F.col("vec_id") < N_QUERIES)
@@ -429,6 +434,23 @@ SUB_LLOYD_ITERS = 10
 SUBFIT_GATE_FACTOR = 4
 
 
+def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances via the expanded form
+    ||x||² − 2·x·cᵀ + ||c||² — NOT the broadcast subtraction
+    ((x[:,None,:]-cent[None,:,:])**2).sum(2), whose (n, k, d)
+    temporary is a per-task memory cliff at the design point the
+    two-level quantizer exists for (64·k2-row cell sample × k2≈1000
+    sub-centroids × d=64 ⇒ ~33 GB in one applyInPandas task; this
+    form peaks at the (n, k) result plus BLAS workspace). argmin over
+    either form picks the same centroid (row-constant ‖x‖² offsets
+    cancel); ties still resolve to the lowest index."""
+    return (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+
+
 def _np_lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Seeded, fixed-iteration Lloyd on an in-memory sample (the same
     determinism contract as _pq_codebooks: seeded init without
@@ -438,7 +460,7 @@ def _np_lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(x, cent)
         assign = d.argmin(axis=1)
         for c in range(k):
             mask = assign == c
@@ -512,8 +534,12 @@ def fit_quantizer(
             d = ((centers - qv) ** 2).sum(axis=1)
             return [int(c) for c in np.argsort(d)[:nprobe]]
 
+        # cell is BIGINT on both fit paths: the two-level id space
+        # (coarse·k2max + sub) exceeds int32 at derived scale, and the
+        # flat path must expose the same schema for the same query
+        flat = km.transform(df).withColumn("cell", F.col("cell").cast("bigint"))
         return Quantizer(
-            km.transform(df), _probe_flat, {i: centers[i] for i in range(len(centers))}
+            flat, _probe_flat, {i: centers[i] for i in range(len(centers))}
         )
 
     k1 = max(2, math.ceil(math.sqrt(k)))
@@ -610,7 +636,7 @@ def fit_quantizer(
         for c in np.unique(cvals):
             mask = cvals == c
             cents = bk[int(c)]
-            d = ((X[mask][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d = _sq_dists(X[mask], cents)
             out[mask] = d.argmin(axis=1)
         return pd.Series(out)
 
@@ -714,7 +740,7 @@ def q65_knn_ivf(
         qn = qv / np.linalg.norm(qv)
         for cell in qz.probe(qv, nprobe):
             probe_rows.append((q.vec_id, int(cell), [float(x) for x in qn]))
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int, qemb array<double>")
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell bigint, qemb array<double>")
 
     joined = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("query_id"))
     sim = F.expr(_DOT.format(a="emb", b="qemb"))
@@ -797,7 +823,10 @@ def _q66_banded(
     keys), then one exact-cosine scoring pass over the deduped pairs
     via two vec_id joins. Same output contract as single-band q66."""
     corpus = _corpus_normed(spark, sf_dir)
-    dim = len(corpus.select("emb").head().emb)
+    first = corpus.select(F.size("emb").alias("d")).head()
+    if first is None:
+        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cosine double")
+    dim = first.d
     hashed = _banded_hashed(corpus, n_planes, n_bands, dim).drop("emb", "bucket0")
     probes = hashed.select(
         F.col("vec_id").alias("vec_a"),
@@ -1184,7 +1213,7 @@ def q76b_ivfpq_ann(
                 tab[j] = ((books[j] - rq[j][None, :]) ** 2).sum(axis=1)
             probe_rows.append((int(q.vec_id), int(cell), [float(v) for v in tab.ravel()]))
     probes = spark.createDataFrame(
-        probe_rows, "query_id bigint, cell int, adc_table array<double>"
+        probe_rows, "query_id bigint, cell bigint, adc_table array<double>"
     )
 
     @F.pandas_udf("double")
@@ -1548,9 +1577,25 @@ def q110_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = c.groupBy("dim").agg(*_side(False, "a"), *_side(True, "b"))
     mean_a = F.col("s_a") / F.col("n_a")
     mean_b = F.col("s_b") / F.col("n_b")
-    var_a = F.col("s2_a") / F.col("n_a") - mean_a * mean_a
-    var_b = F.col("s2_b") / F.col("n_b") - mean_b * mean_b
-    smd = (mean_b - mean_a) / F.sqrt((var_a + var_b) / 2)
+    # E[x²]−E[x]² can go a few ulp negative on constant dims — clamp so
+    # sqrt never returns NaN (NaN compares GREATEST in Spark, which
+    # would flag spurious drift)
+    var_a = F.greatest(F.col("s2_a") / F.col("n_a") - mean_a * mean_a, F.lit(0.0))
+    var_b = F.greatest(F.col("s2_b") / F.col("n_b") - mean_b * mean_b, F.lit(0.0))
+    pooled = (var_a + var_b) / 2
+    diff = mean_b - mean_a
+    # zero-pooled-variance dims (constant in both snapshots — e.g.
+    # zero-padded encoder dims) must not divide by zero (ANSI throws,
+    # legacy yields a NULL `drifted` that slips past boolean filters):
+    # equal means ⇒ smd 0 (no drift); unequal constant means ⇒ a
+    # level shift every real std would flag ⇒ +-Infinity, drifted true
+    smd = F.when(
+        pooled > 0, diff / F.sqrt(pooled)
+    ).otherwise(
+        F.when(diff == 0, F.lit(0.0)).otherwise(
+            F.when(diff > 0, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
+        )
+    )
     return (
         agg.select(
             "dim",

@@ -1856,7 +1856,13 @@ def q102b_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         hit = (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 
-    probed = batch.withColumn("maybe", _maybe_in_hist(_positions(F.col("fingerprint"))))
+    # materialize the probed batch ONCE: negatives and positives both
+    # read it, and without the checkpoint the un-materialized subtree
+    # (documents scan + md5 + 8 hash positions + the bloom-probe UDF)
+    # executes twice — paying back a chunk of the prefilter's savings
+    probed = batch.withColumn(
+        "maybe", _maybe_in_hist(_positions(F.col("fingerprint")))
+    ).localCheckpoint(eager=True)
     negatives = probed.filter(~F.col("maybe")).withColumn("in_hist", F.lit(False))
     positives = probed.filter(F.col("maybe")).join(
         hist.withColumn("in_hist_j", F.lit(True)), "fingerprint", "left"
@@ -2597,10 +2603,14 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth⟕candidates join (tiers explode inside the agg input);
     jaccard is the q52 rounding, so the tier compare is
     engine-deterministic; recall is one _trunc6 quotient per tier."""
+    # candidate-list-sized; checkpointed because BOTH the truth join
+    # and the n_cand count read it — un-materialized, the full
+    # signature+banding pipeline would run twice in one plan
     cand = (
         q54_minhash_candidates(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("is_cand", F.lit(True))
+        .localCheckpoint(eager=True)
     )
     sh = _with_shingles(table(spark, sf_dir, "documents")).select(
         "doc_id", F.xxhash64("shingle").alias("sh_h")

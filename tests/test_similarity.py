@@ -718,3 +718,33 @@ def test_wide_lsh_buckets_and_banding_survive_int32(spark, sf_dir):
     assert out.columns == ["query_id", "vec_id", "bucket", "cosine", "rank"]
     assert all(1 <= r.rank <= TOP_K for r in rows)
 
+
+
+def test_embedding_drift_constant_dims_dont_divide_by_zero(spark, tmp_path):
+    """Regression for the r5 review finding: zero-pooled-variance
+    dimensions (constant in both snapshots — zero-padded encoder dims
+    are a real artifact) used to divide by zero, throwing under ANSI
+    mode or emitting NULL `drifted` flags under legacy mode. Equal
+    constant means => smd 0 / not drifted; a constant-dim level shift
+    => +-Infinity / drifted."""
+    import numpy as np
+
+    from engine.similarity import DRIFT_SNAP_MOD, q110_embedding_drift
+
+    rng = np.random.RandomState(7)
+    n = 400
+    emb = rng.normal(0, 1, size=(n, 4))
+    emb[:, 1] = 0.0            # constant-equal in both snapshots
+    emb[:, 2] = 3.25           # constant but shifted in snapshot B
+    ids = np.arange(n)
+    emb[ids % DRIFT_SNAP_MOD == 0, 2] = 4.25
+    sf = str(tmp_path / "const")
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in emb[i]], 0) for i in ids],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(sf + "/embeddings.parquet")
+    got = {r.dim: r for r in q110_embedding_drift(spark, sf).collect()}
+    assert got[1].smd == 0.0 and got[1].drifted is False
+    assert got[2].smd == float("inf") and got[2].drifted is True
+    for d in (0, 3):
+        assert got[d].drifted is False and abs(got[d].smd) < 0.25
