@@ -29,7 +29,7 @@ exactly which green rows wait and why they lose the least signal.
   - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus
     q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (21): sketch_error_report (measured error of q30/
+  - ``_NEW_IN_R5`` (22): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -52,12 +52,14 @@ exactly which green rows wait and why they lose the least signal.
     tested), q110 (embedding-distribution drift between
     snapshots, numpy-parity + planted-shift tested), q111 (DSIR
     importance-weighted selection, oracle-backed + python-parity
-    tested), and dedup_recall_report (measured MinHash-LSH candidate
-    recall vs the exact shingle-join truth, oracle-backed).
+    tested), dedup_recall_report (measured MinHash-LSH candidate
+    recall vs the exact shingle-join truth, oracle-backed), and
+    q48b_span_decontaminate (span-level decontamination — redact the
+    contaminated chunk, keep the document; oracle-backed).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
-  - ``_R5_RELATIONAL_ROTATION`` (1): the r3-green relational block,
+  - ``_R5_RELATIONAL_ROTATION`` (0): the r3-green relational block,
     prioritized by semantic risk — the relational core (q01/q02/q04,
     q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
     q09's anti-join — the flag-twin of in-window q08's semi — and
@@ -70,12 +72,17 @@ exactly which green rows wait and why they lose the least signal.
     legs), and q01 (one-pass agg machinery shared with the in-window
     q42/q43/q45 censuses) originally held the last eight slots but
     were displaced by the eight late-r5 additions, q02 by the ninth
-    (q111), and q81 by the tenth (dedup_recall_report) — added
-    queries outrank frozen green rotation per the policy above;
-    q02's join+agg+sort machinery still runs every round as the
-    driver's entry() smoke, and q81's range machinery is adjacent to
-    r4-green q81b's bucketized band join.
-  - ``_DEFERRED_TO_R6`` (45): the remaining r3-green relational
+    (q111), q81 by the tenth (dedup_recall_report), and q28 by the
+    eleventh (q48b_span_decontaminate) — added queries outrank frozen
+    green rotation per the policy above; q02's join+agg+sort
+    machinery still runs every round as the driver's entry() smoke,
+    q81's range machinery is adjacent to r4-green q81b's bucketized
+    band join, and q28's as-of window machinery is shared with the
+    r4-green window spine.
+  - ``_DEFERRED_TO_R6`` (47): q112_cdc_merge (added after the window
+    filled — the cap binds; strict-oracle green locally and
+    MERGE-branch planted-tested, leads r6), plus the remaining
+    r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
     queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
     q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
@@ -157,6 +164,7 @@ _NEW_IN_R5 = [
     "q110_embedding_drift",       # per-dimension snapshot drift (numpy-parity tested)
     "q111_dsir_selection",        # DSIR importance-weighted selection (oracle-backed)
     "dedup_recall_report",        # measured LSH candidate recall vs exact truth (oracle-backed)
+    "q48b_span_decontaminate",    # span-level decon: redact the chunk, keep the doc (oracle-backed)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -170,10 +178,12 @@ _CHANGED_IN_R5 = [
 ]
 
 # r3-green relational block, highest-semantic-risk first (see module
-# docstring for the selection rationale).
-_R5_RELATIONAL_ROTATION = [
-    "q28_asof_join",
-]
+# docstring for the selection rationale).  q28_asof_join, the last
+# surviving rotation slot, was displaced by the late-added
+# q48b_span_decontaminate (added queries outrank frozen green
+# rotation); its as-of machinery is r3-green and frozen, and it leads
+# the r6 window with the rest of the deferred block.
+_R5_RELATIONAL_ROTATION: list[str] = []
 
 # r3-green entries displaced by the 50-slot cap: frozen single-pass
 # relational queries (every one keeps its green r3 value-hash row and
@@ -181,6 +191,12 @@ _R5_RELATIONAL_ROTATION = [
 # sketch_error_report value-surfaces in-window this round.  They lead
 # the r6 window.
 _DEFERRED_TO_R6 = {
+    "q28_asof_join",  # displaced by late-added q48b_span_decontaminate
+                      # (the last rotation slot); as-of machinery r3-green
+    "q112_cdc_merge",  # added in r5 AFTER the window filled (cap-forced:
+                       # 23 stalest + 22 new + 5 changed = 50); strict
+                       # oracle green locally + planted MERGE-branch
+                       # test in-suite; leads r6 as never-driver-checked
     # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
     # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
     # slots; the window-function spine and grouping-sets queries below

@@ -90,6 +90,7 @@ HEADLINE = [
     "q44_sparsity",
     "q45_per_class_mean",
     "q48_decontaminate",
+    "q48b_span_decontaminate",
     "q49_sequence_packing",
     "q49b_greedy_packing",
     "q49c_rag_chunking",
@@ -128,6 +129,7 @@ HEADLINE = [
     "q76b_ivfpq_ann",
     "q102b_bloom_incremental_dedup",
     "q107_snapshot_diff",
+    "q112_cdc_merge",
     "q108_crawl_pagerank",
     "q109_pmi_collocations",
     "q110_embedding_drift",

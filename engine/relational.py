@@ -2115,6 +2115,110 @@ ORACLE.update(
 )
 
 
+# ------------------------------------------ CDC merge / upsert (r5)
+
+CDC_BASE_ABSENT_MOD = 13  # customers missing from the base snapshot
+CDC_DELETE_MOD = 10       # change op: delete on every 10th orderkey
+
+
+def q112_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert-apply — the lakehouse compaction primitive
+    (Delta/Iceberg MERGE, Hudi upsert): apply a CDC changelog to a
+    base snapshot. The LATEST change per key wins (q93's max_by
+    compaction applied to the changelog); op semantics are the
+    standard three-way MERGE: matched + D deletes, matched + U
+    updates, unmatched + U inserts, unmatched + D is a no-op.
+    Fixture derivation (deterministic, oracle-replayable): base =
+    customers with custkey % CDC_BASE_ABSENT_MOD != 0; changelog =
+    orders keyed on o_custkey with o_orderkey as the sequence number,
+    op = D on every CDC_DELETE_MOD-th orderkey else U carrying
+    o_totalprice as the new balance (values copied bit-exact — no
+    float arithmetic anywhere, so the driver hash compare is safe).
+
+    Output: the merged snapshot plus an `action` audit column
+    (kept / updated / inserted; deleted rows are gone by definition).
+
+    Scale shape: the changelog compacts FIRST — one changelog-sized
+    hash agg (max_by is algebraic: map-side partial combine) — so the
+    full-outer join's right side is one row per TOUCHED key, typically
+    a sliver of the base; the base shuffles once on the merge key, and
+    with the base stored bucketed by key (the layout every lakehouse
+    table format maintains for exactly this op) that exchange
+    disappears and the merge is a co-located join. Nothing in the
+    plan is proportional to base × changelog."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    base = cust.filter(F.col("c_custkey") % CDC_BASE_ABSENT_MOD != 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+    latest = changes.groupBy("custkey").agg(
+        F.max_by(F.struct(F.col("op"), F.col("new_bal")), F.col("seq")).alias("c")
+    )
+    action = (
+        F.when(F.col("c").isNull(), F.lit("kept"))
+        .when(F.col("c.op") == "D", F.lit("deleted"))
+        .when(F.col("name").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        base.join(latest, "custkey", "full_outer")
+        .withColumn("action", action)
+        .filter(F.col("action") != "deleted")
+        .select(
+            "custkey",
+            F.coalesce(
+                F.col("name"), F.concat(F.lit("cdc-"), F.col("custkey").cast("string"))
+            ).alias("name"),
+            F.when(F.col("action") == "kept", F.col("acctbal"))
+            .otherwise(F.col("c.new_bal"))
+            .alias("acctbal"),
+            "action",
+        )
+    )
+
+
+QUERIES.update({"q112_cdc_merge": q112_cdc_merge})
+
+ORACLE.update(
+    {
+        "q112_cdc_merge": f"""
+            WITH base AS (
+                SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+                FROM customer WHERE c_custkey % {CDC_BASE_ABSENT_MOD} <> 0),
+            latest AS (
+                SELECT o_custkey AS custkey,
+                       max_by(CASE WHEN o_orderkey % {CDC_DELETE_MOD} = 0
+                                   THEN 'D' ELSE 'U' END, o_orderkey) AS op,
+                       max_by(o_totalprice, o_orderkey) AS new_bal
+                FROM orders GROUP BY o_custkey),
+            j AS (
+                SELECT coalesce(b.custkey, l.custkey) AS custkey,
+                       b.name, b.acctbal, l.op, l.new_bal,
+                       CASE WHEN l.op IS NULL THEN 'kept'
+                            WHEN l.op = 'D' THEN 'deleted'
+                            WHEN b.name IS NULL THEN 'inserted'
+                            ELSE 'updated' END AS action
+                FROM base b FULL OUTER JOIN latest l ON b.custkey = l.custkey)
+            SELECT custkey,
+                   coalesce(name, 'cdc-' || custkey) AS name,
+                   CASE WHEN action = 'kept' THEN acctbal ELSE new_bal END AS acctbal,
+                   action
+            FROM j WHERE action <> 'deleted'
+        """,
+    }
+)
+
+
 # ------------------------------------- crawl-graph authority (r5)
 
 PR_ITERS = 10

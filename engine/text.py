@@ -734,6 +734,98 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48b_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — q48's doc-level flag
+    condemns whole documents; production scrubbers (The Pile's
+    13-gram rule, LLaMA's dedup-then-redact pass) REMOVE the
+    contaminated span and keep the rest of the document, because at
+    trillion-token scale dropping every doc that brushes a benchmark
+    costs real data. Span unit = q97's fixed CHUNK_TOKENS chunk (on
+    real data the splitter is the paragraph break): a chunk is
+    contaminated iff ANY of its within-chunk word-3-gram shingles
+    occurs anywhere in the eval set; each document is reassembled
+    from its surviving chunks in order.
+
+    Output: one row per corpus doc — (doc_id, n_chunks, n_removed,
+    removed_rate, clean_text_hash = md5 of the reassembled text,
+    md5('') when every chunk was removed). Boundary caveat, shared
+    with every chunk-granular scrubber: a shingle straddling a chunk
+    seam is not matched within either chunk — policy pipelines run
+    the q48 doc-level flag first and use this pass for the keep-side
+    redaction, so seam misses are bounded by the doc-level threshold.
+
+    Scale shape: identical to q48's — the eval shingle set is
+    benchmark-sized and broadcast (hash table built once per
+    executor), the corpus side is one chunk explode whose per-chunk
+    hit collapses via map-side partial agg to ONE row per chunk
+    before any shuffle (shuffle never carries the shingle stream);
+    reassembly is q97's ordered agg, one chunk-text row per chunk.
+    Per-chunk shingles stay an in-plan array transform — no second
+    tokenizer pass over the document."""
+    d = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_HOLDOUT_MOD == 0
+    eval_sh = (
+        _with_shingles(d.filter(is_eval))
+        .select(F.xxhash64("shingle").alias("sh_h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    toks = F.split(F.trim(F.col("text")), " +")
+    chunks = (
+        d.filter(~is_eval)
+        .select(
+            "doc_id",
+            toks.alias("t"),
+            F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int").alias("nc"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"posexplode(transform(sequence(0, nc - 1),"
+                f" i -> slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+            ).alias("pos", "ct"),
+        )
+    )
+    ch_sh = F.expr(
+        "CASE WHEN size(ct) >= 3 THEN array_distinct(transform(sequence(0, size(ct) - 3),"
+        " i -> concat_ws(' ', ct[i], ct[i + 1], ct[i + 2]))) ELSE array() END"
+    )
+    hits = (
+        chunks.select("doc_id", "pos", F.explode(ch_sh).alias("shingle"))
+        .select("doc_id", "pos", F.xxhash64("shingle").alias("sh_h"))
+        .join(F.broadcast(eval_sh), "sh_h", "left")
+        .groupBy("doc_id", "pos")
+        .agg(F.max("hit").alias("hit"))
+    )
+    return (
+        chunks.withColumn("chunk", F.concat_ws(" ", F.col("ct")))
+        .drop("ct")
+        .join(hits, ["doc_id", "pos"], "left")
+        .withColumn("contaminated", F.coalesce(F.col("hit") == 1, F.lit(False)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("contaminated")).alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN NOT contaminated"
+                        " THEN struct(pos, chunk) END)), s -> s.chunk)"
+                    ),
+                    " ",
+                )
+            ).alias("clean_text_hash"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            _trunc6(F.col("n_removed") / F.col("n_chunks")).alias("removed_rate"),
+            "clean_text_hash",
+        )
+    )
+
+
 # ---------------------------------------------------- sequence packing layout
 
 PACK_WINDOW = 256   # tokens per training sequence
@@ -1195,6 +1287,7 @@ def q80b_component_representatives(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES = {
     "q48_decontaminate": q48_decontaminate,
+    "q48b_span_decontaminate": q48b_span_decontaminate,
     "q49_sequence_packing": q49_sequence_packing,
     "q49b_greedy_packing": q49b_greedy_packing,
     "q49c_rag_chunking": q49c_rag_chunking,
@@ -1414,6 +1507,34 @@ ORACLE = {
                    AS contam_rate,
                (coalesce(h.n_hits, 0) >= {DECON_MIN_HITS}) AS contaminated
         FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    "q48b_span_decontaminate": f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        ev AS (SELECT DISTINCT shingle FROM ({_DUCK_SHINGLES_SQL}) sh
+               WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+        chunks AS (
+            SELECT doc_id, g.i::int AS pos,
+                   t[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})] AS ct
+            FROM toks, generate_series(0, 100000) AS g(i)
+            WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0
+              AND g.i < ceil(len(t) / {CHUNK_TOKENS}.0)),
+        marked AS (
+            SELECT doc_id, pos, array_to_string(ct, ' ') AS chunk,
+                   EXISTS (
+                       SELECT 1 FROM ev e WHERE list_contains(
+                           CASE WHEN len(ct) >= 3 THEN
+                               list_transform(generate_series(1, len(ct) - 2),
+                                   i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])
+                           ELSE [] END, e.shingle)
+                   ) AS contaminated
+            FROM chunks)
+        SELECT doc_id, count(*)::bigint AS n_chunks,
+               count(*) FILTER (WHERE contaminated)::bigint AS n_removed,
+               floor(count(*) FILTER (WHERE contaminated)::double
+                     / count(*) * 1e6) / 1e6 AS removed_rate,
+               md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                              FILTER (WHERE NOT contaminated), '')) AS clean_text_hash
+        FROM marked GROUP BY doc_id
     """,
     "q49_sequence_packing": f"""
         WITH t AS (

@@ -228,6 +228,53 @@ def test_funnel_requires_stage_order(spark, tmp_path):
     assert out["purchase"].conv_ppm == 250_000
 
 
+def test_cdc_merge_planted_branches(spark, tmp_path):
+    """q112 MERGE semantics on a planted base + changelog: every
+    branch of the three-way MERGE plus latest-wins compaction —
+    untouched key kept, matched U updates, matched D deletes,
+    U-then-D deletes, D-then-U updates (the latest change decides),
+    unmatched U inserts, unmatched D is a no-op."""
+    from pyspark.sql import Row
+
+    from engine.relational import CDC_BASE_ABSENT_MOD, CDC_DELETE_MOD, q112_cdc_merge
+
+    assert CDC_BASE_ABSENT_MOD == 13 and CDC_DELETE_MOD == 10
+    cust = [  # custkeys 13 and 26 are % 13 == 0 -> absent from base
+        Row(c_custkey=k, c_name=f"cust-{k}", c_nationkey=0, c_acctbal=100.0 * k,
+            c_mktsegment="B")
+        for k in (1, 2, 3, 4, 5, 13, 26)
+    ]
+    ords = [
+        # (orderkey=seq, custkey, totalprice); op = D iff seq % 10 == 0
+        Row(o_orderkey=11, o_custkey=2, o_orderstatus="O", o_totalprice=222.0,
+            o_orderdate=0, o_orderpriority="1"),          # U -> update
+        Row(o_orderkey=20, o_custkey=3, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=0, o_orderpriority="1"),          # D -> delete
+        Row(o_orderkey=12, o_custkey=4, o_orderstatus="O", o_totalprice=444.0,
+            o_orderdate=0, o_orderpriority="1"),          # U then...
+        Row(o_orderkey=30, o_custkey=4, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=0, o_orderpriority="1"),          # ...later D -> delete
+        Row(o_orderkey=40, o_custkey=5, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=0, o_orderpriority="1"),          # D then...
+        Row(o_orderkey=41, o_custkey=5, o_orderstatus="O", o_totalprice=555.0,
+            o_orderdate=0, o_orderpriority="1"),          # ...later U -> update
+        Row(o_orderkey=51, o_custkey=13, o_orderstatus="O", o_totalprice=131.0,
+            o_orderdate=0, o_orderpriority="1"),          # unmatched U -> insert
+        Row(o_orderkey=60, o_custkey=26, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=0, o_orderpriority="1"),          # unmatched D -> no-op
+    ]
+    sf_dir = str(tmp_path / "cdc")
+    spark.createDataFrame(cust).write.parquet(sf_dir + "/customer.parquet")
+    spark.createDataFrame(ords).write.parquet(sf_dir + "/orders.parquet")
+    out = {r.custkey: r for r in q112_cdc_merge(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 5, 13}  # 3 deleted, 4 U-then-D deleted, 26 no-op
+    assert out[1].action == "kept" and out[1].acctbal == 100.0
+    assert out[2].action == "updated" and out[2].acctbal == 222.0
+    assert out[5].action == "updated" and out[5].acctbal == 555.0
+    assert out[13].action == "inserted" and out[13].acctbal == 131.0
+    assert out[13].name == "cdc-13"
+
+
 def test_retention_cohort_math(spark, tmp_path):
     """q101 semantics: cohort = week of first event; every cohort has
     a k=0 row equal to its size; a user active 2 weeks later lands in

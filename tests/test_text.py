@@ -232,6 +232,56 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
     assert DECON_MIN_HITS == 2  # the planted expectations above encode it
 
 
+def test_span_decontaminate_planted(spark, tmp_path):
+    """q48b semantics on planted span overlap: only the chunk holding
+    an eval shingle is removed (the doc survives), a fully
+    contaminated doc reassembles to md5(''), an eval shingle
+    straddling the chunk seam is NOT matched (the documented
+    boundary caveat), and eval docs are absent."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from engine.text import CHUNK_TOKENS, q48b_span_decontaminate
+
+    assert CHUNK_TOKENS == 12  # planted layouts below encode it
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    filler = [f"w{i}" for i in range(24)]
+    # doc 1: chunk0 carries the eval 3-gram "e1 e2 e3"; chunk1 clean
+    d1 = ["e1", "e2", "e3"] + filler[:9] + filler[9:21]
+    # doc 2: clean, 13 tokens -> 12-token chunk + 1-token tail chunk
+    d2 = filler[:13]
+    # doc 3: single chunk, contaminated -> everything removed
+    d3 = ["x1", "e1", "e2", "e3", "x2"]
+    # doc 4: "e1 e2 e3" straddles the seam (tokens 11,12 | 13)
+    d4 = filler[:10] + ["e1", "e2", "e3"] + filler[10:21]
+    rows = [
+        Row(doc_id=0, lang="en", text="e1 e2 e3 e4 e5"),  # eval
+        Row(doc_id=1, lang="en", text=" ".join(d1)),
+        Row(doc_id=2, lang="en", text=" ".join(d2)),
+        Row(doc_id=3, lang="en", text=" ".join(d3)),
+        Row(doc_id=4, lang="en", text=" ".join(d4)),
+    ]
+    sf_dir = str(tmp_path / "spandecon")
+    spark.createDataFrame(rows).write.parquet(sf_dir + "/documents.parquet")
+    out = {r.doc_id: r for r in q48b_span_decontaminate(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    r1 = out[1]
+    assert (r1.n_chunks, r1.n_removed) == (2, 1)
+    assert r1.clean_text_hash == md5(" ".join(d1[12:]))
+    r2 = out[2]
+    assert (r2.n_chunks, r2.n_removed) == (2, 0)
+    assert r2.removed_rate == 0.0
+    assert r2.clean_text_hash == md5(" ".join(d2[:12]) + " " + d2[12])
+    r3 = out[3]
+    assert (r3.n_chunks, r3.n_removed) == (1, 1)
+    assert r3.removed_rate == 1.0
+    assert r3.clean_text_hash == md5("")
+    r4 = out[4]  # seam straddle: nothing removed
+    assert (r4.n_chunks, r4.n_removed) == (2, 0)
+    assert r4.clean_text_hash == md5(" ".join(d4))
+
+
 def test_decontaminate_fixture_invariants(spark, sf_dir):
     from engine.text import DECON_HOLDOUT_MOD, DECON_MIN_HITS, q48_decontaminate
 
