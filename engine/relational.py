@@ -2225,6 +2225,7 @@ PR_ITERS = 10
 PR_DAMPING = 0.85
 PR_OUT_DEGREE = 3  # synthetic fixture graph: every page has 3 out-links
 PR_TOP = 20
+PR_ID_RANGES = 32  # range partitions for the dense-id assignment
 
 
 def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
@@ -2315,14 +2316,39 @@ def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, and the fixture ranks match an independent numpy power
     iteration to 1e-9."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy("doc_id")
-    # dense 0..N-1 ids: one pass, node-sized (the global-window sort is
-    # over the NODE table, not the corpus text; at crawl scale use
-    # zipWithIndex-style partition offsets or the URL hash directly)
-    nodes = d.select("doc_id", (F.row_number().over(w) - 1).alias("node")).localCheckpoint(
-        eager=True
+    # dense 0..N-1 ids in doc_id order WITHOUT a single-partition
+    # global window (the zipWithIndex pattern in DataFrame form):
+    # range-repartition on doc_id — partition i holds strictly
+    # smaller keys than partition i+1 — rank within each range in
+    # parallel, then add per-range row-count offsets. The offsets
+    # are a partition-count-sized driver list (32 rows, not data);
+    # the id each row gets is its global doc_id rank regardless of
+    # where the sampled range boundaries fall, so the output is
+    # boundary- and partitioning-invariant. The eager checkpoint
+    # pins the sampled boundaries so the count job and the rank job
+    # see the SAME pid assignment.
+    ranged = (
+        d.repartitionByRange(PR_ID_RANGES, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    n_row = nodes.count()
+    cnt = {
+        r.pid: r.n
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_row = sum(cnt.values())
+    acc, offsets = 0, []
+    for pid in sorted(cnt):
+        offsets.append((pid, acc))
+        acc += cnt[pid]
+    off = spark.createDataFrame(offsets, "pid int, off bigint")
+    pw = Window.partitionBy("pid").orderBy("doc_id")
+    nodes = (
+        ranged.withColumn("rn", F.row_number().over(pw))
+        .join(F.broadcast(off), "pid")
+        .select("doc_id", (F.col("off") + F.col("rn") - 1).alias("node"))
+        .localCheckpoint(eager=True)
+    )
     ks = F.explode(F.array(*[F.lit(k) for k in range(PR_OUT_DEGREE)])).alias("k")
     h = (
         "cast(conv(substr(md5(concat('pr:', doc_id, ':', k)), 1, 15), 16, 10) as bigint)"
