@@ -282,6 +282,27 @@ def test_span_decontaminate_planted(spark, tmp_path):
     assert r4.clean_text_hash == md5(" ".join(d4))
 
 
+def test_span_decontaminate_consistent_with_doc_level(spark, sf_dir):
+    """Cross-operator invariant: a chunk's shingles are a subset of
+    its document's shingles, so q48b can only remove chunks from docs
+    q48 sees at least one hit in — a doc with q48 n_hits = 0 must
+    have q48b n_removed = 0, and any removal implies n_hits >= 1.
+    Both queries must also agree on the corpus doc set (modulo docs
+    with no shingles, which q48 omits)."""
+    from engine.text import q48_decontaminate, q48b_span_decontaminate
+
+    hits = {r.doc_id: r.n_hits for r in q48_decontaminate(spark, sf_dir).collect()}
+    spans = {r.doc_id: r.n_removed for r in q48b_span_decontaminate(spark, sf_dir).collect()}
+    assert set(hits) <= set(spans)  # q48b covers every doc q48 scores
+    removed_docs = {d for d, n in spans.items() if n > 0}
+    assert removed_docs, "fixture must exercise the removal path"
+    for d in removed_docs:
+        assert hits.get(d, 0) >= 1, f"doc {d}: chunk removed but q48 saw no hits"
+    for d, n in hits.items():
+        if n == 0:
+            assert spans[d] == 0, f"doc {d}: q48 clean but q48b removed chunks"
+
+
 def test_decontaminate_fixture_invariants(spark, sf_dir):
     from engine.text import DECON_HOLDOUT_MOD, DECON_MIN_HITS, q48_decontaminate
 
