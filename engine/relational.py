@@ -2320,28 +2320,26 @@ def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global window (the zipWithIndex pattern in DataFrame form):
     # range-repartition on doc_id — partition i holds strictly
     # smaller keys than partition i+1 — rank within each range in
-    # parallel, then add per-range row-count offsets. The offsets
-    # are a partition-count-sized driver list (32 rows, not data);
-    # the id each row gets is its global doc_id rank regardless of
-    # where the sampled range boundaries fall, so the output is
-    # boundary- and partitioning-invariant. The eager checkpoint
-    # pins the sampled boundaries so the count job and the rank job
-    # see the SAME pid assignment.
+    # parallel, then add per-range row-count offsets. The id each
+    # row gets is its global doc_id rank regardless of where the
+    # sampled range boundaries fall, so the output is boundary- and
+    # partitioning-invariant. The eager checkpoint pins the sampled
+    # boundaries so the counts subtree and the rank subtree see the
+    # SAME pid assignment.
     ranged = (
         d.repartitionByRange(PR_ID_RANGES, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    cnt = {
-        r.pid: r.n
-        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_row = sum(cnt.values())
-    acc, offsets = 0, []
-    for pid in sorted(cnt):
-        offsets.append((pid, acc))
-        acc += cnt[pid]
-    off = spark.createDataFrame(offsets, "pid int, off bigint")
+    # per-range offsets stay IN-PLAN: a running sum over the per-pid
+    # counts — that window is global but partition-COUNT-sized (32
+    # rows), never data-sized, and no count ever visits the driver
+    offw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("pid", F.coalesce(F.sum("n").over(offw), F.lit(0)).alias("off"))
+    )
     pw = Window.partitionBy("pid").orderBy("doc_id")
     nodes = (
         ranged.withColumn("rn", F.row_number().over(pw))
@@ -2349,6 +2347,7 @@ def q108_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("off") + F.col("rn") - 1).alias("node"))
         .localCheckpoint(eager=True)
     )
+    n_row = nodes.count()
     ks = F.explode(F.array(*[F.lit(k) for k in range(PR_OUT_DEGREE)])).alias("k")
     h = (
         "cast(conv(substr(md5(concat('pr:', doc_id, ':', k)), 1, 15), 16, 10) as bigint)"
