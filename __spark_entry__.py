@@ -26,10 +26,12 @@ exactly which green rows wait and why they lose the least signal.
   the 3 changed, then the non-relational block (CORRECTNESS_r04:
   50/50 green; 18 entries deferred to r5).
 * r5 window (this file's state), 50 slots exactly:
-  - ``_R5_STALEST`` (23): every query whose latest driver row is r2 —
-    the 18 entries deferred from r4 as promised, plus
-    q25/q29/q33/q89/q95 which missed the r3 rotation.
-  - ``_NEW_IN_R5`` (22): sketch_error_report (measured error of q30/
+  - ``_R5_STALEST`` (22): every query whose latest driver row is r2 —
+    the 18 entries deferred from r4 as promised, plus q25/q29/q89/q95
+    which missed the r3 rotation (q33, the fifth, was displaced by
+    the late-added q112 — never-checked outranks a green row — and
+    its ordered-reassembly machinery runs in-window via q48b).
+  - ``_NEW_IN_R5`` (23): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -53,9 +55,11 @@ exactly which green rows wait and why they lose the least signal.
     snapshots, numpy-parity + planted-shift tested), q111 (DSIR
     importance-weighted selection, oracle-backed + python-parity
     tested), dedup_recall_report (measured MinHash-LSH candidate
-    recall vs the exact shingle-join truth, oracle-backed), and
+    recall vs the exact shingle-join truth, oracle-backed),
     q48b_span_decontaminate (span-level decontamination — redact the
-    contaminated chunk, keep the document; oracle-backed).
+    contaminated chunk, keep the document; oracle-backed), and
+    q112 (CDC MERGE/upsert compaction; oracle-backed, planted
+    MERGE-branch tested).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
@@ -79,10 +83,9 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
-  - ``_DEFERRED_TO_R6`` (47): q112_cdc_merge (added after the window
-    filled — the cap binds; strict-oracle green locally and
-    MERGE-branch planted-tested, leads r6), plus the remaining
-    r3-green relational
+  - ``_DEFERRED_TO_R6`` (47): q33 (r2-green, displaced by the
+    late-added never-checked q112; its reassembly machinery runs
+    in-window via q48b), plus the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
     queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
     q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
@@ -136,7 +139,6 @@ _R5_STALEST = [
     "q69_tfidf",
     "q25_correlated_subquery",
     "q29_map_array_funcs",
-    "q33_collect_sorted",
     "q89_fuzzy_match",
     "q95_variant_shred",
 ]
@@ -165,6 +167,7 @@ _NEW_IN_R5 = [
     "q111_dsir_selection",        # DSIR importance-weighted selection (oracle-backed)
     "dedup_recall_report",        # measured LSH candidate recall vs exact truth (oracle-backed)
     "q48b_span_decontaminate",    # span-level decon: redact the chunk, keep the doc (oracle-backed)
+    "q112_cdc_merge",             # CDC MERGE/upsert compaction (oracle-backed, planted-branch tested)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -193,10 +196,11 @@ _R5_RELATIONAL_ROTATION: list[str] = []
 _DEFERRED_TO_R6 = {
     "q28_asof_join",  # displaced by late-added q48b_span_decontaminate
                       # (the last rotation slot); as-of machinery r3-green
-    "q112_cdc_merge",  # added in r5 AFTER the window filled (cap-forced:
-                       # 23 stalest + 22 new + 5 changed = 50); strict
-                       # oracle green locally + planted MERGE-branch
-                       # test in-suite; leads r6 as never-driver-checked
+    "q33_collect_sorted",  # r2-green stalest entry displaced by late-added
+                           # q112_cdc_merge (never-checked outranks a green
+                           # row per the policy); its array_sort(collect_list)
+                           # ordered-reassembly machinery runs in-window via
+                           # q48b's clean-text rebuild; leads r6 with the block
     # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
     # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
     # slots; the window-function spine and grouping-sets queries below
@@ -253,9 +257,10 @@ _DEFERRED_TO_R6 = {
 
 
 def _window_head() -> list[str]:
-    """The r5 driver-window head: the 23 stalest (r2-row) entries,
-    the twenty-one new queries, the five changed queries, then the 1
-    surviving relational rotation slot — exactly 50 entries."""
+    """The r5 driver-window head: the 22 stalest (r2-row) entries,
+    the 23 queries added this round, then the 5 changed queries —
+    the relational rotation block was fully displaced by late
+    additions — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
     assert len(head) == len(set(head)) == 50
     return head

@@ -67,6 +67,27 @@ _DUCK_SHINGLES_SQL = f"""
 """
 
 
+CHUNK_TOKENS = 12  # fixed span/chunk width shared by q97 and q48b
+
+# DuckDB twin of _doc_chunks, shared by the q97/q48b oracles: expects
+# a `toks` relation (doc_id, t) in scope; fixed series + WHERE because
+# DuckDB lateral generate_series can't reference outer columns.
+_DUCK_CHUNKS = f"""
+    SELECT doc_id, g.i::int AS pos,
+           t[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})] AS ct
+    FROM toks, generate_series(0, 100000) AS g(i)
+    WHERE g.i < ceil(len(t) / {CHUNK_TOKENS}.0)"""
+
+
+def _duck_kept_md5(keep: str) -> str:
+    """DuckDB twin of _kept_text_md5: md5 of the pos-ordered rebuild
+    from the chunks satisfying ``keep`` (md5('') when none survive)."""
+    return (
+        f"md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)"
+        f" FILTER (WHERE {keep}), ''))"
+    )
+
+
 def _with_shingles(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
     return (
@@ -232,7 +253,45 @@ def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- intra-corpus span dedup
 
-CHUNK_TOKENS = 12
+def _doc_chunks(d: DataFrame) -> DataFrame:
+    """Fixed CHUNK_TOKENS-token chunking shared by q97 (span dedup)
+    and q48b (span decontamination): one (doc_id, pos, ct:
+    array<string>) row per chunk, produced by a single in-plan
+    posexplode over an array transform — the document is tokenized
+    exactly once and never re-scanned by the chunker."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("t"),
+            F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int").alias("nc"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"posexplode(transform(sequence(0, nc - 1),"
+                f" i -> slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+            ).alias("pos", "ct"),
+        )
+    )
+
+
+def _kept_text_md5(keep: str):
+    """Aggregate expression shared by q97/q48b reassembly: md5 of the
+    document rebuilt, in chunk-pos order, from the (pos, chunk) rows
+    satisfying SQL predicate ``keep`` (md5('') when none survive).
+    One definition so the two span operators can never drift on the
+    reassembly-hash semantics (their DuckDB oracles share the twin
+    fragments _DUCK_CHUNKS / _duck_kept_md5 for the same reason)."""
+    return F.md5(
+        F.array_join(
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN {keep}"
+                " THEN struct(pos, chunk) END)), s -> s.chunk)"
+            ),
+            " ",
+        )
+    )
 
 
 def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,17 +307,8 @@ def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output carries md5 of the reassembled text (compact + hashable);
     per-doc kept/total counts quantify the dedup."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " +")
-    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
-    chunks = (
-        d.select("doc_id", toks.alias("t"), n_chunks.alias("nc"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"posexplode(transform(sequence(0, nc - 1),"
-                f" i -> concat_ws(' ', slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))))"
-            ).alias("pos", "chunk"),
-        )
+    chunks = _doc_chunks(d).select(
+        "doc_id", "pos", F.concat_ws(" ", F.col("ct")).alias("chunk")
     )
     w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "pos")
     marked = chunks.withColumn("rn", F.row_number().over(w))
@@ -267,15 +317,7 @@ def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.count_if(F.col("rn") == 1).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(CASE WHEN rn = 1"
-                        " THEN struct(pos, chunk) END)), s -> s.chunk)"
-                    ),
-                    " ",
-                )
-            ).alias("dedup_text_hash"),
+            _kept_text_md5("rn = 1").alias("dedup_text_hash"),
         )
         .orderBy("doc_id")
     )
@@ -754,14 +796,20 @@ def q48b_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q48 doc-level flag first and use this pass for the keep-side
     redaction, so seam misses are bounded by the doc-level threshold.
 
-    Scale shape: identical to q48's — the eval shingle set is
-    benchmark-sized and broadcast (hash table built once per
-    executor), the corpus side is one chunk explode whose per-chunk
-    hit collapses via map-side partial agg to ONE row per chunk
-    before any shuffle (shuffle never carries the shingle stream);
-    reassembly is q97's ordered agg, one chunk-text row per chunk.
-    Per-chunk shingles stay an in-plan array transform — no second
-    tokenizer pass over the document."""
+    Scale shape: the eval shingle set is benchmark-sized and
+    broadcast (hash table built once per executor); the corpus side
+    is ONE scan — q97's shared chunker (`_doc_chunks`, the document
+    tokenized once), per-chunk shingles as an in-plan array
+    transform, and an explode_outer that carries the chunk text
+    alongside its shingles so the broadcast hit-join and the
+    reassembly ride the SAME subtree (the first cut built them as
+    two consumers of the chunk relation, which re-scanned and
+    re-tokenized the whole corpus). The per-chunk fanout (~chunk
+    shingle count) is map-side only: hash partial agg collapses it
+    back to ONE (doc_id, pos, chunk, hit) row per chunk before the
+    first exchange, so the shuffle never carries the shingle stream
+    and chunk text crosses the wire exactly once; reassembly is
+    q97's shared ordered agg (`_kept_text_md5`)."""
     d = table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % DECON_HOLDOUT_MOD == 0
     eval_sh = (
@@ -770,51 +818,42 @@ def q48b_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    toks = F.split(F.trim(F.col("text")), " +")
-    chunks = (
-        d.filter(~is_eval)
-        .select(
-            "doc_id",
-            toks.alias("t"),
-            F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int").alias("nc"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"posexplode(transform(sequence(0, nc - 1),"
-                f" i -> slice(t, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
-            ).alias("pos", "ct"),
-        )
-    )
     ch_sh = F.expr(
         "CASE WHEN size(ct) >= 3 THEN array_distinct(transform(sequence(0, size(ct) - 3),"
         " i -> concat_ws(' ', ct[i], ct[i + 1], ct[i + 2]))) ELSE array() END"
     )
-    hits = (
-        chunks.select("doc_id", "pos", F.explode(ch_sh).alias("shingle"))
-        .select("doc_id", "pos", F.xxhash64("shingle").alias("sh_h"))
+    per_chunk = (
+        _doc_chunks(d.filter(~is_eval))
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("ct")).alias("chunk"),
+            # explode_outer keeps shingle-less (<3-token) chunks as a
+            # single null-shingle row, so every chunk survives to the agg
+            F.explode_outer(ch_sh).alias("shingle"),
+        )
+        # xxhash64(NULL) is the seed (42), not NULL — guard so the null
+        # shingle can never collide into the eval set via the join key
+        .select(
+            "doc_id",
+            "pos",
+            "chunk",
+            F.when(F.col("shingle").isNotNull(), F.xxhash64("shingle")).alias("sh_h"),
+        )
         .join(F.broadcast(eval_sh), "sh_h", "left")
-        .groupBy("doc_id", "pos")
+        # chunk text rides in the GROUP KEY, not an any_value() buffer:
+        # HashAggregate allows variable-width keys but falls back to
+        # SortAggregate (partial+final sorts) on variable-width buffers
+        .groupBy("doc_id", "pos", "chunk")
         .agg(F.max("hit").alias("hit"))
+        .withColumn("contaminated", F.coalesce(F.col("hit") == 1, F.lit(False)))
     )
     return (
-        chunks.withColumn("chunk", F.concat_ws(" ", F.col("ct")))
-        .drop("ct")
-        .join(hits, ["doc_id", "pos"], "left")
-        .withColumn("contaminated", F.coalesce(F.col("hit") == 1, F.lit(False)))
-        .groupBy("doc_id")
+        per_chunk.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.count_if(F.col("contaminated")).alias("n_removed"),
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(CASE WHEN NOT contaminated"
-                        " THEN struct(pos, chunk) END)), s -> s.chunk)"
-                    ),
-                    " ",
-                )
-            ).alias("clean_text_hash"),
+            _kept_text_md5("NOT contaminated").alias("clean_text_hash"),
         )
         .select(
             "doc_id",
@@ -1509,15 +1548,11 @@ ORACLE = {
         FROM sizes s LEFT JOIN hits h USING (doc_id)
     """,
     "q48b_span_decontaminate": f"""
-        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+                      WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0),
         ev AS (SELECT DISTINCT shingle FROM ({_DUCK_SHINGLES_SQL}) sh
                WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
-        chunks AS (
-            SELECT doc_id, g.i::int AS pos,
-                   t[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})] AS ct
-            FROM toks, generate_series(0, 100000) AS g(i)
-            WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0
-              AND g.i < ceil(len(t) / {CHUNK_TOKENS}.0)),
+        chunks AS ({_DUCK_CHUNKS}),
         marked AS (
             SELECT doc_id, pos, array_to_string(ct, ' ') AS chunk,
                    EXISTS (
@@ -1532,8 +1567,7 @@ ORACLE = {
                count(*) FILTER (WHERE contaminated)::bigint AS n_removed,
                floor(count(*) FILTER (WHERE contaminated)::double
                      / count(*) * 1e6) / 1e6 AS removed_rate,
-               md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
-                              FILTER (WHERE NOT contaminated), '')) AS clean_text_hash
+               {_duck_kept_md5("NOT contaminated")} AS clean_text_hash
         FROM marked GROUP BY doc_id
     """,
     "q49_sequence_packing": f"""
@@ -1610,21 +1644,15 @@ ORACLE = {
     "q97_paragraph_dedup": f"""
         WITH toks AS (
             SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-        chunks AS (
-            -- fixed series + WHERE (DuckDB lateral generate_series
-            -- can't reference outer columns)
-            SELECT doc_id, g.i::int AS pos,
-                   array_to_string(t[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})], ' ') AS chunk
-            FROM toks, generate_series(0, 100000) AS g(i)
-            WHERE g.i < ceil(len(t) / {CHUNK_TOKENS}.0)),
+        chunks AS ({_DUCK_CHUNKS}),
         marked AS (
-            SELECT *, row_number() OVER (PARTITION BY md5(chunk)
-                                         ORDER BY doc_id, pos) AS rn
+            SELECT doc_id, pos, array_to_string(ct, ' ') AS chunk,
+                   row_number() OVER (PARTITION BY md5(array_to_string(ct, ' '))
+                                      ORDER BY doc_id, pos) AS rn
             FROM chunks)
         SELECT doc_id, count(*) AS n_chunks,
                count(*) FILTER (WHERE rn = 1) AS n_kept,
-               md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
-                              FILTER (WHERE rn = 1), '')) AS dedup_text_hash
+               {_duck_kept_md5("rn = 1")} AS dedup_text_hash
         FROM marked GROUP BY doc_id ORDER BY doc_id
     """,
     "q51_fingerprint": """

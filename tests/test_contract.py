@@ -107,6 +107,21 @@ def test_driver_window_covers_unproven_queries():
     # Deferrals hold only frozen r3-green relational entries.
     assert not (contract._DEFERRED_TO_R6 & set(contract._R5_STALEST))
     assert not (contract._DEFERRED_TO_R6 & set(head))
+    # Generic never-checked guard (not just _NEW_IN_R5 membership):
+    # any inventory entry with NO row in any past driver CORRECTNESS
+    # artifact must be in-window this round — deferring a query the
+    # driver has never proven is the one deferral class the policy
+    # forbids outright.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        proven |= set(json.load(open(p)))
+    never_checked = set(contract.queries()) - proven
+    assert never_checked <= set(head), sorted(never_checked - set(head))
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
