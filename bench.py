@@ -104,6 +104,7 @@ HEADLINE = [
     "q78_pii_scrub",
     "q79_corpus_mix",
     "q97_paragraph_dedup",
+    "q113_substring_dedup",
     "q102_incremental_dedup",
     "q103_bpe_pair_census",
     "q103b_bpe_train",

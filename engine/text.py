@@ -323,6 +323,84 @@ def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 8  # rolling-window width for offset-invariant substring dedup
+
+
+def _substring_dedup(docs: DataFrame) -> DataFrame:
+    """Core of q113 over any (doc_id, text) frame (factored out so
+    tests can plant misaligned duplicates).  See q113 for semantics
+    and the scale shape."""
+    W = SUBSTR_W
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("t"))
+    # CASE guard matters: sequence(0, n - W) DESCENDS for n < W
+    # (Spark's sequence defaults to step -1 when stop < start).
+    wins = toks.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(CASE WHEN size(t) >= {W} THEN"
+            f" transform(sequence(0, size(t) - {W}),"
+            f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {W}))))"
+            f" ELSE cast(array() as array<bigint>) END)"
+        ).alias("pos", "win_h"),
+    )
+    w = Window.partitionBy("win_h").orderBy("doc_id", "pos")
+    dup_starts = (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ds"))
+    )
+    covered = f"s -> s >= p - {W - 1} AND s <= p"
+    return (
+        toks.join(dup_starts, "doc_id", "left")
+        .withColumn("ds", F.coalesce(F.col("ds"), F.expr("cast(array() as array<int>)")))
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size("ds").cast("bigint").alias("n_dup_windows"),
+            F.expr(
+                f"cast(size(filter(sequence(0, size(t) - 1),"
+                f" p -> exists(ds, {covered}))) as bigint)"
+            ).alias("n_removed"),
+            F.md5(
+                F.expr(
+                    f"concat_ws(' ', transform(filter(sequence(0, size(t) - 1),"
+                    f" p -> NOT exists(ds, {covered})), p -> t[p]))"
+                )
+            ).alias("clean_text_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q113_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant exact substring dedup — the suffix-array
+    method's semantics (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better") re-expressed Spark-first: every
+    SUBSTR_W-token window that reappears ANYWHERE in the corpus, at
+    ANY alignment (q97's fixed chunk grid only catches grid-aligned
+    repeats), is removed from every occurrence except the globally
+    first (ordered by (doc_id, pos)); a token is dropped iff some
+    removed window covers it.  Output: per-doc token / dup-window /
+    removed counts and the md5 of the surviving text.
+
+    Scale shape: window fingerprints are an in-plan array transform
+    over ONE tokenizer pass (xxhash64 of each W-token slice — 8-byte
+    keys; a 64-bit collision would merge two distinct windows, the
+    standard fingerprint trade at ~N²/2⁶⁵).  The first-occurrence
+    decision is one hash-keyed window whose shuffle carries only
+    (hash, doc_id, pos) — O(corpus tokens) rows, the same asymptotic
+    work the reference method pays to build its suffix array, but
+    never carrying text.  Duplicate starts then collapse to ONE
+    small (doc_id, sorted-starts-array) row per affected document,
+    and the corpus re-scan joins that frame on doc_id, so document
+    text crosses the wire exactly once; coverage and reassembly are
+    in-plan array ops (exists() over the per-doc dup-start array —
+    O(n·dups) per doc, dup-start arrays are duplicated-region-sized),
+    adding no further shuffle."""
+    return _substring_dedup(table(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------------- SimHash
 
 def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1429,7 @@ QUERIES = {
     "q79_corpus_mix": q79_corpus_mix,
     "q80_dedup_components": q80_dedup_components,
     "q97_paragraph_dedup": q97_paragraph_dedup,
+    "q113_substring_dedup": q113_substring_dedup,
 }
 
 _DUCK_SIG_SQL = f"""
@@ -1654,6 +1733,41 @@ ORACLE = {
                count(*) FILTER (WHERE rn = 1) AS n_kept,
                {_duck_kept_md5("rn = 1")} AS dedup_text_hash
         FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    # groups by window TEXT where Spark groups by its xxhash64 —
+    # identical modulo 64-bit fingerprint collisions (documented)
+    "q113_substring_dedup": f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        wins AS (
+            SELECT doc_id, g.i::int AS pos,
+                   array_to_string(t[(g.i + 1):(g.i + {SUBSTR_W})], ' ') AS w
+            FROM toks, generate_series(0, 100000) AS g(i)
+            WHERE g.i <= len(t) - {SUBSTR_W}),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY doc_id, pos) AS rn
+                FROM wins) WHERE rn > 1),
+        dw AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY doc_id),
+        tokpos AS (
+            SELECT doc_id, g.i::int AS p, t[g.i + 1] AS tok, len(t) AS n
+            FROM toks, generate_series(0, 100000) AS g(i)
+            WHERE g.i < len(t)),
+        cov AS (
+            SELECT tp.*, EXISTS (
+                       SELECT 1 FROM dup
+                       WHERE dup.doc_id = tp.doc_id
+                         AND dup.pos BETWEEN tp.p - {SUBSTR_W - 1} AND tp.p
+                   ) AS removed
+            FROM tokpos tp)
+        SELECT c.doc_id, max(c.n)::bigint AS n_tokens,
+               coalesce(max(dw.n_dup_windows), 0)::bigint AS n_dup_windows,
+               count(*) FILTER (WHERE c.removed)::bigint AS n_removed,
+               md5(coalesce(string_agg(c.tok, ' ' ORDER BY c.p)
+                              FILTER (WHERE NOT c.removed), '')) AS clean_text_hash
+        FROM cov c LEFT JOIN dw ON c.doc_id = dw.doc_id
+        GROUP BY c.doc_id ORDER BY c.doc_id
     """,
     "q51_fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint

@@ -116,6 +116,83 @@ def test_minhash_lsh_candidate_recall(spark, sf_dir):
     assert len(exact & cand) / len(exact) >= 0.85
 
 
+def test_substring_dedup_catches_misaligned_duplicates(spark):
+    """q113's whole point vs q97: a duplicated run that starts at a
+    DIFFERENT token offset in the copying doc is still removed.  Doc
+    1 embeds doc 0's tokens 5..16 after a 3-token prefix (alignment
+    shifted by 2 mod CHUNK_TOKENS); the expected survivor set is
+    computed independently in python."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from engine.text import SUBSTR_W, _substring_dedup
+
+    a = [f"a{i}" for i in range(20)]
+    b = ["x0", "x1", "x2"] + a[5:17] + ["y0", "y1"]
+    out = {
+        r.doc_id: r
+        for r in _substring_dedup(
+            spark.createDataFrame(
+                [Row(doc_id=0, text=" ".join(a)), Row(doc_id=1, text=" ".join(b))]
+            )
+        ).collect()
+    }
+    # first occurrence keeps everything
+    assert out[0].n_removed == 0 and out[0].n_dup_windows == 0
+    assert out[0].clean_text_hash == hashlib.md5(" ".join(a).encode()).hexdigest()
+    # python reference for doc 1: dup window starts are every i with
+    # b[i:i+W] a window of doc 0, i.e. starts 3..(3+12-W); coverage
+    # removes exactly the embedded run
+    starts = [
+        i
+        for i in range(len(b) - SUBSTR_W + 1)
+        if " ".join(b[i : i + SUBSTR_W]) in " ".join(a)
+    ]
+    removed = {p for s in starts for p in range(s, s + SUBSTR_W)}
+    kept = [t for p, t in enumerate(b) if p not in removed]
+    assert starts, "fixture construction must plant at least one dup window"
+    assert out[1].n_dup_windows == len(starts)
+    assert out[1].n_removed == len(removed)
+    assert out[1].clean_text_hash == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_substring_dedup_global_invariants(spark, sf_dir):
+    """Corpus-wide accounting: duplicate window occurrences equal
+    total windows minus distinct window contents (every content keeps
+    exactly one occurrence), and coverage is consistent per doc (a
+    doc with dup windows loses at least one full window's tokens; a
+    doc without loses none)."""
+    from pyspark.sql import functions as F
+
+    from engine.session import table
+    from engine.text import SUBSTR_W, q113_substring_dedup
+
+    out = q113_substring_dedup(spark, sf_dir).cache()
+    d = table(spark, sf_dir, "documents")
+    wins = d.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(trim(text), ' +')) >= {SUBSTR_W} THEN"
+                f" transform(sequence(0, size(split(trim(text), ' +')) - {SUBSTR_W}),"
+                f" i -> concat_ws(' ', slice(split(trim(text), ' +'), i + 1, {SUBSTR_W})))"
+                f" ELSE cast(array() as array<string>) END"
+            )
+        ).alias("w")
+    )
+    total, distinct = wins.count(), wins.distinct().count()
+    agg = out.agg(
+        F.sum("n_dup_windows").alias("dups"),
+        F.count_if((F.col("n_dup_windows") > 0) & (F.col("n_removed") < SUBSTR_W)).alias("under"),
+        F.count_if((F.col("n_dup_windows") == 0) & (F.col("n_removed") > 0)).alias("ghost"),
+        F.count_if(F.col("n_removed") > F.col("n_tokens")).alias("over"),
+    ).collect()[0]
+    assert agg.dups == total - distinct
+    assert agg.under == 0 and agg.ghost == 0 and agg.over == 0
+    assert out.count() == d.count()
+    out.unpersist()
+
+
 def test_paragraph_dedup_global_invariants(spark, sf_dir):
     """Every distinct chunk survives exactly once across the corpus,
     and the first document (lowest doc_id) keeps all its chunks."""
