@@ -26,14 +26,16 @@ exactly which green rows wait and why they lose the least signal.
   the 3 changed, then the non-relational block (CORRECTNESS_r04:
   50/50 green; 18 entries deferred to r5).
 * r5 window (this file's state), 50 slots exactly:
-  - ``_R5_STALEST`` (21): every query whose latest driver row is r2 —
+  - ``_R5_STALEST`` (20): every query whose latest driver row is r2 —
     the 18 entries deferred from r4 as promised, plus q25/q29/q89/q95
-    which missed the r3 rotation, minus two displaced by late-added
+    which missed the r3 rotation, minus three displaced by late-added
     never-checked queries (never-checked outranks a green row): q33
     (displaced by q112; its ordered-reassembly machinery runs
-    in-window via q48b) and q41 (displaced by q113; its sampler is
-    r4-green via q40 and its census agg runs in-window via q42/q43).
-  - ``_NEW_IN_R5`` (24): sketch_error_report (measured error of q30/
+    in-window via q48b), q41 (displaced by q113; its sampler is
+    r4-green via q40 and its census agg runs in-window via q42/q43),
+    and q29 (displaced by q114; its map/array machinery is exercised
+    in-window by the array-HOF-heavy q111/q103/q113 pipelines).
+  - ``_NEW_IN_R5`` (25): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
     q102_incremental_dedup (new-batch ingest dedup against the
@@ -61,9 +63,12 @@ exactly which green rows wait and why they lose the least signal.
     q48b_span_decontaminate (span-level decontamination — redact the
     contaminated chunk, keep the document; oracle-backed), and
     q112 (CDC MERGE/upsert compaction; oracle-backed, planted
-    MERGE-branch tested), and q113 (offset-invariant exact substring
+    MERGE-branch tested), q113 (offset-invariant exact substring
     dedup — suffix-array semantics via rolling xxhash64 windows;
-    oracle-backed, planted misaligned-duplicate tested).
+    oracle-backed, planted misaligned-duplicate tested), and q114
+    (boilerplate/template-span removal by corpus frequency —
+    remove-ALL-occurrences, composing with q97's keep-first;
+    oracle-backed, planted-template tested).
   - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
     partition-fold candidates).
@@ -87,9 +92,9 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
-  - ``_DEFERRED_TO_R6`` (48): q33 and q41 (r2-green, displaced by
-    the late-added never-checked q112/q113 per the policy above),
-    plus the remaining r3-green relational
+  - ``_DEFERRED_TO_R6`` (49): q33, q41 and q29 (r2-green, displaced
+    by the late-added never-checked q112/q113/q114 per the policy
+    above), plus the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
     queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
     q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
@@ -141,7 +146,6 @@ _R5_STALEST = [
     "q38_python_udtf",
     "q69_tfidf",
     "q25_correlated_subquery",
-    "q29_map_array_funcs",
     "q89_fuzzy_match",
     "q95_variant_shred",
 ]
@@ -172,6 +176,7 @@ _NEW_IN_R5 = [
     "q48b_span_decontaminate",    # span-level decon: redact the chunk, keep the doc (oracle-backed)
     "q112_cdc_merge",             # CDC MERGE/upsert compaction (oracle-backed, planted-branch tested)
     "q113_substring_dedup",       # offset-invariant exact substring dedup (oracle-backed)
+    "q114_boilerplate_scrub",     # template-span removal by corpus frequency (oracle-backed)
 ]
 
 # Queries whose implementation changed in round 5 — re-enter the
@@ -210,6 +215,11 @@ _DEFERRED_TO_R6 = {
                            # machines have fresher rows — the q40 sampler is
                            # r4-green and the census agg runs in-window via
                            # q42/q43/q45; leads r6 with the block
+    "q29_map_array_funcs",  # r2-green stalest entry displaced by late-added
+                            # q114_boilerplate_scrub (same policy); its
+                            # map/array scalar-func machinery is exercised
+                            # in-window by the array-HOF-heavy q111/q103/q113
+                            # pipelines; leads r6 with the block
     # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
     # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
     # slots; the window-function spine and grouping-sets queries below
@@ -266,8 +276,8 @@ _DEFERRED_TO_R6 = {
 
 
 def _window_head() -> list[str]:
-    """The r5 driver-window head: the 21 stalest (r2-row) entries,
-    the 24 queries added this round, then the 5 changed queries —
+    """The r5 driver-window head: the 20 stalest (r2-row) entries,
+    the 25 queries added this round, then the 5 changed queries —
     the relational rotation block was fully displaced by late
     additions — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION

@@ -105,6 +105,7 @@ HEADLINE = [
     "q79_corpus_mix",
     "q97_paragraph_dedup",
     "q113_substring_dedup",
+    "q114_boilerplate_scrub",
     "q102_incremental_dedup",
     "q103_bpe_pair_census",
     "q103b_bpe_train",

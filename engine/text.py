@@ -323,6 +323,51 @@ def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_MIN_COUNT = 3  # corpus occurrences at which a span is boilerplate
+
+
+def q114_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template span removal (the CCNet/C4 pre-dedup
+    step): any CHUNK_TOKENS-token span occurring >= BOILER_MIN_COUNT
+    times across the corpus is template text (headers, footers,
+    license banners, nav chrome) and is removed from EVERY document —
+    including the first occurrence, which is what distinguishes this
+    from q97's keep-first dedup (the two compose: scrub boilerplate,
+    then dedup the remainder).  Frequency is total occurrences (a
+    template normally appears once per afflicted doc; the occurrence
+    count equals document frequency for that shape and needs no
+    distinct pass).
+
+    Scale shape: q97's exact machinery — the shared chunker
+    (one tokenizer pass), then ONE hash-keyed window over the
+    exploded chunk set whose shuffle carries (16-byte chunk hash,
+    ids, chunk text — the same rows q97 ships), a count(*) frame
+    instead of row_number, and the shared ordered reassembly agg.
+    No join: the frequency decision and the surviving text ride the
+    same window partition."""
+    return _boilerplate_scrub(table(spark, sf_dir, "documents"))
+
+
+def _boilerplate_scrub(d: DataFrame) -> DataFrame:
+    """Core of q114 over any (doc_id, text) frame (factored out so
+    tests can plant template spans)."""
+    chunks = _doc_chunks(d).select(
+        "doc_id", "pos", F.concat_ws(" ", F.col("ct")).alias("chunk")
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk")))
+    marked = chunks.withColumn("cnt", F.count(F.lit(1)).over(w))
+    keep = f"cnt < {BOILER_MIN_COUNT}"
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("cnt") >= BOILER_MIN_COUNT).alias("n_boiler"),
+            _kept_text_md5(keep).alias("clean_text_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 SUBSTR_W = 8  # rolling-window width for offset-invariant substring dedup
 
 
@@ -1430,6 +1475,7 @@ QUERIES = {
     "q80_dedup_components": q80_dedup_components,
     "q97_paragraph_dedup": q97_paragraph_dedup,
     "q113_substring_dedup": q113_substring_dedup,
+    "q114_boilerplate_scrub": q114_boilerplate_scrub,
 }
 
 _DUCK_SIG_SQL = f"""
@@ -1732,6 +1778,19 @@ ORACLE = {
         SELECT doc_id, count(*) AS n_chunks,
                count(*) FILTER (WHERE rn = 1) AS n_kept,
                {_duck_kept_md5("rn = 1")} AS dedup_text_hash
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q114_boilerplate_scrub": f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        chunks AS ({_DUCK_CHUNKS}),
+        marked AS (
+            SELECT doc_id, pos, array_to_string(ct, ' ') AS chunk,
+                   count(*) OVER (PARTITION BY md5(array_to_string(ct, ' '))) AS cnt
+            FROM chunks)
+        SELECT doc_id, count(*) AS n_chunks,
+               count(*) FILTER (WHERE cnt >= {BOILER_MIN_COUNT}) AS n_boiler,
+               {_duck_kept_md5(f"cnt < {BOILER_MIN_COUNT}")} AS clean_text_hash
         FROM marked GROUP BY doc_id ORDER BY doc_id
     """,
     # groups by window TEXT where Spark groups by its xxhash64 —

@@ -193,6 +193,32 @@ def test_substring_dedup_global_invariants(spark, sf_dir):
     out.unpersist()
 
 
+def test_boilerplate_scrub_removes_all_occurrences(spark):
+    """q114 vs q97: the template span disappears from EVERY document,
+    including the first occurrence; unique content survives intact."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from engine.text import BOILER_MIN_COUNT, CHUNK_TOKENS, _boilerplate_scrub
+
+    template = [f"tpl{i}" for i in range(CHUNK_TOKENS)]
+    rows, expected = [], {}
+    for d in range(BOILER_MIN_COUNT + 1):
+        body = [f"d{d}w{i}" for i in range(CHUNK_TOKENS)]
+        rows.append(Row(doc_id=d, text=" ".join(template + body)))
+        expected[d] = " ".join(body)
+    # one doc below the bar: a chunk repeated BOILER_MIN_COUNT-1 times
+    # total (here: only in this doc) stays
+    rows.append(Row(doc_id=99, text=" ".join([f"u{i}" for i in range(CHUNK_TOKENS)])))
+    expected[99] = " ".join(f"u{i}" for i in range(CHUNK_TOKENS))
+    out = {r.doc_id: r for r in _boilerplate_scrub(spark.createDataFrame(rows)).collect()}
+    for d, exp in expected.items():
+        assert out[d].clean_text_hash == hashlib.md5(exp.encode()).hexdigest(), d
+    assert all(out[d].n_boiler == 1 for d in range(BOILER_MIN_COUNT + 1))
+    assert out[99].n_boiler == 0
+
+
 def test_paragraph_dedup_global_invariants(spark, sf_dir):
     """Every distinct chunk survives exactly once across the corpus,
     and the first document (lowest doc_id) keeps all its chunks."""
