@@ -7,7 +7,7 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 142.  Policy: stalest-first — every
+entries, and the full inventory is 144.  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
@@ -61,7 +61,7 @@ exactly which green rows wait and why they lose the least signal.
     tested), dedup_recall_report (measured MinHash-LSH candidate
     recall vs the exact shingle-join truth, oracle-backed),
     q48b_span_decontaminate (span-level decontamination — redact the
-    contaminated chunk, keep the document; oracle-backed), and
+    contaminated chunk, keep the document; oracle-backed),
     q112 (CDC MERGE/upsert compaction; oracle-backed, planted
     MERGE-branch tested), q113 (offset-invariant exact substring
     dedup — suffix-array semantics via rolling xxhash64 windows;
