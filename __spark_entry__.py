@@ -27,14 +27,15 @@ exactly which green rows wait and why they lose the least signal.
   50/50 green; 18 entries deferred to r5).
 * r5 window (this file's state), 50 slots exactly:
   - ``_R5_STALEST`` (20): every query whose latest driver row is r2 —
-    the 18 entries deferred from r4 as promised, plus q25/q29/q89/q95
-    which missed the r3 rotation, minus three displaced by late-added
-    never-checked queries (never-checked outranks a green row): q33
-    (displaced by q112; its ordered-reassembly machinery runs
-    in-window via q48b), q41 (displaced by q113; its sampler is
-    r4-green via q40 and its census agg runs in-window via q42/q43),
-    and q29 (displaced by q114; its map/array machinery is exercised
-    in-window by the array-HOF-heavy q111/q103/q113 pipelines).
+    ALL 18 entries deferred from r4 as promised, plus q25/q89 of the
+    five that missed the r3 rotation; the other three (never part of
+    the r4 promise) were displaced by late-added never-checked
+    queries (never-checked outranks a green row): q33 (displaced by
+    q112; its ordered-reassembly machinery runs in-window via q48b),
+    q95 (displaced by q113; single-doc JSON shredding, no join/agg
+    machinery, frozen since r2), and q29 (displaced by q114; its
+    map/array machinery is exercised in-window by the array-HOF-heavy
+    q111/q103/q113 pipelines).
   - ``_NEW_IN_R5`` (25): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
@@ -92,7 +93,7 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
-  - ``_DEFERRED_TO_R6`` (49): q33, q41 and q29 (r2-green, displaced
+  - ``_DEFERRED_TO_R6`` (49): q33, q95 and q29 (r2-green, displaced
     by the late-added never-checked q112/q113/q114 per the policy
     above), plus the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
@@ -136,6 +137,7 @@ _R5_STALEST = [
     "ml_model_metrics",
     "ml_misclassified_inverse",
     "q62_brp_lsh_join",
+    "q41_sample_census",
     "q42_census",
     "q43_summary_stats",
     "q45_per_class_mean",
@@ -147,7 +149,6 @@ _R5_STALEST = [
     "q69_tfidf",
     "q25_correlated_subquery",
     "q89_fuzzy_match",
-    "q95_variant_shred",
 ]
 
 # Queries ADDED in round 5 — never driver-checked.
@@ -210,11 +211,12 @@ _DEFERRED_TO_R6 = {
                            # row per the policy); its array_sort(collect_list)
                            # ordered-reassembly machinery runs in-window via
                            # q48b's clean-text rebuild; leads r6 with the block
-    "q41_sample_census",   # r2-green stalest entry displaced by late-added
-                           # q113_substring_dedup (same policy); both of its
-                           # machines have fresher rows — the q40 sampler is
-                           # r4-green and the census agg runs in-window via
-                           # q42/q43/q45; leads r6 with the block
+    "q95_variant_shred",   # r2-green stalest entry displaced by late-added
+                           # q113_substring_dedup (same policy); chosen over
+                           # the r4-promised 18 (all in-window as promised):
+                           # single-doc JSON shredding with no join/agg
+                           # machinery, frozen since r2; leads r6 with the
+                           # block
     "q29_map_array_funcs",  # r2-green stalest entry displaced by late-added
                             # q114_boilerplate_scrub (same policy); its
                             # map/array scalar-func machinery is exercised
