@@ -26,16 +26,18 @@ exactly which green rows wait and why they lose the least signal.
   the 3 changed, then the non-relational block (CORRECTNESS_r04:
   50/50 green; 18 entries deferred to r5).
 * r5 window (this file's state), 50 slots exactly:
-  - ``_R5_STALEST`` (20): every query whose latest driver row is r2 —
-    ALL 18 entries deferred from r4 as promised, plus q25/q89 of the
-    five that missed the r3 rotation; the other three (never part of
-    the r4 promise) were displaced by late-added never-checked
-    queries (never-checked outranks a green row): q33 (displaced by
-    q112; its ordered-reassembly machinery runs in-window via q48b),
-    q95 (displaced by q113; single-doc JSON shredding, no join/agg
-    machinery, frozen since r2), and q29 (displaced by q114; its
-    map/array machinery is exercised in-window by the array-HOF-heavy
-    q111/q103/q113 pipelines).
+  - ``_R5_STALEST`` (19): every query whose latest driver row is r2 —
+    ALL 18 entries deferred from r4 as promised, plus q25 of the
+    five that missed the r3 rotation; the other four (never part of
+    the r4 promise) were displaced by late additions per the
+    overrides (never-checked and changed-code outrank a green row):
+    q33 (displaced by q112; its ordered-reassembly machinery runs
+    in-window via q48b), q95 (displaced by q113; single-doc JSON
+    shredding, no join/agg machinery, frozen since r2), q29
+    (displaced by q114; its map/array machinery is exercised
+    in-window by the array-HOF-heavy q111/q103/q113 pipelines), and
+    q89 (displaced by changed-code q97; fuzzy blocking frozen since
+    r2 with its block_key equi-join plan-pinned in test_plans).
   - ``_NEW_IN_R5`` (25): sketch_error_report (measured error of q30/
     q96/q83b sketches vs their exact twins),
     stream_equivalence_report (real readStream runs vs batch twins),
@@ -70,9 +72,10 @@ exactly which green rows wait and why they lose the least signal.
     (boilerplate/template-span removal by corpus frequency —
     remove-ALL-occurrences, composing with q97's keep-first;
     oracle-backed, planted-template tested).
-  - ``_CHANGED_IN_R5`` (5): q61/q66 (OR-amplified banding derivation),
+  - ``_CHANGED_IN_R5`` (6): q61/q66 (OR-amplified banding derivation),
     q65/q75 (shared two-level coarse quantizer), q67c (two-stage
-    partition-fold candidates).
+    partition-fold candidates), q97 (refactored onto the chunker +
+    reassembly helpers it now shares with q48b/q114).
   - ``_R5_RELATIONAL_ROTATION`` (0): the r3-green relational block,
     prioritized by semantic risk — the relational core (q01/q02/q04,
     q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
@@ -93,9 +96,9 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
-  - ``_DEFERRED_TO_R6`` (49): q33, q95 and q29 (r2-green, displaced
-    by the late-added never-checked q112/q113/q114 per the policy
-    above), plus the remaining r3-green relational
+  - ``_DEFERRED_TO_R6`` (50): q33, q95, q29 and q89 (r2-green,
+    displaced by the late additions q112/q113/q114 and changed-code
+    q97 per the policy above), plus the remaining r3-green relational
     entries — frozen single-pass scalar/set-op/projection/window/agg
     queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
     q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
@@ -148,7 +151,6 @@ _R5_STALEST = [
     "q38_python_udtf",
     "q69_tfidf",
     "q25_correlated_subquery",
-    "q89_fuzzy_match",
 ]
 
 # Queries ADDED in round 5 — never driver-checked.
@@ -188,6 +190,10 @@ _CHANGED_IN_R5 = [
     "q65_knn_ivf",                # shared two-level coarse quantizer
     "q75_semantic_dedup",         # shared two-level coarse quantizer
     "q67c_stream_heavy_hitters",  # two-stage partition-fold candidates
+    "q97_paragraph_dedup",        # refactored onto the shared chunker +
+                                  # reassembly helpers (values + plan
+                                  # pinned unchanged; re-enters per the
+                                  # changed-code override)
 ]
 
 # r3-green relational block, highest-semantic-risk first (see module
@@ -222,6 +228,11 @@ _DEFERRED_TO_R6 = {
                             # map/array scalar-func machinery is exercised
                             # in-window by the array-HOF-heavy q111/q103/q113
                             # pipelines; leads r6 with the block
+    "q89_fuzzy_match",      # r2-green stalest entry displaced by
+                            # changed-code q97 (the changed-code override
+                            # outranks a green row); fuzzy blocking frozen
+                            # since r2, block_key equi-join plan-pinned in
+                            # test_plans; leads r6 with the block
     # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
     # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
     # slots; the window-function spine and grouping-sets queries below
@@ -278,8 +289,8 @@ _DEFERRED_TO_R6 = {
 
 
 def _window_head() -> list[str]:
-    """The r5 driver-window head: the 20 stalest (r2-row) entries,
-    the 25 queries added this round, then the 5 changed queries —
+    """The r5 driver-window head: the 19 stalest (r2-row) entries,
+    the 25 queries added this round, then the 6 changed queries —
     the relational rotation block was fully displaced by late
     additions — exactly 50 entries."""
     head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
