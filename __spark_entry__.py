@@ -96,6 +96,15 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
+  - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
+    q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
+    froze at 50 slots.  Every head slot holds a strictly
+    higher-priority entry (the r4-promised stalest block, this
+    round's 25 earlier additions, the 6 changed queries), so these
+    three are the one sanctioned exception to "added queries enter
+    immediately": they are oracle-backed and parity-tested in-suite
+    this round and lead the r6 window with the never-checked class
+    (stalest-first makes that self-executing).
   - ``_DEFERRED_TO_R6`` (50): q33, q95, q29 and q89 (r2-green,
     displaced by the late additions q112/q113/q114 and changed-code
     q97 per the policy above), plus the remaining r3-green relational
@@ -194,6 +203,17 @@ _CHANGED_IN_R5 = [
                                   # reassembly helpers (values + plan
                                   # pinned unchanged; re-enters per the
                                   # changed-code override)
+]
+
+# Added AFTER the r5 window froze (the head's 50 slots all hold
+# strictly higher-priority entries — see the module docstring); each
+# is oracle-backed (strict-green in the local mirror at all three SFs)
+# and python-parity/planted-case tested in-suite, and leads the r6
+# window as part of the never-checked class.
+_POST_FREEZE_ADDITIONS = [
+    "q115_source_quota_cap",   # per-source quota cap (two-phase salted top-K)
+    "q116_bm25_topk",          # Okapi BM25 retrieval (integer-grid scores)
+    "q117_weighted_sample",    # A-ES weighted sampling without replacement
 ]
 
 # r3-green relational block, highest-semantic-risk first (see module

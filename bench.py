@@ -137,6 +137,9 @@ HEADLINE = [
     "q110_embedding_drift",
     "q111_dsir_selection",
     "dedup_recall_report",
+    "q115_source_quota_cap",
+    "q116_bm25_topk",
+    "q117_weighted_sample",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

@@ -3031,3 +3031,298 @@ ORACLE["dedup_recall_report"] = f"""
     FROM per_tier, n_cand
     ORDER BY threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 post-freeze additions (lead the r6 driver window; see the
+# __spark_entry__ docstring).  Three corpus-curation operators every
+# production pre-training pipeline runs that the surface lacked:
+# per-source quota capping, BM25 retrieval, and weighted sampling
+# without replacement.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 10        # max docs kept per source (binds at sf0.01: 25/source)
+SOURCE_CAP_SALTS = 8   # phase-1 shard count for the two-phase grouped top-K
+
+
+def q115_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (the RefinedWeb/C4 anti-spam rule):
+    keep at most SOURCE_CAP docs per source, preferring the highest
+    q57 composite quality, deterministic tie-break on doc_id.  A
+    per-domain cap is the standard defense against a single crawl
+    domain flooding the training mix.
+
+    Scale shape (100 TB): a single row_number window keyed on source
+    is the textbook plan but a skewed source (one domain = billions of
+    rows) funnels into ONE task.  This implements the two-phase
+    grouped top-K instead: phase 1 ranks within (source, salt) shards
+    — xxhash64(doc_id) mod SOURCE_CAP_SALTS, so every shard's window
+    is 1/SALTS of the hot source — and keeps each shard's top
+    SOURCE_CAP; phase 2 re-ranks the ≤ CAP·SALTS survivors per source.
+    Semantics-preserving by construction (the global top-K of a group
+    is contained in the union of its per-shard top-Ks), so the oracle
+    is the plain one-window SQL.  Quality is _trunc6'd (engine-stable)
+    and the (quality DESC, doc_id) order is total, so ranks are
+    deterministic."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", _quality_col().alias("quality"))
+    salted = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SOURCE_CAP_SALTS))
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= SOURCE_CAP)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        survivors.withColumn("src_rank", F.row_number().over(w2))
+        .filter(F.col("src_rank") <= SOURCE_CAP)
+        .select("source", "src_rank", "doc_id", "quality")
+        .orderBy("source", "src_rank")
+    )
+
+
+QUERIES["q115_source_quota_cap"] = q115_source_quota_cap
+
+ORACLE["q115_source_quota_cap"] = f"""
+    WITH q AS ({_DUCK_QUALITY}),
+    ranked AS (
+        SELECT d.source, d.doc_id, q.quality,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY q.quality DESC, d.doc_id)::int AS src_rank
+        FROM documents d JOIN q USING (doc_id))
+    SELECT source, src_rank, doc_id, quality
+    FROM ranked WHERE src_rank <= {SOURCE_CAP}
+    ORDER BY source, src_rank
+"""
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# fixed retrieval workload: (query_id, [terms]); terms are corpus-vocab
+# words so df > 0 — one query mixes the rare token 'dup' (df ≈ 5% of
+# docs) with a common one to exercise the idf spread
+BM25_QUERY_TERMS = {
+    "hash-join": ["hash", "join"],
+    "table-scan": ["table", "scan"],
+    "rare-dup": ["dup", "merge"],
+}
+
+
+def q116_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Okapi k1=1.2, b=0.75) for a fixed query
+    workload over the corpus — the retrieval leg a training-data
+    pipeline uses for decontamination-by-search and hard-negative
+    mining (q69's TF-IDF is featurization; this is scoring + ranking).
+
+    Scale shape: TWO corpus scans, no corpus-sized join or shuffle.
+    Scan 1 explodes tokens WITH the doc length attached to every
+    token row (size() of the same split — free in the same projection),
+    filters by a broadcast join against the (tiny) query-term list
+    BEFORE any shuffle, and aggregates tf + first(dl) per (term, doc)
+    — so shuffle volume is O(matching tokens) and no separate
+    corpus-wide doc-length join is ever needed.  Scan 2 is the narrow
+    corpus-total aggregate (n_docs, total tokens → 1 broadcast row).
+    Per-term df and the query fan-out ride as broadcast frames into
+    the scoring join; final per-query ranking windows over candidate
+    docs only.
+
+    Float determinism: each term's BM25 contribution is truncated to
+    a 1e-6 grid (floor(x·1e6) bigint) BEFORE the per-(query, doc) sum,
+    so the sum is exact integer arithmetic — summation order cannot
+    flip the driver's bit-exact hash (ln of exact-count quotients is
+    the q57c/q109-proven portable op).  Ranks are total-ordered by
+    (score DESC, doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERY_TERMS.items()) for t in ts],
+        "query_id string, term string",
+    )
+    terms = qterms.select("term").distinct()
+    tot = d.select(F.size(toks).cast("bigint").alias("dl")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tfd = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(terms), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # df as a count window over the (term, doc) frame rather than a
+    # separate aggregate: tfd feeding BOTH a groupBy and the scoring
+    # join would plan the explode scan twice (Catalyst does not dedupe
+    # shared subplans); the window costs one candidate-sized shuffle
+    # on term and keeps the corpus at exactly two scans
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1
+        * (
+            1.0
+            - BM25_B
+            + BM25_B
+            * (F.col("dl").cast("double") * F.col("n_docs") / F.col("total_toks"))
+        )
+    )
+    contrib = (
+        tfd.withColumn("df", dfreq)
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * norm * F.lit(1e6)).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score_1e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_1e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("score_1e6") / F.lit(1e6)).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["q116_bm25_topk"] = q116_bm25_topk
+
+_DUCK_BM25_QTERMS = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in sorted(BM25_QUERY_TERMS.items()) for t in ts
+)
+
+ORACLE["q116_bm25_topk"] = f"""
+    WITH qterms(query_id, term) AS (VALUES {_DUCK_BM25_QTERMS}),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+        FROM documents),
+    dl AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), ' +'))::bigint AS dl
+        FROM documents),
+    tot AS (SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS total_toks FROM dl),
+    tfd AS (
+        SELECT t.term, t.doc_id, count(*)::bigint AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+        GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*)::bigint AS df FROM tfd GROUP BY term),
+    contrib AS (
+        SELECT q.query_id, t.doc_id,
+               floor(
+                   ln((tot.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * ({BM25_K1} + 1.0))
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                       + {BM25_B} * (d.dl::double * tot.n_docs / tot.total_toks)))
+                   * 1e6)::bigint AS c
+        FROM tfd t
+        JOIN qterms q USING (term)
+        JOIN dfreq f USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN tot),
+    scored AS (
+        SELECT query_id, doc_id, sum(c)::bigint AS score_1e6
+        FROM contrib GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, doc_id, score_1e6,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_1e6 DESC, doc_id)::int AS rank
+        FROM scored)
+    SELECT query_id, rank, doc_id, score_1e6 / 1e6 AS score
+    FROM ranked WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
+"""
+
+
+WEIGHTED_SAMPLE_N = 100
+
+
+def q117_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each doc gets key = ln(u)/w with weight w = q57
+    quality and u a deterministic md5-derived uniform in (0, 1]; the
+    global top-N keys are exactly an N-sample drawn without
+    replacement with probability proportional to weight — the standard
+    way to cut a quality-weighted subcorpus in one distributed pass
+    (q104's temperature mixing reweights LANGUAGES; this reweights
+    individual documents).
+
+    Scale shape: one narrow projection (no shuffle) computes the key;
+    the global top-N is orderBy+limit, which Spark executes as
+    TakeOrdered — per-partition top-N then a driver merge of
+    N·n_partitions candidate rows, never a global sort.  Adding data
+    never changes surviving keys (u is content-addressed), so the
+    sample is reproducible and incrementally extendable.
+
+    Determinism: u = (md5-mod-1e6 + 1)/1000001 is the q99
+    engine-portable pattern; the ORDER key is floor(ln(u)/w · 1e6) —
+    an exact bigint in both engines — so selection and ranks cannot
+    drift on a final-ulp float (ln-of-exact-quotient is the
+    q57c-proven portable op; w > 0 always since the quality score's
+    length term is ≥ 0.004)."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat('wsample:', doc_id)), 1, 15), 16, 10) as bigint)"
+        )
+        % 1000000
+        + 1
+    ) / 1000001.0
+    base = d.select("doc_id", "source", _quality_col().alias("quality")).withColumn(
+        "key_1e6", F.floor(F.log(u) / F.col("quality") * F.lit(1e6))
+    )
+    top = base.orderBy(F.col("key_1e6").desc(), F.col("doc_id")).limit(
+        WEIGHTED_SAMPLE_N
+    )
+    # the unpartitioned rank window runs AFTER the limit, on exactly
+    # WEIGHTED_SAMPLE_N rows — the single-partition WindowExec warning
+    # it triggers is bounded by N, not by the corpus
+    w = Window.orderBy(F.col("key_1e6").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "source", "quality", "key_1e6")
+        .orderBy("rank")
+    )
+
+
+QUERIES["q117_weighted_sample"] = q117_weighted_sample
+
+ORACLE["q117_weighted_sample"] = f"""
+    WITH q AS ({_DUCK_QUALITY}),
+    keyed AS (
+        SELECT d.doc_id, d.source, q.quality,
+               floor(
+                   ln((('0x' || substr(md5('wsample:' || d.doc_id), 1, 15))::bigint
+                        % 1000000 + 1) / 1000001.0)
+                   / q.quality * 1e6)::bigint AS key_1e6
+        FROM documents d JOIN q USING (doc_id)),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY key_1e6 DESC, doc_id)::int AS rank
+        FROM keyed)
+    SELECT rank, doc_id, source, quality, key_1e6
+    FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_N}
+    ORDER BY rank
+"""

@@ -121,7 +121,16 @@ def test_driver_window_covers_unproven_queries():
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         proven |= set(json.load(open(p)))
     never_checked = set(contract.queries()) - proven
-    assert never_checked <= set(head), sorted(never_checked - set(head))
+    # The one sanctioned exception (see the __spark_entry__ docstring):
+    # additions made AFTER the window froze at 50 strictly-higher-
+    # priority slots sit out one round and lead the r6 window. They
+    # must be declared, oracle-backed, and disjoint from the head.
+    post_freeze = set(contract._POST_FREEZE_ADDITIONS)
+    assert not (post_freeze & set(head))
+    assert post_freeze <= set(contract.oracle_sql())
+    assert never_checked <= set(head) | post_freeze, sorted(
+        never_checked - set(head) - post_freeze
+    )
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):

@@ -1128,3 +1128,120 @@ def test_dedup_recall_report_floors_and_consistency(spark, sf_dir):
         if prev_true is not None:
             assert r.true_pairs <= prev_true  # tighter tier, fewer pairs
         prev_true = r.true_pairs
+
+
+def test_source_quota_cap_planted_skew(spark, tmp_path):
+    """q115 on a planted skewed corpus: a hot source with 3x the cap
+    must keep EXACTLY the cap's best-(quality, doc_id) docs — i.e. the
+    two-phase salted top-K must equal the single-window answer — while
+    a small source keeps everything with contiguous ranks."""
+    from engine.text import SOURCE_CAP, q115_source_quota_cap, q57_quality_score
+
+    rows = []
+    # hot source: 3*CAP docs of graded quality (longer text => higher
+    # length term), small source: 3 docs
+    for i in range(3 * SOURCE_CAP):
+        rows.append((i, " ".join(f"tok{j}" for j in range(i + 2)), "en", "hot", 10))
+    for i in range(3):
+        rows.append((1000 + i, "alpha beta gamma", "en", "small", 10))
+    d = str(tmp_path / "quota")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+
+    out = q115_source_quota_cap(spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["hot"]) == SOURCE_CAP
+    assert len(by_src["small"]) == 3
+    # single-window expected answer from the independently computed
+    # q57 quality (the two-phase shards must not change membership)
+    q = {r.doc_id: r.quality for r in q57_quality_score(spark, d).collect()}
+    hot_ids = [i for i, *_ in rows if i < 1000]
+    expected = sorted(hot_ids, key=lambda i: (-q[i], i))[:SOURCE_CAP]
+    got = [r.doc_id for r in sorted(by_src["hot"], key=lambda r: r.src_rank)]
+    assert got == expected
+    for src, rs in by_src.items():
+        assert sorted(r.src_rank for r in rs) == list(range(1, len(rs) + 1))
+        qs = [r.quality for r in sorted(rs, key=lambda r: r.src_rank)]
+        assert qs == sorted(qs, reverse=True)
+
+
+def test_bm25_matches_independent_python(spark, sf_dir):
+    """q116's distributed BM25 must agree with a from-scratch python
+    implementation (Counter tf/df, math.log idf, per-term 1e-6 floor
+    grid, exact integer accumulation) on the full ranked top-k of
+    every query — pinning tokenization, the Okapi formula, the
+    truncation grid, and the (score, doc_id) ranking end to end."""
+    import math
+    import re
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import BM25_B, BM25_K1, BM25_QUERY_TERMS, BM25_TOPK, q116_bm25_topk
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: re.split(" +", r.text.strip().lower()) for r in docs}
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks.values())
+    all_terms = {t for ts in BM25_QUERY_TERMS.values() for t in ts}
+    tf = {d: Counter(t for t in ts if t in all_terms) for d, ts in toks.items()}
+    df = Counter(t for d in tf.values() for t in d)
+
+    expected = []
+    for qid, terms in sorted(BM25_QUERY_TERMS.items()):
+        scored = []
+        for d, ts in toks.items():
+            s = 0
+            for t in terms:
+                f = tf[d].get(t, 0)
+                if not f:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                norm = (f * (BM25_K1 + 1.0)) / (
+                    f + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(ts) * n_docs / total))
+                )
+                s += math.floor(idf * norm * 1e6)
+            if s:
+                scored.append((-s, d))
+        scored.sort()
+        for rank, (neg, d) in enumerate(scored[:BM25_TOPK], 1):
+            expected.append((qid, rank, d, -neg / 1e6))
+
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in q116_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_weighted_sample_matches_independent_python(spark, sf_dir):
+    """q117's distributed A-ES sample must agree with a from-scratch
+    python implementation (hashlib md5 uniforms, math.log keys, 1e-6
+    floor grid, top-N by (key, doc_id)) on the full ranked sample —
+    and the sample must be duplicate-free and quality-tilted (the
+    whole point of weighting: sample mean quality > corpus mean)."""
+    import hashlib
+    import math
+
+    from engine.session import table
+    from engine.text import WEIGHTED_SAMPLE_N, q117_weighted_sample, q57_quality_score
+
+    quality = {r.doc_id: r.quality for r in q57_quality_score(spark, sf_dir).collect()}
+    keyed = []
+    for d, w in quality.items():
+        h = int(hashlib.md5(f"wsample:{d}".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 1) / 1000001.0
+        keyed.append((-math.floor(math.log(u) / w * 1e6), d))
+    keyed.sort()
+    expected = [(r + 1, d, -neg) for r, (neg, d) in enumerate(keyed[:WEIGHTED_SAMPLE_N])]
+
+    out = q117_weighted_sample(spark, sf_dir).collect()
+    got = [(r.rank, r.doc_id, r.key_1e6) for r in out]
+    assert got == expected
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) == min(WEIGHTED_SAMPLE_N, len(quality))
+    sample_mean = sum(quality[i] for i in ids) / len(ids)
+    corpus_mean = sum(quality.values()) / len(quality)
+    assert sample_mean > corpus_mean
