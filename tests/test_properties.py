@@ -99,3 +99,38 @@ def test_misra_gries_merge_capture_bound(stream, capacity):
     for tok, freq in true.items():
         if freq > n / (capacity + 1):
             assert tok in candidates, (tok, freq, n, capacity)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=0, max_value=50),     # score (ties likely)
+            st.integers(min_value=0, max_value=10_000), # id
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=8),  # K
+    st.integers(min_value=1, max_value=8),  # shards
+)
+@settings(max_examples=300, deadline=None)
+def test_two_phase_grouped_topk_containment(rows, k, shards):
+    """The algebraic law q115's two-phase salted top-K rests on: for
+    ANY sharding of a group, the group's global top-K under a total
+    order is contained in the union of per-shard top-Ks — so phase 2
+    over phase-1 survivors reproduces the single-window answer
+    exactly, ties and all."""
+    rows = list({(g, s, i) for (g, s, i) in rows})  # unique ids per group
+    order = lambda r: (-r[1], r[2])  # score DESC, id ASC (total)
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r[0], []).append(r)
+    for g, members in groups.items():
+        expected = sorted(members, key=order)[:k]
+        survivors = []
+        for s in range(shards):
+            shard = [r for r in members if hash((r[2], 1337)) % shards == s]
+            survivors.extend(sorted(shard, key=order)[:k])
+        got = sorted(survivors, key=order)[:k]
+        assert got == expected

@@ -1144,6 +1144,11 @@ def test_source_quota_cap_planted_skew(spark, tmp_path):
         rows.append((i, " ".join(f"tok{j}" for j in range(i + 2)), "en", "hot", 10))
     for i in range(3):
         rows.append((1000 + i, "alpha beta gamma", "en", "small", 10))
+    # tie source: 2*CAP byte-identical docs => identical quality; the
+    # doc_id tie-break must hold ACROSS phase-1 shards (keeper = the
+    # CAP lowest ids, whatever shard they hashed to)
+    for i in range(2 * SOURCE_CAP):
+        rows.append((2000 + i, "same text every time", "en", "ties", 10))
     d = str(tmp_path / "quota")
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -1155,6 +1160,9 @@ def test_source_quota_cap_planted_skew(spark, tmp_path):
         by_src.setdefault(r.source, []).append(r)
     assert len(by_src["hot"]) == SOURCE_CAP
     assert len(by_src["small"]) == 3
+    assert [r.doc_id for r in sorted(by_src["ties"], key=lambda r: r.src_rank)] == [
+        2000 + i for i in range(SOURCE_CAP)
+    ]
     # single-window expected answer from the independently computed
     # q57 quality (the two-phase shards must not change membership)
     q = {r.doc_id: r.quality for r in q57_quality_score(spark, d).collect()}
