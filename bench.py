@@ -224,6 +224,59 @@ def _bucketed_join_ablation(spark, sf_dir: str) -> dict:
     return out
 
 
+def _grouped_topk_ablation(spark, sf_dir: str) -> dict:
+    """SCALING.md evidence for q115's two-phase salted grouped top-K:
+    a 2M-row frame with 98% of rows in ONE hot group, top-10 per group
+    by (value DESC, id). The single-window plan funnels the hot group
+    into one task's sort; the two-phase plan shards it 8 ways first.
+    Result equality (not just counts) is asserted via exceptAll both
+    ways — the containment law says the answers must be identical."""
+    from pyspark.sql import functions as F
+
+    from engine.skew import grouped_topk
+
+    n = 2_000_000
+    base = (
+        spark.range(0, n)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 50 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("src"), (F.col("id") % 100).cast("string")))
+            .alias("grp"),
+            # deterministic pseudo-quality
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)) / 1_000_003.0).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    order = [F.col("v").desc(), F.col("id")]
+
+    from pyspark.sql.window import Window
+
+    def _single():
+        w = Window.partitionBy("grp").orderBy(*order)
+        return (
+            base.withColumn("grp_rank", F.row_number().over(w))
+            .filter(F.col("grp_rank") <= 10)
+        )
+
+    def _two_phase():
+        return grouped_topk(base, ["grp"], order, F.xxhash64(F.col("id")), 10, 8)
+
+    out: dict = {}
+    for label, make in (("topk_single_window_s", _single), ("topk_two_phase_s", _two_phase)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            make().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(best, 4)
+    a, b = _single(), _two_phase().select(*_single().columns)
+    out["topk_results_equal"] = (
+        a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    )
+    return out
+
+
 def _skew_ablation(spark, sf_dir: str) -> dict:
     """SCALING.md evidence for the skew section, measured honestly.
 
@@ -386,6 +439,9 @@ def main() -> None:
     _sweep()
     ablations.update(_skew_ablation(spark, sf_dir))
     print(f"# skew ablation: { {k: v for k, v in ablations.items() if k.startswith('skew')} }", file=sys.stderr)
+    _sweep()
+    ablations.update(_grouped_topk_ablation(spark, sf_dir))
+    print(f"# grouped-topk ablation: { {k: v for k, v in ablations.items() if k.startswith('topk')} }", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     detail = {

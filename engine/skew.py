@@ -98,3 +98,44 @@ def salted_join(
     salted_big = big.withColumn("_salt", (F.rand(seed=43) * n_salts).cast("int"))
     replicated = small.select("*", salts)
     return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    salt_col,
+    k: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe grouped top-K: the two-phase salted window behind
+    q115's per-source quota cap, factored out because any "keep the
+    best K per group" rule hits the same wall — a single hot group
+    funnels the whole window into one task.
+
+    Phase 1 ranks within (group, salt) shards — ``salt_col`` must be a
+    deterministic per-row expression (hash a unique id) so reruns
+    shard identically — and keeps each shard's top K; phase 2 re-ranks
+    the ≤ K·n_salts survivors per group. ``order_cols`` must be a
+    TOTAL order (break ties on a unique column) or phase-1 shard
+    boundaries could cut a tie group arbitrarily. Containment law
+    (group top-K ⊆ union of shard top-Ks under a total order) is
+    property-tested in tests/test_properties.py; Spark-level equality
+    with the single-window plan is asserted in the bench ablation and
+    the planted q115 test.
+
+    Output = input columns + ``grp_rank`` (1-based within group).
+    """
+    from pyspark.sql.window import Window
+
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return survivors.withColumn("grp_rank", F.row_number().over(w2)).filter(
+        F.col("grp_rank") <= k
+    )

@@ -3064,24 +3064,20 @@ def q115_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the plain one-window SQL.  Quality is _trunc6'd (engine-stable)
     and the (quality DESC, doc_id) order is total, so ranks are
     deterministic."""
+    from .skew import grouped_topk
+
     d = table(spark, sf_dir, "documents")
     base = d.select("doc_id", "source", _quality_col().alias("quality"))
-    salted = base.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SOURCE_CAP_SALTS))
-    )
-    w1 = Window.partitionBy("source", "_salt").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
-    )
-    survivors = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= SOURCE_CAP)
-        .drop("_rn", "_salt")
-    )
-    w2 = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
     return (
-        survivors.withColumn("src_rank", F.row_number().over(w2))
-        .filter(F.col("src_rank") <= SOURCE_CAP)
-        .select("source", "src_rank", "doc_id", "quality")
+        grouped_topk(
+            base,
+            ["source"],
+            [F.col("quality").desc(), F.col("doc_id")],
+            F.xxhash64(F.col("doc_id")),
+            SOURCE_CAP,
+            SOURCE_CAP_SALTS,
+        )
+        .select("source", F.col("grp_rank").alias("src_rank"), "doc_id", "quality")
         .orderBy("source", "src_rank")
     )
 
