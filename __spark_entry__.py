@@ -7,7 +7,8 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 144.  Policy: stalest-first — every
+entries, and the full inventory is 147 (144 at the window freeze +
+3 post-freeze additions).  Policy: stalest-first — every
 window is filled in order of how long a query has gone without a
 driver row (never-checked first, then oldest round), with two
 overrides: queries whose code changed this round and queries added
