@@ -97,6 +97,14 @@ exactly which green rows wait and why they lose the least signal.
     q81's range machinery is adjacent to r4-green q81b's bucketized
     band join, and q28's as-of window machinery is shared with the
     r4-green window spine.
+  - post-freeze FIX: q67_token_counting's chars_per_token now nullifs
+    a zero BPE-token divisor — the oracle fuzzer
+    (tests/test_fuzz_oracle.py) found the bare division CRASHES the
+    whole query on an empty/whitespace-only doc under ANSI mode
+    (fixture values are byte-identical — no empty docs there; strict
+    oracle re-verified at sf0.001/sf0.01). As changed code it re-enters
+    the rotation at the next window construction (r6), same as the
+    post-freeze additions below.
   - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
     q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
     froze at 50 slots.  Every head slot holds a strictly

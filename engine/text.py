@@ -585,7 +585,14 @@ def q59_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (pre-training budget accounting):
     whitespace tokens and a BPE-ish regex segmentation
-    (word pieces | digit runs | single punctuation)."""
+    (word pieces | digit runs | single punctuation).
+
+    chars_per_token is NULL for a doc with zero BPE tokens (empty or
+    whitespace-only text — real rows in any crawl): under ANSI mode a
+    bare division crashed the whole query on such a row (found by the
+    oracle fuzzer, tests/test_fuzz_oracle.py), and the DuckDB oracle's
+    divide-by-zero NaN matches nothing — both sides now nullif the
+    divisor. Fixture outputs are unchanged (no empty docs there)."""
     d = table(spark, sf_dir, "documents")
     # NB: Spark SQL string literals process backslash escapes, so \s
     # must be doubled to survive to the regex engine
@@ -596,7 +603,9 @@ def q67_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size(regexp_extract_all(text, '{bpe_pattern}', 0))").alias("bpe_tokens"),
         F.length("text").alias("n_chars"),
         F.round(
-            F.length("text") / F.expr(f"size(regexp_extract_all(text, '{bpe_pattern}', 0))"), 6
+            F.length("text")
+            / F.expr(f"nullif(size(regexp_extract_all(text, '{bpe_pattern}', 0)), 0)"),
+            6,
         ).alias("chars_per_token"),
     )
 
@@ -1759,7 +1768,7 @@ ORACLE = {
             FROM documents)
         SELECT doc_id, ws_tokens::int AS ws_tokens, bpe_tokens::int AS bpe_tokens,
                length(text)::int AS n_chars,
-               round(length(text)::double / bpe_tokens, 6) AS chars_per_token
+               round(length(text)::double / nullif(bpe_tokens, 0), 6) AS chars_per_token
         FROM t
     """,
     "q50_dedup_exact": """

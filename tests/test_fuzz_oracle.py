@@ -1,0 +1,110 @@
+"""Oracle fuzzing: randomized corpora through Spark AND DuckDB.
+
+The fixtures prove the contract on realistic data; this file proves it
+on the data the fixtures DON'T have — empty and whitespace-only texts,
+single characters, repeated whitespace runs, byte-identical documents,
+huge single tokens, punctuation-heavy strings. Each hypothesis example
+writes a small random ``documents`` parquet and runs a set of cheap
+oracle-backed text operators through the real engine and through their
+own ORACLE SQL from ``engine.text``, comparing with the same
+normalization the driver-gate mirror uses (tools/oracle_check).
+
+Generator scope is printable ASCII: the engines' unicode casefolding
+tables (JVM vs utf8proc) are allowed to differ outside it, and the
+contract's determinism claims (SCALING.md float/hash notes) are scoped
+to the fixtures' byte domain. Examples are kept few and small — this
+is an edge-case probe riding the per-session Spark fixture, not a
+throughput test.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
+
+from oracle_check import _normalize, _values_match  # noqa: E402
+
+# cheap, corpus-only, oracle-backed operators worth probing on hostile text
+FUZZ_QUERIES = [
+    "q50_dedup_exact",
+    "q51_fingerprint",
+    "q57_quality_score",
+    "q67_token_counting",
+    "q115_source_quota_cap",
+    "q117_weighted_sample",
+    "q97_paragraph_dedup",   # chunker + ordered reassembly on hostile text
+    "q113_substring_dedup",  # rolling-window spans on hostile text
+    "q116_bm25_topk",        # retrieval scoring when terms (don't) match
+]
+
+_WORD = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),  # printable, no space
+    min_size=1,
+    max_size=12,
+)
+# texts: normal word soup, plus nasty shapes the fixtures lack
+_TEXT = st.one_of(
+    st.lists(_WORD, min_size=1, max_size=12).map(" ".join),
+    st.sampled_from(["", " ", "   ", "a", ".", "  x  ", "x " * 30, "q" * 200]),
+    st.lists(_WORD, min_size=1, max_size=6).map("  ".join),  # double spaces
+)
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    texts = draw(st.lists(_TEXT, min_size=n, max_size=n))
+    # force some duplicate texts so dedup paths exercise
+    if n >= 3 and draw(st.booleans()):
+        texts[1] = texts[0]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append(
+            (
+                i,
+                t,
+                draw(st.sampled_from(["en", "de", "fr"])),
+                draw(st.sampled_from(["src0", "src1"])),
+                len(t),
+            )
+        )
+    return rows
+
+
+def _check(spark, tmp_path, rows, name):
+    import __spark_entry__ as contract
+    from engine import text as text_mod
+
+    d = str(tmp_path / f"fuzz_{name}_{abs(hash(tuple(r[1] for r in rows))) % 10**8}")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    sdf = contract.queries()[name](spark, d).toPandas()
+    con = duckdb.connect()
+    # Spark writes a part-file directory; the fixtures are single files
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(contract.oracle_sql()[name]).fetchdf()
+    err = _values_match(_normalize(sdf), _normalize(odf))
+    assert err is None, f"{name}: {err}\nrows={rows!r}"
+
+
+@given(corpora())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_text_operators_match_oracles(spark, tmp_path, rows):
+    for name in FUZZ_QUERIES:
+        _check(spark, tmp_path, rows, name)
