@@ -43,6 +43,14 @@ FUZZ_QUERIES = [
     "q97_paragraph_dedup",   # chunker + ordered reassembly on hostile text
     "q113_substring_dedup",  # rolling-window spans on hostile text
     "q116_bm25_topk",        # retrieval scoring when terms (don't) match
+    "q57b_repetition_signals",  # n-gram fractions when docs have < n tokens
+    "q57c_unigram_logprob",  # LM over degenerate vocabularies
+    "q114_boilerplate_scrub",  # remove-all spans on hostile text
+    "q49_sequence_packing",  # token cumsum layout on empty/giant docs
+    "q104_temperature_mixture",  # language shares incl. zero-token langs
+    "q109_pmi_collocations",  # bigram census on sub-bigram docs
+    "q111_dsir_selection",   # hashed-gram scoring on degenerate docs
+    "q68_data_pipeline",     # the composed dedup->quality->census plan
 ]
 
 _WORD = st.text(
