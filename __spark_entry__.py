@@ -105,6 +105,15 @@ exactly which green rows wait and why they lose the least signal.
     oracle re-verified at sf0.001/sf0.01). As changed code it re-enters
     the rotation at the next window construction (r6), same as the
     post-freeze additions below.
+  - post-freeze FIX: _corpus_normed (every cosine-space operator) now
+    EXCLUDES zero-norm vectors — cosine is undefined for a dead
+    encoder row, and left in it normalizes to a NaN array whose NaN
+    similarity outranks every real score in descending order,
+    polluting all kNN/near-dup/decontamination top-ks. Oracles carry
+    the same norm > 0 predicate; fixture values byte-identical
+    (strict re-verified: q60/q61/q66/q105), planted zero-vector test
+    added. In-window users (q61/q66/q105 + rows-only reports) are
+    already re-entering this round; q60 re-enters at r6 with q67.
   - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
     q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
     froze at 50 slots.  Every head slot holds a strictly

@@ -56,10 +56,20 @@ def _corpus_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     single dot product. The naive per-pair dot/(|a|·|b|) recomputes
     both norms for every candidate pair (3× the flops; measured ~30%
     wall on q66 at sf0.1). The projection materializes at the
-    exchange, so the join reads the normalized array directly."""
+    exchange, so the join reads the normalized array directly.
+
+    Zero-norm vectors (dead encoder rows — real at crawl scale) are
+    EXCLUDED here: cosine is undefined for them, and left in they
+    normalize to NaN arrays whose NaN similarities sort ABOVE every
+    real score in a descending rank (Spark treats NaN as largest), so
+    one dead row would pollute every kNN/near-dup/decontamination
+    top-k. The oracles carry the same `norm > 0` predicate; fixture
+    outputs are unchanged (no zero vectors there) and the exclusion is
+    planted-tested in test_similarity."""
     return (
         _corpus(spark, sf_dir)
         .withColumn("nrm", F.expr(_NORM.format(a="emb")))
+        .filter(F.col("nrm") > 0)
         .withColumn("emb_n", F.expr("transform(emb, x -> x / nrm)"))
         .select("vec_id", F.col("emb_n").alias("emb"))
     )
@@ -1401,6 +1411,11 @@ _DUCK_NORMED = """
         x -> x / sqrt(list_dot_product(embedding::double[], embedding::double[])))
 """
 
+# mirrors _corpus_normed's zero-norm exclusion (cosine undefined)
+_DUCK_NONZERO = (
+    "list_dot_product(embedding::double[], embedding::double[]) > 0"
+)
+
 _DUCK_COS = "list_dot_product(a.emb, q.emb)"
 
 _DUCK_COS_AB = "list_dot_product(a.emb, b.emb)"
@@ -1413,7 +1428,7 @@ _DUCK_BUCKET = " + ".join(
 
 ORACLE = {
     "q105_semantic_decontamination": f"""
-        WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings),
+        WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings WHERE {_DUCK_NONZERO}),
         ev AS (SELECT vec_id AS eval_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} = 0),
         corp AS (SELECT vec_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} <> 0),
         scored AS (
@@ -1434,7 +1449,7 @@ ORACLE = {
         WITH c AS (
             SELECT vec_id, {_DUCK_NORMED} AS emb,
                    ({_DUCK_BUCKET})::int AS bucket
-            FROM embeddings)
+            FROM embeddings WHERE {_DUCK_NONZERO})
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_DUCK_COS_AB}, 6) AS cosine
         FROM c a JOIN c b
@@ -1444,7 +1459,7 @@ ORACLE = {
         LIMIT 20
     """,
     "q60_knn_brute": f"""
-        WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings),
+        WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings WHERE {_DUCK_NONZERO}),
         scored AS (
             SELECT q.vec_id AS query_id, a.vec_id, {_DUCK_COS} AS sim
             FROM c a, c q
@@ -1467,7 +1482,7 @@ ORACLE = {
         WITH c AS (
             SELECT vec_id, {_DUCK_NORMED} AS emb,
                    ({_DUCK_BUCKET})::bigint AS bucket
-            FROM embeddings),
+            FROM embeddings WHERE {_DUCK_NONZERO}),
         probes AS (
             SELECT q.vec_id AS query_id, q.emb AS qemb,
                    xor(q.bucket, m.mask)::bigint AS probe_bucket

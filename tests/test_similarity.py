@@ -748,3 +748,32 @@ def test_embedding_drift_constant_dims_dont_divide_by_zero(spark, tmp_path):
     assert got[2].smd == float("inf") and got[2].drifted is True
     for d in (0, 3):
         assert got[d].drifted is False and abs(got[d].smd) < 0.25
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark, tmp_path):
+    """A zero vector (dead encoder row — real at crawl scale) has no
+    defined cosine. Left in, it normalizes to a NaN array whose NaN
+    similarity sorts ABOVE every real score in a descending rank
+    (Spark treats NaN as largest), polluting every top-k. The
+    _corpus_normed exclusion must keep it out of brute-force kNN and
+    near-dup results entirely, with no NaN anywhere."""
+    import math
+
+    import numpy as np
+
+    from engine.similarity import q60_knn_brute, q66_embedding_near_dup
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    rows.append((30, [0.0] * 8))  # the dead row
+    sf_dir = str(tmp_path / "zeronorm")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").write.parquet(
+        sf_dir + "/embeddings.parquet"
+    )
+    knn = q60_knn_brute(spark, sf_dir).collect()
+    assert knn, "non-degenerate corpus must produce neighbors"
+    assert all(r.vec_id != 30 for r in knn)
+    assert all(not math.isnan(r.cosine) for r in knn)
+    nd = q66_embedding_near_dup(spark, sf_dir).collect()
+    assert all(30 not in (r.vec_a, r.vec_b) for r in nd)
+    assert all(not math.isnan(r.cosine) for r in nd)
