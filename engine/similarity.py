@@ -58,18 +58,26 @@ def _corpus_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall on q66 at sf0.1). The projection materializes at the
     exchange, so the join reads the normalized array directly.
 
-    Zero-norm vectors (dead encoder rows — real at crawl scale) are
-    EXCLUDED here: cosine is undefined for them, and left in they
-    normalize to NaN arrays whose NaN similarities sort ABOVE every
-    real score in a descending rank (Spark treats NaN as largest), so
-    one dead row would pollute every kNN/near-dup/decontamination
-    top-k. The oracles carry the same `norm > 0` predicate; fixture
-    outputs are unchanged (no zero vectors there) and the exclusion is
-    planted-tested in test_similarity."""
+    Degenerate vectors (dead encoder rows, fp-overflow rows — real at
+    crawl scale) are EXCLUDED here: cosine is undefined for a zero
+    vector and meaningless for a NaN/Inf one, and left in they produce
+    NaN similarities that sort ABOVE every real score in a descending
+    rank (Spark treats NaN as largest — a planted NaN row took rank 1
+    in EVERY query's kNN before this guard), polluting every
+    kNN/near-dup/decontamination top-k. The filter requires a FINITE
+    POSITIVE norm (`nrm > 0` alone is not enough: NaN > 0 is TRUE in
+    Spark's ordering-based comparison). The oracles carry the matching
+    `isfinite AND > 0` predicate; fixture outputs are unchanged (no
+    degenerate vectors there) and the exclusion is planted-tested in
+    test_similarity."""
     return (
         _corpus(spark, sf_dir)
         .withColumn("nrm", F.expr(_NORM.format(a="emb")))
-        .filter(F.col("nrm") > 0)
+        .filter(
+            (F.col("nrm") > 0)
+            & ~F.isnan("nrm")
+            & (F.col("nrm") < F.lit(float("inf")))
+        )
         .withColumn("emb_n", F.expr("transform(emb, x -> x / nrm)"))
         .select("vec_id", F.col("emb_n").alias("emb"))
     )
@@ -1411,9 +1419,11 @@ _DUCK_NORMED = """
         x -> x / sqrt(list_dot_product(embedding::double[], embedding::double[])))
 """
 
-# mirrors _corpus_normed's zero-norm exclusion (cosine undefined)
+# mirrors _corpus_normed's degenerate-vector exclusion: finite
+# positive squared norm (zero, NaN, and Inf rows all out)
 _DUCK_NONZERO = (
-    "list_dot_product(embedding::double[], embedding::double[]) > 0"
+    "(isfinite(list_dot_product(embedding::double[], embedding::double[]))"
+    " AND list_dot_product(embedding::double[], embedding::double[]) > 0)"
 )
 
 _DUCK_COS = "list_dot_product(a.emb, q.emb)"

@@ -765,15 +765,18 @@ def test_zero_norm_vectors_excluded_everywhere(spark, tmp_path):
 
     rng = np.random.RandomState(7)
     rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
-    rows.append((30, [0.0] * 8))  # the dead row
+    rows.append((30, [0.0] * 8))            # dead row: zero vector
+    rows.append((31, [float("nan")] * 8))   # dead row: NaN components
+    rows.append((32, [float("inf")] + [0.0] * 7))  # fp-overflow row
     sf_dir = str(tmp_path / "zeronorm")
     spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").write.parquet(
         sf_dir + "/embeddings.parquet"
     )
+    dead = {30, 31, 32}
     knn = q60_knn_brute(spark, sf_dir).collect()
     assert knn, "non-degenerate corpus must produce neighbors"
-    assert all(r.vec_id != 30 for r in knn)
-    assert all(not math.isnan(r.cosine) for r in knn)
+    assert all(r.vec_id not in dead for r in knn)
+    assert all(math.isfinite(r.cosine) for r in knn)
     nd = q66_embedding_near_dup(spark, sf_dir).collect()
-    assert all(30 not in (r.vec_a, r.vec_b) for r in nd)
-    assert all(not math.isnan(r.cosine) for r in nd)
+    assert all(not dead & {r.vec_a, r.vec_b} for r in nd)
+    assert all(math.isfinite(r.cosine) for r in nd)
