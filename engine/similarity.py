@@ -1586,10 +1586,19 @@ def q110_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are order-sensitive at the ulp across engines; instead the
     smd values are pinned against an independent numpy computation
     and a planted-shift detection test in tests/test_similarity.py."""
-    c = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        (F.col("vec_id") % DRIFT_SNAP_MOD == 0).alias("is_b"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    c = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % DRIFT_SNAP_MOD == 0).alias("is_b"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        # dead encoder rows (NaN / fp-overflow components) must not
+        # poison a dimension's running sums — one NaN value makes that
+        # dim's mean/var NaN for the whole snapshot (the same
+        # cross-row-pollution class as _corpus_normed's guard); the
+        # report measures the distribution of the VALID values
+        .filter(~F.isnan("v") & (F.abs("v") < F.lit(float("inf"))))
     )
 
     def _side(flag, name):

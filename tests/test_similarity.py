@@ -690,6 +690,26 @@ def test_embedding_drift_numpy_parity_and_planted_shift(spark, sf_dir, tmp_path)
             assert not got[d].drifted, (d, got[d].smd)
     assert DRIFT_SMD_THRESHOLD < 0.5
 
+    # dead rows (NaN / Inf components) must not poison the report: a
+    # planted NaN/Inf row changes NOTHING about the finite statistics
+    import math
+
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in emb[i]], 0) for i in ids]
+        + [
+            (n, [float("nan")] * dim, 0),
+            (n + 1, [float("inf")] * dim, 0),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "drift_dead") + "/embeddings.parquet")
+    dead = {
+        r.dim: r
+        for r in q110_embedding_drift(spark, str(tmp_path / "drift_dead")).collect()
+    }
+    for d in range(dim):
+        assert math.isfinite(dead[d].smd)
+        assert abs(dead[d].smd - got[d].smd) < 1e-6, d
+
 
 def test_wide_lsh_buckets_and_banding_survive_int32(spark, sf_dir):
     """Regression for the r5 review finding: at the 36-plane width a
