@@ -51,6 +51,12 @@ FUZZ_QUERIES = [
     "q109_pmi_collocations",  # bigram census on sub-bigram docs
     "q111_dsir_selection",   # hashed-gram scoring on degenerate docs
     "q68_data_pipeline",     # the composed dedup->quality->census plan
+    "q56_langid",            # marker heuristic on marker-free text
+    "q58_token_stats",       # per-language censuses
+    "q59_char_fingerprint",  # rolling hash on sub-window texts
+    "q67_token_counting",    # the div-by-zero regression this file found
+    "q102_incremental_dedup",        # history-vs-batch statuses
+    "q102b_bloom_incremental_dedup",  # bloom twin must equal q102 exactly
 ]
 
 _WORD = st.text(
