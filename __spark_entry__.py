@@ -114,6 +114,13 @@ exactly which green rows wait and why they lose the least signal.
     (strict re-verified: q60/q61/q66/q105), planted zero-vector test
     added. In-window users (q61/q66/q105 + rows-only reports) are
     already re-entering this round; q60 re-enters at r6 with q67.
+  - post-freeze FIX: q47_scd2_assembly's version window now tiebreaks
+    on event_id — ordering by ts alone is total only while
+    (user_id, ts) is unique, true in fixtures but not at scale where
+    same-microsecond events are routine and an untiebroken row_number
+    permutes between runs/engines. Both sides changed identically;
+    fixture values byte-identical (strict re-verified at sf0.01);
+    planted-ties test added. Re-enters rotation at r6.
   - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
     q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
     froze at 50 slots.  Every head slot holds a strictly

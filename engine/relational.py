@@ -1400,10 +1400,16 @@ def q47_scd2_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on the dimension key; interval construction is
     streaming window evaluation within each sorted partition.
-    Deterministic: (user_id, ts) is unique at microsecond grain.
-    Bounded to user_id < 20 for output size."""
+    Bounded to user_id < 20 for output size.
+
+    The version order tiebreaks on event_id: ordering by ts alone is
+    total only while (user_id, ts) happens to be unique — true in the
+    fixtures, NOT at scale, where same-microsecond events are routine
+    and an untiebroken row_number is free to permute between runs,
+    partitionings, and engines (the determinism class SCALING.md
+    pins). Fixture outputs are unchanged (no ties there)."""
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
         F.row_number().over(w).alias("version"),
@@ -1518,7 +1524,7 @@ ORACLE.update(
                    floor(value * 1e4) / 1e4 AS value,
                    (lead(ts) OVER w IS NULL) AS is_current
             FROM events WHERE user_id < 20
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q77_dq_report": """
             WITH m AS (

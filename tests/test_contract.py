@@ -488,3 +488,37 @@ def test_fpgrowth_min_support_floor_never_rounds_up():
     assert len(bad) > 900  # the naive form really is broken this often
     for n in range(1, 20001):
         assert math.ceil(((FPG_MIN_COUNT - 0.5) / n) * n) == FPG_MIN_COUNT
+
+
+def test_q47_scd2_deterministic_under_ts_ties(spark, tmp_path):
+    """Same-microsecond events are routine at scale; q47's version
+    order must be TOTAL (ts, event_id) so tied change events get
+    identical versions on every run, partitioning, and engine. The
+    planted user has two events at the same instant plus one later —
+    versions must follow event_id within the tie and the validity
+    chain must stay well-formed."""
+    import datetime as dt
+
+    from engine.relational import q47_scd2_assembly
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (101, t0, 5, "click", 1.0, None),            # tie A (event_id 101)
+        (100, t0, 5, "click", 2.0, None),            # tie B (event_id 100)
+        (102, t0 + dt.timedelta(hours=1), 5, "click", 3.0, None),
+    ]
+    d = str(tmp_path / "ties")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props map<string,string>",
+    ).write.parquet(d + "/events.parquet")
+    out = sorted(q47_scd2_assembly(spark, d).collect(), key=lambda r: r.version)
+    assert [r.version for r in out] == [1, 2, 3]
+    # within the tie, event_id 100 (value 2.0) versions before 101
+    assert [r.value for r in out] == [2.0, 1.0, 3.0]
+    # validity chain: each valid_to equals the next valid_from; only
+    # the last row is current/open
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].valid_to == out[2].valid_from
+    assert [r.is_current for r in out] == [False, False, True]
