@@ -120,7 +120,11 @@ exactly which green rows wait and why they lose the least signal.
     same-microsecond events are routine and an untiebroken row_number
     permutes between runs/engines. Both sides changed identically;
     fixture values byte-identical (strict re-verified at sf0.01);
-    planted-ties test added. Re-enters rotation at r6.
+    planted-ties test added. Re-enters rotation at r6. Same class,
+    same round: q93_keep_latest's max_by/min_by keys now encode
+    (ts, event_id) as a zero-padded string (DuckDB's arg_max orders
+    scalars only), making tied-ts winners defined; fixture values
+    byte-identical (strict re-verified), planted-ties test added.
   - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
     q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
     froze at 50 slots.  Every head slot holds a strictly

@@ -1335,14 +1335,26 @@ def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     record — the CDC-compaction pattern. Cheaper than the
     window+filter form at scale: partial max_by state is one row per
     (partition × user), so the shuffle is O(users), and no sort is
-    needed. Deterministic because (user_id, ts) is unique at
-    microsecond grain in this dataset (verified at every SF)."""
+    needed.
+
+    The ordering key is TOTAL: max_by(x, ts) alone picks an arbitrary
+    winner among same-microsecond events (routine at scale; the q47
+    tie class), and DuckDB's arg_max only orders by scalar types, so
+    the (ts, event_id) tiebreak is encoded as a zero-padded string —
+    bytewise comparison of fixed-width decimal strings equals numeric
+    order in both engines. Among tied ts the larger event_id is
+    'latest' and the smaller is 'first' (documented choice). Fixture
+    outputs unchanged ((user_id, ts) is unique there)."""
     e = load_events(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
     return e.groupBy("user_id").agg(
-        F.max_by("event_id", "ts").alias("latest_event_id"),
-        F.max_by("event_type", "ts").alias("latest_event_type"),
-        F.round(F.max_by("value", "ts"), 4).alias("latest_value"),
-        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", key).alias("latest_event_id"),
+        F.max_by("event_type", key).alias("latest_event_type"),
+        F.round(F.max_by("value", key), 4).alias("latest_value"),
+        F.min_by("event_id", key).alias("first_event_id"),
         F.max("ts").alias("latest_ts"),
     )
 
@@ -1676,13 +1688,18 @@ ORACLE.update(
             FROM orders WHERE o_orderkey < 1000
         """,
         "q93_keep_latest": """
+            WITH k AS (
+                SELECT *,
+                       lpad(epoch_us(ts::timestamp)::varchar, 20, '0')
+                         || lpad(event_id::varchar, 20, '0') AS okey
+                FROM events)
             SELECT user_id,
-                   max_by(event_id, ts::timestamp) AS latest_event_id,
-                   max_by(event_type, ts::timestamp) AS latest_event_type,
-                   round(max_by(value, ts::timestamp), 4) AS latest_value,
-                   min_by(event_id, ts::timestamp) AS first_event_id,
+                   max_by(event_id, okey) AS latest_event_id,
+                   max_by(event_type, okey) AS latest_event_type,
+                   round(max_by(value, okey), 4) AS latest_value,
+                   min_by(event_id, okey) AS first_event_id,
                    max(ts::timestamp) AS latest_ts
-            FROM events GROUP BY user_id
+            FROM k GROUP BY user_id
         """,
     }
 )

@@ -522,3 +522,31 @@ def test_q47_scd2_deterministic_under_ts_ties(spark, tmp_path):
     assert out[0].valid_to == out[1].valid_from
     assert out[1].valid_to == out[2].valid_from
     assert [r.is_current for r in out] == [False, False, True]
+
+
+def test_q93_keep_latest_deterministic_under_ts_ties(spark, tmp_path):
+    """q93's max_by/min_by keys must be total: among same-microsecond
+    events the larger event_id is 'latest', the smaller is 'first' —
+    on every run and engine (the q47 tie class, in aggregate form)."""
+    import datetime as dt
+
+    from engine.relational import q93_keep_latest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (7, t0 - dt.timedelta(hours=1), 9, "open", 0.5, None),
+        (3, t0, 9, "click", 1.0, None),   # tie, smaller id
+        (4, t0, 9, "buy", 2.0, None),     # tie, larger id -> latest
+    ]
+    d = str(tmp_path / "q93ties")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props map<string,string>",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in q93_keep_latest(spark, d).collect()}
+    r = out[9]
+    assert r.latest_event_id == 4 and r.latest_event_type == "buy"
+    assert r.latest_value == 2.0
+    assert r.first_event_id == 7
+    assert r.latest_ts == t0
