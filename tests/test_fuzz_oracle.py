@@ -126,3 +126,91 @@ def _check(spark, tmp_path, rows, name):
 def test_fuzz_text_operators_match_oracles(spark, tmp_path, rows):
     for name in FUZZ_QUERIES:
         _check(spark, tmp_path, rows, name)
+
+
+# events-family fuzz: random event histories with FORCED same-microsecond
+# ties — the determinism class that bit q47/q93 — through the
+# journey/SCD2/gap-fill/compaction operators and their oracles.
+EVENTS_FUZZ_QUERIES = [
+    "q46_gap_fill",
+    "q47_scd2_assembly",
+    "q92_sessionization",
+    "q93_keep_latest",
+    "q100_funnel",
+    "q101_retention_cohorts",
+]
+
+_EVENT_TYPES = ["view", "click", "cart", "purchase"]
+
+
+@st.composite
+def event_tables(draw):
+    import datetime as dt
+
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for u in range(n_users):
+        n_ev = draw(st.integers(min_value=1, max_value=10))
+        # minute offsets, small domain so ties and session gaps both occur
+        offsets = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=5000),
+                min_size=n_ev,
+                max_size=n_ev,
+            )
+        )
+        for off in offsets:
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(minutes=off),
+                    u,
+                    draw(st.sampled_from(_EVENT_TYPES)),
+                    float(draw(st.integers(min_value=-5, max_value=100))) / 4.0,
+                    None,
+                )
+            )
+            eid += 1
+        if n_ev >= 2 and draw(st.booleans()):
+            # force an exact-timestamp tie on this user
+            rows.append((eid, rows[-1][1], u, draw(st.sampled_from(_EVENT_TYPES)),
+                         1.25, None))
+            eid += 1
+    return rows
+
+
+def _check_events(spark, tmp_path, rows, name):
+    import __spark_entry__ as contract
+
+    d = str(
+        tmp_path
+        / f"efuzz_{name}_{abs(hash(tuple((r[0], str(r[1]), r[2]) for r in rows))) % 10**8}"
+    )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props map<string,string>",
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+    sdf = contract.queries()[name](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    odf = con.execute(contract.oracle_sql()[name]).fetchdf()
+    err = _values_match(_normalize(sdf), _normalize(odf))
+    assert err is None, f"{name}: {err}\nrows={rows!r}"
+
+
+@given(event_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_events_operators_match_oracles(spark, tmp_path, rows):
+    for name in EVENTS_FUZZ_QUERIES:
+        _check_events(spark, tmp_path, rows, name)
