@@ -1720,7 +1720,11 @@ def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-timestamp aggregation joined user-to-user against stage k-1,
     so each step is one filtered scan + one users-sized shuffle; the
     event stream itself is never shuffled unfiltered. Conversion is
-    reported per stage with rate vs the stage-1 population."""
+    reported per stage with rate vs the stage-1 population; conv_ppm
+    is NULL when that population is EMPTY (no stage-1 events in the
+    window — routine for a sliced/filtered event feed), where the bare
+    division crashed the whole query under ANSI mode (found by the
+    events fuzzer, tests/test_fuzz_oracle.py)."""
     e = load_events(spark, sf_dir)
 
     stage = (
@@ -1752,7 +1756,9 @@ def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "stage",
             "n_users",
-            F.floor(F.col("n_users") / F.col("base") * 1e6).cast("bigint").alias("conv_ppm"),
+            F.floor(F.col("n_users") / F.nullif(F.col("base"), F.lit(0)) * 1e6)
+            .cast("bigint")
+            .alias("conv_ppm"),
         )
         .orderBy(F.desc("n_users"), "stage")
     )
@@ -1812,7 +1818,8 @@ ORACLE.update(
                 UNION ALL SELECT 'click', (SELECT count(*) FROM s1)
                 UNION ALL SELECT 'purchase', (SELECT count(*) FROM s2))
             SELECT stage, n_users::bigint AS n_users,
-                   floor(n_users::double / (SELECT count(*) FROM s0) * 1e6)::bigint
+                   floor(n_users::double
+                         / nullif((SELECT count(*) FROM s0), 0) * 1e6)::bigint
                        AS conv_ppm
             FROM counts ORDER BY n_users DESC, stage
         """,

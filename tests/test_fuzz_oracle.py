@@ -178,6 +178,14 @@ def event_tables(draw):
             rows.append((eid, rows[-1][1], u, draw(st.sampled_from(_EVENT_TYPES)),
                          1.25, None))
             eid += 1
+    if draw(st.booleans()):
+        # force the empty-funnel-base case (no stage-1 events at all) —
+        # the exploration run found q100 crashing on it (ANSI
+        # divide-by-zero on the conversion base)
+        rows = [
+            (r[0], r[1], r[2], "click" if r[3] == "view" else r[3], r[4], r[5])
+            for r in rows
+        ]
     return rows
 
 
