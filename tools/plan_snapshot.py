@@ -95,6 +95,17 @@ def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
     return dict(sorted(out.items()))
 
 
+# Counters that AQE makes RUNTIME-VARIANT for specific queries: the
+# finalized plan's stage layout can legitimately differ run to run
+# (coalesce decisions move an operator in/out of a codegen region), so
+# the gate accepts any value in the measured set. Keep this list SHORT
+# and per-query — broad tolerance would blind the gate. Measured:
+# q101's final plan prints 6 or 7 codegen ids across identical runs.
+RUNTIME_VARIANT = {
+    "q101_retention_cohorts": {"codegen_spans": {6, 7}},
+}
+
+
 def diff(old: dict, new: dict) -> list[str]:
     lines = []
     for name in sorted(set(old) | set(new)):
@@ -103,12 +114,19 @@ def diff(old: dict, new: dict) -> list[str]:
         elif name not in new:
             lines.append(f"query missing vs snapshot: {name}")
         elif old[name] != new[name]:
+            allowed = RUNTIME_VARIANT.get(name, {})
             changed = {
                 k: (old[name].get(k), new[name].get(k))
                 for k in set(old[name]) | set(new[name])
                 if old[name].get(k) != new[name].get(k)
+                and not (
+                    k in allowed
+                    and old[name].get(k) in allowed[k]
+                    and new[name].get(k) in allowed[k]
+                )
             }
-            lines.append(f"plan drift in {name}: {changed}")
+            if changed:
+                lines.append(f"plan drift in {name}: {changed}")
     return lines
 
 
