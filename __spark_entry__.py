@@ -125,6 +125,13 @@ exactly which green rows wait and why they lose the least signal.
     (ts, event_id) as a zero-padded string (DuckDB's arg_max orders
     scalars only), making tied-ts winners defined; fixture values
     byte-identical (strict re-verified), planted-ties test added.
+  - post-freeze ORACLE fix: q72_stream_sessions' oracle SQL evaluated
+    its lag flags and its running sum in two window passes that could
+    permute same-microsecond rows DIFFERENTLY (a flag-0 tied row
+    sorted early joins the previous session) — run-to-run flaky found
+    by the events fuzzer's exploration. Both windows now order by
+    (ts, event_id). The Spark query (session_window) was always
+    tie-safe and is unchanged; fixture compare unchanged.
   - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
     q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
     froze at 50 slots.  Every head slot holds a strictly

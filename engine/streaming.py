@@ -709,16 +709,28 @@ ORACLE = {
         SELECT window_start, count(*) AS n FROM assigned GROUP BY 1
     """,
     "q72_stream_sessions": """
+        -- Both windows order by (ts, event_id): the lag flags and the
+        -- running sum are evaluated in SEPARATE window passes, and with
+        -- same-microsecond events an untiebroken ORDER BY ts lets the
+        -- two passes permute tied rows DIFFERENTLY — a flag-0 tied row
+        -- sorted before its flag-1 twin in the ROWS frame joins the
+        -- PREVIOUS session (observed: run-to-run flaky sessions in the
+        -- events fuzzer's exploration). Spark's session_window merges
+        -- by interval and has no such order dependence; the total
+        -- order makes the oracle match it under ties.
         WITH ordered AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
                              >= INTERVAL 30 minutes
-                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events),
         sessions AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM ordered)
         SELECT min(ts)::timestamp AS session_start, user_id,

@@ -138,6 +138,11 @@ EVENTS_FUZZ_QUERIES = [
     "q93_keep_latest",
     "q100_funnel",
     "q101_retention_cohorts",
+    "q70_stream_tumbling",   # streaming batch twins: window assignment
+    "q71_stream_sliding",    # on arbitrary/tied timestamps
+    "q72_stream_sessions",
+    "q73_stream_dedup_count",
+    "q74_stream_join",
 ]
 
 _EVENT_TYPES = ["view", "click", "cart", "purchase"]
