@@ -2443,7 +2443,17 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-basket set size (~4 here), not raw basket count.
     Rows-only (FP-tree construction isn't SQL-expressible); the
     emitted supports are exactly recounted against the basket table
-    in tests/test_contract.py."""
+    in tests/test_contract.py.
+
+    r6 contract fix: ``items`` is emitted as the canonical
+    comma-joined string (``concat_ws(',', array_sort(items))``) —
+    the r5 driver canonicalizer crashed sorting an ``array<bigint>``
+    column (pandas "unhashable type: 'list'", CORRECTNESS_r05), so
+    the one schema the contract consumer cannot canonicalize is an
+    array. The string IS the ordering key the query already used for
+    its tiebreaks (the old ``cast(items as string)`` tiebreak was
+    lexicographic over the same digit strings), so row content and
+    order are unchanged — only the column's type."""
     from pyspark.ml.fpm import FPGrowth
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -2461,19 +2471,17 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         minSupport=(FPG_MIN_COUNT - 0.5) / n_baskets,
         minConfidence=0.1,
     ).fit(baskets)
-    w = Window.partitionBy("set_size").orderBy(
-        F.col("freq").desc(), F.col("items").cast("string")
-    )
+    w = Window.partitionBy("set_size").orderBy(F.col("freq").desc(), "items")
     return (
         model.freqItemsets.select(
-            F.array_sort("items").alias("items"),
+            F.concat_ws(",", F.array_sort("items").cast("array<string>")).alias("items"),
             F.size("items").alias("set_size"),
             "freq",
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= FPG_TOP_PER_SIZE)
         .select("set_size", "items", "freq")
-        .orderBy("set_size", F.col("freq").desc(), F.col("items").cast("string"))
+        .orderBy("set_size", F.col("freq").desc(), "items")
     )
 
 

@@ -461,10 +461,15 @@ def test_fpgrowth_supports_recount_exactly(spark, sf_dir):
         F.collect_set("l_partkey").alias("items")).collect()]
     per_size_counts: dict[int, int] = {}
     for r in rows:
-        got = sum(1 for b in baskets if set(r.items) <= b)
+        # items is the canonical comma-joined string (r6 contract fix:
+        # the driver canonicalizer cannot sort array columns)
+        assert isinstance(r.items, str)
+        itemset = [int(x) for x in r.items.split(",")]
+        assert len(itemset) == r.set_size
+        got = sum(1 for b in baskets if set(itemset) <= b)
         assert got == r.freq, (r.items, r.freq, got)
         assert r.freq >= FPG_MIN_COUNT
-        assert list(r.items) == sorted(r.items)
+        assert itemset == sorted(itemset)
         per_size_counts[r.set_size] = per_size_counts.get(r.set_size, 0) + 1
     for n in per_size_counts.values():
         assert n <= FPG_TOP_PER_SIZE
