@@ -1344,11 +1344,21 @@ def q93_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytewise comparison of fixed-width decimal strings equals numeric
     order in both engines. Among tied ts the larger event_id is
     'latest' and the smaller is 'first' (documented choice). Fixture
-    outputs unchanged ((user_id, ts) is unique there)."""
+    outputs unchanged ((user_id, ts) is unique there).
+
+    Each component is biased by +2^63 (decimal(38,0) arithmetic, both
+    engines) before zero-padding: bytewise order equals numeric order
+    only for NON-NEGATIVE values — a pre-1970 timestamp (negative
+    unix_micros) or negative event_id would left-pad a '-' (ASCII 45
+    < '0') and misorder against positives (r5 ADVICE). The bias maps
+    the whole int64 domain onto [0, 2^64), always 20 digits or fewer,
+    so the encoding is total everywhere, not just on post-epoch data
+    (planted pre-epoch test in test_fuzz_oracle)."""
     e = load_events(spark, sf_dir)
+    bias = F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
     key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        F.lpad((F.unix_micros(F.col("ts")).cast("decimal(38,0)") + bias).cast("string"), 20, "0"),
+        F.lpad((F.col("event_id").cast("decimal(38,0)") + bias).cast("string"), 20, "0"),
     )
     return e.groupBy("user_id").agg(
         F.max_by("event_id", key).alias("latest_event_id"),
@@ -1689,9 +1699,13 @@ ORACLE.update(
         """,
         "q93_keep_latest": """
             WITH k AS (
+                -- +2^63 bias mirrors the Spark side: bytewise order of
+                -- zero-padded decimals is numeric only for non-negatives
                 SELECT *,
-                       lpad(epoch_us(ts::timestamp)::varchar, 20, '0')
-                         || lpad(event_id::varchar, 20, '0') AS okey
+                       lpad((epoch_us(ts::timestamp)::HUGEINT
+                             + 9223372036854775808::HUGEINT)::varchar, 20, '0')
+                         || lpad((event_id::HUGEINT
+                             + 9223372036854775808::HUGEINT)::varchar, 20, '0') AS okey
                 FROM events)
             SELECT user_id,
                    max_by(event_id, okey) AS latest_event_id,

@@ -50,6 +50,32 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb) RAW (unnormalized) with degenerate rows excluded —
+    the same finite-positive-norm guard as ``_corpus_normed`` (see its
+    docstring for why: a zero/NaN/Inf embedding yields NaN cosine that
+    Spark ranks ABOVE every real score, and under a >= threshold it
+    pairs with everything in its cell). Every cosine-space operator
+    that cannot take the normalized projection directly — the
+    quantizer-backed q65/q75/q76/q76b, which fit KMeans / PQ codebooks
+    on RAW vectors and normalize after cell assignment — routes its
+    corpus through this guard instead, so the fit, the assignment, and
+    the late normalization all see only finite vectors (r5 ADVICE:
+    q65/q75 normalized qz.assigned unguarded, so one dead encoder row
+    out-ranked every real neighbor / merged unrelated dedup
+    components)."""
+    return (
+        _corpus(spark, sf_dir)
+        .withColumn("nrm", F.expr(_NORM.format(a="emb")))
+        .filter(
+            (F.col("nrm") > 0)
+            & ~F.isnan("nrm")
+            & (F.col("nrm") < F.lit(float("inf")))
+        )
+        .select("vec_id", "emb")
+    )
+
+
 def _corpus_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb) with emb pre-normalized to unit length — norms are
     computed ONCE PER ROW before any join, so per-pair cosine is a
@@ -729,10 +755,8 @@ def q65_knn_ivf(
     recall floor pinned in tests/test_similarity.py."""
     import numpy as np
 
-    corpus = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    corpus = _corpus_finite(spark, sf_dir).select(
+        "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
     if nlist is None or nprobe is None:
         d_nlist, d_nprobe = _derive_ivf(corpus.count())
@@ -925,13 +949,12 @@ def q75_semantic_dedup(
     pair set in tests); the grouping reuses q80's component machinery
     on the candidate graph. Rows-only (KMeans isn't SQL-expressible).
     """
-    corpus = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    corpus = _corpus_finite(spark, sf_dir).select(
+        "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
     if k is None:
-        # parquet-metadata count, same pattern as q76's rerank budget:
+        # one narrow count over the guarded corpus (no longer pure
+        # parquet metadata — the finite-norm filter must see the rows):
         # the scale knob derives from the data, not from a constant
         k = _derive_semdedup_k(corpus.count())
     # maxIter capped: the clustering only has to give a STABLE
@@ -1034,8 +1057,8 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (codebooks aren't SQL-expressible); recall vs the q60
     exact baseline is measured and floor-pinned in tests."""
-    corpus = _corpus(spark, sf_dir)
-    n_corpus = corpus.count()  # parquet metadata count — cheap
+    corpus = _corpus_finite(spark, sf_dir)
+    n_corpus = corpus.count()
     rerank = max(PQ_RERANK_FLOOR, int(n_corpus * PQ_RERANK_FRAC))
     # codebook training sample: bounded driver-side collect (fixture:
     # whole table; at scale: .sample(fraction=...) first). orderBy
@@ -1174,10 +1197,8 @@ def q76b_ivfpq_ann(
     Rows-only (KMeans + codebooks aren't SQL-expressible); recall@10
     vs the q60 exact baseline is measured in ann_recall_report and
     floor-pinned in tests/test_similarity.py."""
-    corpus = _corpus(spark, sf_dir).select(
-        "vec_id",
-        "emb",
-        array_to_vector(F.col("emb")).alias("features"),
+    corpus = _corpus_finite(spark, sf_dir).select(
+        "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
     n_corpus = corpus.count()
     if nlist is None or nprobe is None:

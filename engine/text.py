@@ -3236,11 +3236,14 @@ ORACLE["q116_bm25_topk"] = f"""
     dfreq AS (SELECT term, count(*)::bigint AS df FROM tfd GROUP BY term),
     contrib AS (
         SELECT q.query_id, t.doc_id,
+               -- association mirrors Spark exactly: idf * (num / den);
+               -- the left-assoc (ln * num) / den form can differ in the
+               -- last ulp and flip floor(x*1e6) on a grid-boundary value
                floor(
                    ln((tot.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-                   * (t.tf * ({BM25_K1} + 1.0))
-                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
-                       + {BM25_B} * (d.dl::double * tot.n_docs / tot.total_toks)))
+                   * ((t.tf * ({BM25_K1} + 1.0))
+                      / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * (d.dl::double * tot.n_docs / tot.total_toks))))
                    * 1e6)::bigint AS c
         FROM tfd t
         JOIN qterms q USING (term)

@@ -555,3 +555,41 @@ def test_q93_keep_latest_deterministic_under_ts_ties(spark, tmp_path):
     assert r.latest_value == 2.0
     assert r.first_event_id == 7
     assert r.latest_ts == t0
+
+
+def test_q93_key_total_over_pre_epoch_and_negative_ids(spark, tmp_path):
+    """The encoded (ts, event_id) key must be total over the WHOLE
+    int64 domain, not just post-1970 non-negative data: an unbiased
+    zero-pad of a negative unix_micros / event_id left-pads a '-'
+    (ASCII 45 < '0') and silently misorders against positives,
+    picking the wrong max_by/min_by winner (r5 ADVICE). The +2^63
+    decimal bias makes pre-epoch timestamps and negative ids order
+    numerically."""
+    import datetime as dt
+
+    from engine.relational import q93_keep_latest
+
+    pre = dt.datetime(1955, 6, 1, 0, 0, 0)     # negative unix_micros
+    post = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: pre-epoch event must be FIRST, post-epoch LATEST
+        (-5, pre, 1, "ancient", 0.1, None),
+        (2, post, 1, "modern", 0.2, None),
+        # user 2: both pre-epoch; later pre-epoch ts wins
+        (10, pre, 2, "older", 0.3, None),
+        (11, pre + dt.timedelta(days=1), 2, "newer", 0.4, None),
+        # user 3: tied ts, negative vs positive id — positive is latest
+        (-9, post, 3, "neg", 0.5, None),
+        (1, post, 3, "pos", 0.6, None),
+    ]
+    d = str(tmp_path / "q93preepoch")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props map<string,string>",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in q93_keep_latest(spark, d).collect()}
+    assert out[1].first_event_id == -5 and out[1].latest_event_id == 2
+    assert out[2].first_event_id == 10 and out[2].latest_event_id == 11
+    assert out[3].first_event_id == -9 and out[3].latest_event_id == 1
+    assert out[3].latest_event_type == "pos"

@@ -800,3 +800,45 @@ def test_zero_norm_vectors_excluded_everywhere(spark, tmp_path):
     nd = q66_embedding_near_dup(spark, sf_dir).collect()
     assert all(not dead & {r.vec_a, r.vec_b} for r in nd)
     assert all(math.isfinite(r.cosine) for r in nd)
+
+
+def test_zero_norm_vectors_excluded_quantizer_ops(spark, tmp_path):
+    """The quantizer-backed operators (q65 IVF, q75 SemDeDup, q76 PQ,
+    q76b IVF-PQ) fit KMeans / codebooks on RAW vectors and normalize
+    AFTER cell assignment — the r5 ADVICE found that path unguarded:
+    a dead encoder row normalized to a NaN array whose NaN similarity
+    out-ranked every real neighbor in q65, and NaN >= threshold is
+    TRUE under Spark's NaN-is-largest ordering, so one dead row merged
+    unrelated q75 dedup components. All four now route their corpus
+    through _corpus_finite; planted zero/NaN/Inf rows must vanish."""
+    import math
+
+    import numpy as np
+
+    from engine.similarity import (
+        q65_knn_ivf,
+        q75_semantic_dedup,
+        q76_pq_ann,
+        q76b_ivfpq_ann,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    rows.append((30, [0.0] * 8))            # dead row: zero vector
+    rows.append((31, [float("nan")] * 8))   # dead row: NaN components
+    rows.append((32, [float("inf")] + [0.0] * 7))  # fp-overflow row
+    sf_dir = str(tmp_path / "zeronorm_q")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").write.parquet(
+        sf_dir + "/embeddings.parquet"
+    )
+    dead = {30, 31, 32}
+    for fn in (q65_knn_ivf, q76_pq_ann, q76b_ivfpq_ann):
+        knn = fn(spark, sf_dir).collect()
+        assert knn, f"{fn.__name__}: non-degenerate corpus must produce neighbors"
+        assert all(r.vec_id not in dead for r in knn), fn.__name__
+        assert all(math.isfinite(r.cosine) for r in knn), fn.__name__
+    # at an unreachable threshold nothing pairs — before the guard the
+    # NaN row paired with every vector in its cell and this was nonempty
+    assert q75_semantic_dedup(spark, sf_dir, threshold=0.999).count() == 0
+    comps = q75_semantic_dedup(spark, sf_dir).collect()
+    assert all(r.component not in dead and r.keeper not in dead for r in comps)
