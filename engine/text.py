@@ -2908,9 +2908,19 @@ ORACLE["q111_dsir_selection"] = f"""
 
 # Jaccard tiers the report measures candidate recall at
 DEDUP_RECALL_TIERS = [0.2, 0.5, 0.8]
+# truth-leg doc budget: above this corpus size the exact shingle
+# self-join runs on a seeded content-addressed doc sample instead of
+# the full corpus (fraction = MAX/N), so the audit itself scales —
+# recall over sampled pairs is an unbiased estimate of full recall
+# (candidate status is independent of the sampling hash)
+DEDUP_RECALL_SAMPLE_MAX_DOCS = 2000
 
 
-def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_max_docs: int = DEDUP_RECALL_SAMPLE_MAX_DOCS,
+) -> DataFrame:
     """Measured MinHash-LSH candidate recall vs the EXACT near-dup
     truth — the ann_recall_report pattern applied to text dedup: the
     q53/q54 signature+banding pipeline promises that true near-dups
@@ -2920,15 +2930,23 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalled, how many it missed, and the recall ratio, plus the total
     LSH candidate count (the cost side of the trade).
 
-    Ground truth is complete by construction: a pair with Jaccard > 0
-    shares at least one shingle, so the shingle-index self-join
-    enumerates every pair any tier can admit (no pair is silently out
-    of scope). This is the measurement query running the exact
-    baseline DELIBERATELY — the self-join is the q52 docstring's
-    avoided all-pairs shape, linear only in shared-shingle pairs; it
-    prices like the brute-force leg of ann_recall_report and is meant
-    for audit runs on samples at scale, not for the production dedup
-    path (which remains q54 → q52 → q80).
+    Ground truth is complete by construction over the AUDITED DOC SET:
+    a pair with Jaccard > 0 shares at least one shingle, so the
+    shingle-index self-join enumerates every pair any tier can admit
+    (no pair is silently out of scope). The audited set is the whole
+    corpus up to DEDUP_RECALL_SAMPLE_MAX_DOCS docs; above that, a
+    seeded content-addressed sample (H60(doc_id) mod 1e6 < frac_ppm —
+    the q117 md5 pattern, engine-portable and layout-independent) caps
+    the truth leg so the audit's exact self-join scales: pair volume
+    shrinks by fraction², ~25× at 10·MAX docs (measured at sf0.1:
+    truth-leg shuffle drops with the sample, see SHUFFLE_AUDIT.md).
+    Recall over sampled pairs is an UNBIASED estimate of full recall —
+    candidate status is decided by the full-corpus banding pipeline,
+    independent of the sampling hash — and the report carries
+    sample_docs so the consumer sees the audited population. The
+    candidate count (lsh_candidates, the cost side) stays FULL-corpus.
+    The production dedup path remains q54 → q52 → q80; this query is
+    the audit.
 
     All tier counts are exact bigints off ONE pass over the
     truth⟕candidates join (tiers explode inside the agg input);
@@ -2943,7 +2961,15 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_cand", F.lit(True))
         .localCheckpoint(eager=True)
     )
-    sh = _with_shingles(table(spark, sf_dir, "documents")).select(
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    frac_ppm = min(1_000_000, (sample_max_docs * 1_000_000) // max(n_docs, 1))
+    sampled = docs.filter(
+        F.expr(_SPARK_H60.format(expr="cast(doc_id as string)")) % 1_000_000
+        < F.lit(frac_ppm)
+    )
+    n_sample = sampled.groupBy().agg(F.count(F.lit(1)).alias("sample_docs"))
+    sh = _with_shingles(sampled).select(
         "doc_id", F.xxhash64("shingle").alias("sh_h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -2985,7 +3011,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_tier.join(F.broadcast(n_cand))
+        per_tier.join(F.broadcast(n_cand)).join(F.broadcast(n_sample))
         .select(
             "threshold",
             "true_pairs",
@@ -2993,6 +3019,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_pairs") - F.col("recalled")).alias("missed"),
             _trunc6(F.col("recalled") / F.col("true_pairs")).alias("recall"),
             "lsh_candidates",
+            "sample_docs",
         )
         .orderBy("threshold")
     )
@@ -3008,9 +3035,20 @@ ORACLE["dedup_recall_report"] = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    -- content-addressed truth-leg sample, mirroring the Spark side:
+    -- frac_ppm = MAX*1e6 // n_docs (integer division in both engines)
+    samp AS (
+        SELECT least(1000000::bigint,
+                     ({DEDUP_RECALL_SAMPLE_MAX_DOCS} * 1000000)::bigint
+                       // (SELECT count(*) FROM documents)) AS frac_ppm),
+    sdocs AS (
+        SELECT d.* FROM documents d, samp
+        WHERE {_DUCK_H60.format(expr="cast(doc_id as varchar)")} % 1000000
+              < samp.frac_ppm),
+    n_sample AS (SELECT count(*)::bigint AS sample_docs FROM sdocs),
     sh AS (
         SELECT doc_id, {_DUCK_H60.format(expr="shingle")} AS sh_h
-        FROM ({_DUCK_SHINGLES_SQL}) raw),
+        FROM ({_DUCK_SHINGLES_SQL.replace("FROM documents", "FROM sdocs")}) raw),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -3036,8 +3074,8 @@ ORACLE["dedup_recall_report"] = f"""
     SELECT threshold, true_pairs, recalled,
            (true_pairs - recalled)::bigint AS missed,
            floor((recalled::double / true_pairs) * 1e6) / 1e6 AS recall,
-           lsh_candidates
-    FROM per_tier, n_cand
+           lsh_candidates, sample_docs
+    FROM per_tier, n_cand, n_sample
     ORDER BY threshold
 """
 

@@ -1130,6 +1130,30 @@ def test_dedup_recall_report_floors_and_consistency(spark, sf_dir):
         prev_true = r.true_pairs
 
 
+def test_dedup_recall_sampled_truth_leg_unbiased(spark, sf_dir):
+    """r6: the truth leg runs on a content-addressed doc sample above
+    DEDUP_RECALL_SAMPLE_MAX_DOCS so the audit's exact self-join scales.
+    Forcing the sample at fixture scale (budget = half the corpus) must
+    (a) actually shrink the audited population, (b) keep true_pairs > 0
+    so the estimate is live, and (c) report recall within ±0.02 of the
+    full-truth value per tier — candidate status is independent of the
+    sampling hash, so the sampled recall is unbiased."""
+    from engine.session import table
+    from engine.text import dedup_recall_report
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    full = {r.threshold: r for r in dedup_recall_report(spark, sf_dir, sample_max_docs=n_docs).collect()}
+    samp = {r.threshold: r for r in dedup_recall_report(spark, sf_dir, sample_max_docs=n_docs // 2).collect()}
+    assert all(r.sample_docs == n_docs for r in full.values())
+    for t, r in samp.items():
+        assert 0 < r.sample_docs < n_docs
+        assert r.true_pairs > 0
+        assert abs(r.recall - full[t].recall) <= 0.02, (t, r.recall, full[t].recall)
+        # cost side stays full-corpus: sampling the audit must not
+        # change the candidate count
+        assert r.lsh_candidates == full[t].lsh_candidates
+
+
 def test_source_quota_cap_planted_skew(spark, tmp_path):
     """q115 on a planted skewed corpus: a hot source with 3x the cap
     must keep EXACTLY the cap's best-(quality, doc_id) docs — i.e. the
