@@ -1100,6 +1100,57 @@ def q49b_greedy_packing(
     )
 
 
+def packing_invariants_report(
+    spark: SparkSession, sf_dir: str, window: int = PACK_WINDOW
+) -> DataFrame:
+    """Driver-visible invariant surface for q49b's greedy no-straddle
+    packing — the sketch_error_report pattern (engine/relational.py's
+    stream/sketch report rows): instead of the invariants living only
+    in the test suite, one row PER BIN carries the checked flags so a
+    correctness regression in the grouped-map packer shows up as a
+    changed driver row.
+
+    Per (shard, bin): docs, tokens, and three flags that must all be
+    true — ``capacity_ok`` (bin total ≤ budget, or a single oversized
+    doc alone in its bin — the documented overflow rule),
+    ``fill_consistent`` (the packer's running bin_fill ends exactly at
+    the bin's token total), and ``greedy_tight`` (the NEXT bin's first
+    doc would NOT have fit here — greedy means a bin only closes on
+    overflow; vacuously true for a shard's last bin).
+
+    Scale shape: rides q49b's single shard shuffle, then one
+    bins-sized hash agg and a bins-sized lead window per shard —
+    output is O(bins), flags computed JVM-side. Rows-only by design
+    (the packer itself is the non-SQL part); the all-true flags are
+    asserted in tests/test_text.py."""
+    packed = q49b_greedy_packing(spark, sf_dir, window=window)
+    bins = (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max("bin_fill").alias("end_fill"),
+            F.min_by("n_tokens", "doc_id").alias("first_tok"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("bin_id")
+    return (
+        bins.withColumn("next_first_tok", F.lead("first_tok").over(w))
+        .select(
+            "shard",
+            "bin_id",
+            "docs",
+            "tokens",
+            ((F.col("tokens") <= window) | (F.col("docs") == 1)).alias("capacity_ok"),
+            (F.col("end_fill") == F.col("tokens")).alias("fill_consistent"),
+            F.coalesce(
+                F.col("tokens") + F.col("next_first_tok") > window, F.lit(True)
+            ).alias("greedy_tight"),
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
 # ------------------------------------------------- repetition quality signals
 
 # Gopher-style repetition caps (Rae et al. 2021, table A1 uses
@@ -1461,6 +1512,7 @@ QUERIES = {
     "q48b_span_decontaminate": q48b_span_decontaminate,
     "q49_sequence_packing": q49_sequence_packing,
     "q49b_greedy_packing": q49b_greedy_packing,
+    "packing_invariants_report": packing_invariants_report,
     "q49c_rag_chunking": q49c_rag_chunking,
     "q57b_repetition_signals": q57b_repetition_signals,
     "q57c_unigram_logprob": q57c_unigram_logprob,

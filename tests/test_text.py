@@ -1130,6 +1130,31 @@ def test_dedup_recall_report_floors_and_consistency(spark, sf_dir):
         prev_true = r.true_pairs
 
 
+def test_packing_invariants_report_all_true(spark, sf_dir):
+    """packing_invariants_report is q49b's driver-visible invariant
+    surface: every bin's capacity_ok / fill_consistent / greedy_tight
+    flag must be true, bin totals must account for every document
+    token, and a tight budget must actually exercise the multi-bin
+    path (otherwise the flags are vacuous)."""
+    from engine.session import table
+    from engine.text import packing_invariants_report
+
+    rows = packing_invariants_report(spark, sf_dir, window=64).collect()
+    assert rows
+    assert any(r.bin_id > 0 for r in rows), "budget must force multiple bins"
+    assert all(r.capacity_ok for r in rows)
+    assert all(r.fill_consistent for r in rows)
+    assert all(r.greedy_tight for r in rows)
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    total = d.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " +"))).alias("t")
+    ).collect()[0].t
+    assert sum(r.tokens for r in rows) == total
+    assert sum(r.docs for r in rows) == d.count()
+
+
 def test_dedup_recall_sampled_truth_leg_unbiased(spark, sf_dir):
     """r6: the truth leg runs on a content-addressed doc sample above
     DEDUP_RECALL_SAMPLE_MAX_DOCS so the audit's exact self-join scales.
