@@ -162,7 +162,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from engine import multimodal, pipeline, relational, sampling, sqlapi, stats, similarity, streaming, text, text_ml, tuning, udfs
+from engine import multimodal, pipeline, relational, rotation, sampling, sqlapi, stats, similarity, streaming, text, text_ml, tuning, udfs
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -171,7 +171,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational]
+    return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational, rotation]
 
 
 # Every query whose most recent driver CORRECTNESS row is r2 — the

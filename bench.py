@@ -140,6 +140,11 @@ HEADLINE = [
     "q115_source_quota_cap",
     "q116_bm25_topk",
     "q117_weighted_sample",
+    "packing_invariants_report",
+    "rot_scalar_shapes",
+    "rot_agg_shapes",
+    "rot_window_shapes",
+    "rot_order_setop_shapes",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",
