@@ -92,7 +92,17 @@ def q18_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals; grouping-set nulls coalesced to 'ALL'
-    so the oracle hash is label-stable."""
+    so the oracle hash is label-stable.
+
+    Empty-input semantics (whole grouping family, q19/q20/q26): Spark
+    expands each input row into its grouping-set combinations before
+    the hash agg, so an EMPTY input yields zero rows — including no
+    grand-total row — where the SQL standard (and DuckDB) produce one
+    ()-set row with count 0. The engine ships Spark's behavior (an
+    empty slice producing a phantom all-zero total is rarely what a
+    report wants); the oracles mirror it with HAVING count(*) > 0,
+    which is a no-op on any non-empty input. Found by the relational
+    fuzzer (tests/test_fuzz_oracle.py) on an empty lineitem."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -876,6 +886,7 @@ ORACLE = {
                round(sum(l_quantity), 2) AS sum_qty,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING count(*) > 0
     """,
     "q20_cube": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -883,6 +894,7 @@ ORACLE = {
                count(*) AS n,
                round(avg(o_totalprice), 4) AS avg_price
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING count(*) > 0
     """,
     "q21_string_funcs": """
         SELECT p_partkey,
@@ -965,6 +977,7 @@ ORACLE = {
                round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING count(*) > 0
     """,
     "q27_pivot": """
         SELECT source,

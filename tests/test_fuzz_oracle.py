@@ -132,6 +132,7 @@ def test_fuzz_text_operators_match_oracles(spark, tmp_path, rows):
 # ties — the determinism class that bit q47/q93 — through the
 # journey/SCD2/gap-fill/compaction operators and their oracles.
 EVENTS_FUZZ_QUERIES = [
+    "q28_asof_join",   # as-of window: prior-purchase lookup under ties
     "q46_gap_fill",
     "q47_scd2_assembly",
     "q92_sessionization",
@@ -227,3 +228,148 @@ def _check_events(spark, tmp_path, rows, name):
 def test_fuzz_events_operators_match_oracles(spark, tmp_path, rows):
     for name in EVENTS_FUZZ_QUERIES:
         _check_events(spark, tmp_path, rows, name)
+
+
+# relational join/window fuzz (r6, the verdict's named gap): random
+# TPC-H-shaped customer/orders/lineitem/supplier tables with the three
+# mutation classes the fixtures lack — NULLs in join keys and measures
+# (orphan orders, NULL balances/segments/discounts), forced ties on
+# every ordering column (prices and dates from tiny exact-binary
+# domains), and empty/near-empty tables (empty groups, empty join
+# sides, empty top-k inputs).
+RELATIONAL_FUZZ_QUERIES = [
+    "q03_top_orders",        # join + agg + sort/limit on hostile keys
+    "q04_outer_join_agg",    # full-outer machinery with orphan rows
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_theta_join",        # inequality join on NULL-able balances
+    "q11_window_rank",       # rank family under forced ties
+    "q12_window_lag",
+    "q13_window_running_sum",
+    "q14_topk_orders",       # sort/limit with NULL prices
+    "q15_union_all",
+    "q16_intersect",
+    "q17_except",
+    "q26_grouping_sets",
+    "q31_window_range_frame",
+    "q36_rank_functions",
+    "q81_range_join",
+    "q87_null_semantics",    # the NULL-handling query on actually-NULL data
+    "q88_value_window_funcs",
+]
+
+_SEGMENTS = ["BUILDING", "MACHINERY"]
+_STATUSES = ["O", "F", "P"]
+_PRIORITIES = ["1-URGENT", "3-MEDIUM"]
+_FLAGS = ["A", "N", "R"]
+
+
+@st.composite
+def tpch_tables(draw):
+    """Small random TPC-H-ish tables. Money/quantity values are
+    multiples of 0.25 (exact in binary, so cross-engine sums cannot
+    drift) drawn from tiny domains (forced ties); dates come from a
+    4-day window (tied dates, empty months); keys from small domains
+    so joins produce hits, misses, and empty groups; several nullable
+    columns carry real NULLs."""
+    import datetime as dt
+
+    def money(nullable=False):
+        v = st.integers(min_value=-8, max_value=40).map(lambda i: i / 4.0)
+        return st.one_of(st.none(), v) if nullable else v
+
+    base = dt.datetime(1995, 3, 1)
+    day = st.integers(min_value=0, max_value=3).map(
+        lambda d: base + dt.timedelta(days=d)
+    )
+
+    n_cust = draw(st.integers(min_value=0, max_value=6))
+    customer = [
+        (
+            k,
+            f"Customer#{k}",
+            draw(st.integers(min_value=0, max_value=3)),
+            draw(money(nullable=True)),
+            draw(st.one_of(st.none(), st.sampled_from(_SEGMENTS))),
+        )
+        for k in range(n_cust)
+    ]
+    n_ord = draw(st.integers(min_value=0, max_value=12))
+    orders = [
+        (
+            k,
+            draw(st.one_of(st.none(), st.integers(min_value=0, max_value=8))),
+            draw(st.sampled_from(_STATUSES)),
+            draw(money(nullable=True)),
+            draw(day),
+            draw(st.sampled_from(_PRIORITIES)),
+        )
+        for k in range(n_ord)
+    ]
+    n_li = draw(st.integers(min_value=0, max_value=12))
+    lineitem = [
+        (
+            draw(st.integers(min_value=0, max_value=max(n_ord, 1))),
+            draw(st.integers(min_value=0, max_value=5)),
+            draw(st.integers(min_value=0, max_value=3)),
+            i % 7 + 1,
+            draw(money()),
+            draw(money()),
+            draw(st.one_of(st.none(), st.sampled_from([0.0, 0.05, 0.25]))),
+            draw(st.sampled_from([0.0, 0.08])),
+            draw(st.sampled_from(_FLAGS)),
+            draw(st.sampled_from(["O", "F"])),
+            draw(day),
+        )
+        for i in range(n_li)
+    ]
+    n_supp = draw(st.integers(min_value=0, max_value=4))
+    supplier = [
+        (
+            k,
+            f"Supplier#{k}",
+            draw(st.integers(min_value=0, max_value=3)),
+            draw(money(nullable=True)),
+        )
+        for k in range(n_supp)
+    ]
+    return {"customer": customer, "orders": orders, "lineitem": lineitem, "supplier": supplier}
+
+
+_TPCH_SCHEMAS = {
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+}
+
+
+def _check_tpch(spark, tmp_path, tables, name):
+    import __spark_entry__ as contract
+
+    sig = abs(hash((name, str(tables)))) % 10**8
+    d = str(tmp_path / f"rfuzz_{sig}")
+    con = duckdb.connect()
+    for t, rows in tables.items():
+        spark.createDataFrame(rows, _TPCH_SCHEMAS[t]).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+        con.execute(
+            f"create view {t} as select * from read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    sdf = contract.queries()[name](spark, d).toPandas()
+    odf = con.execute(contract.oracle_sql()[name]).fetchdf()
+    err = _values_match(_normalize(sdf), _normalize(odf))
+    assert err is None, f"{name}: {err}\ntables={tables!r}"
+
+
+@given(tpch_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_relational_operators_match_oracles(spark, tmp_path, tables):
+    for name in RELATIONAL_FUZZ_QUERIES:
+        _check_tpch(spark, tmp_path, tables, name)
