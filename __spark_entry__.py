@@ -7,153 +7,71 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries, and the full inventory is 147 (144 at the window freeze +
-3 post-freeze additions).  Policy: stalest-first — every
-window is filled in order of how long a query has gone without a
-driver row (never-checked first, then oldest round), with two
-overrides: queries whose code changed this round and queries added
-this round always re-enter immediately.  At 130 queries and 50 slots
-the strict "every other round" cadence is arithmetically out of reach
-(it would need ~60 slots); stalest-first is the schedule that
-minimizes the maximum staleness, and the deferral list below names
-exactly which green rows wait and why they lose the least signal.
+entries; the full inventory is 152 (147 at the r5 freeze + the 5 r6
+additions).  Policy: stalest-first — every window is filled in order
+of how long a query has gone without a driver row (never-checked
+first, then oldest round), with two overrides: queries whose code OR
+oracle changed this round and queries added this round always
+re-enter immediately.
 
-* r1 window: relational + sampling head (all green except q25/q29/q33).
-* r2 window: all 45 non-relational + 5 changed/canary relational
-  (CORRECTNESS_r02: 50/50 green).
-* r3 window: 46 relational queries with no r2 row + 4 changed
-  (CORRECTNESS_r03: 50/50 green).
-* r4 window: the 8 never-checked queries, the 15 added that round,
-  the 3 changed, then the non-relational block (CORRECTNESS_r04:
-  50/50 green; 18 entries deferred to r5).
-* r5 window (this file's state), 50 slots exactly:
-  - ``_R5_STALEST`` (19): every query whose latest driver row is r2 —
-    ALL 18 entries deferred from r4 as promised, plus q25 of the
-    five that missed the r3 rotation; the other four (never part of
-    the r4 promise) were displaced by late additions per the
-    overrides (never-checked and changed-code outrank a green row):
-    q33 (displaced by q112; its ordered-reassembly machinery runs
-    in-window via q48b), q95 (displaced by q113; single-doc JSON
-    shredding, no join/agg machinery, frozen since r2), q29
-    (displaced by q114; its map/array machinery is exercised
-    in-window by the array-HOF-heavy q111/q103/q113 pipelines), and
-    q89 (displaced by changed-code q97; fuzzy blocking frozen since
-    r2 with its block_key equi-join plan-pinned in test_plans).
-  - ``_NEW_IN_R5`` (25): sketch_error_report (measured error of q30/
-    q96/q83b sketches vs their exact twins),
-    stream_equivalence_report (real readStream runs vs batch twins),
-    q102_incremental_dedup (new-batch ingest dedup against the
-    standing fingerprint store), q64b_frame_sample (temporal
-    media sampling — the video/audio multimodal leg),
-    q103/q103b/q103c (BPE pair census, distributed merge-rule
-    training, and learned-merge tokenization),
-    q104 (sqrt-temperature multilingual mixture sampling),
-    q105 (embedding-space benchmark decontamination),
-    q106 (leakage-safe split — near-dup clusters move between
-    train/val/test as one unit), scaling_law_report (every
-    derived scale knob at fixture + hypothetical corpus sizes,
-    driver-visible), q76b (IVF-PQ residual ADC — the combined
-    FAISS-style scale tier), q102b (bloom-prefiltered ingest dedup,
-    oracle identical to q102), q107 (snapshot diff by content hash),
-    ml_quality_classifier (hashed-TF logistic quality filter),
-    q108 (crawl-graph PageRank authority scoring, numpy-parity
-    tested), q109 (PMI collocation mining, oracle-backed),
-    ml_fpgrowth_baskets (parallel FP-growth itemsets, support-recount
-    tested), q110 (embedding-distribution drift between
-    snapshots, numpy-parity + planted-shift tested), q111 (DSIR
-    importance-weighted selection, oracle-backed + python-parity
-    tested), dedup_recall_report (measured MinHash-LSH candidate
-    recall vs the exact shingle-join truth, oracle-backed),
-    q48b_span_decontaminate (span-level decontamination — redact the
-    contaminated chunk, keep the document; oracle-backed),
-    q112 (CDC MERGE/upsert compaction; oracle-backed, planted
-    MERGE-branch tested), q113 (offset-invariant exact substring
-    dedup — suffix-array semantics via rolling xxhash64 windows;
-    oracle-backed, planted misaligned-duplicate tested), and q114
-    (boilerplate/template-span removal by corpus frequency —
-    remove-ALL-occurrences, composing with q97's keep-first;
-    oracle-backed, planted-template tested).
-  - ``_CHANGED_IN_R5`` (6): q61/q66 (OR-amplified banding derivation),
-    q65/q75 (shared two-level coarse quantizer), q67c (two-stage
-    partition-fold candidates), q97 (refactored onto the chunker +
-    reassembly helpers it now shares with q48b/q114).
-  - ``_R5_RELATIONAL_ROTATION`` (0): the r3-green relational block,
-    prioritized by semantic risk — the relational core (q01/q02/q04,
-    q07-q08 joins, q28 asof, q81 range; q06's filter+agg shape and
-    q09's anti-join — the flag-twin of in-window q08's semi — and
-    q03's sort+limit shape (shared with deferred q14 and in-window
-    q02's orderBy) are deferred). The window-function spine
-    (q11/q13/q31), grouping-sets q26, outer-join q04 (full-outer
-    machinery exercised in-window by q107's diff join), the q07/q08
-    broadcast/semi joins (the same machinery rides a dozen in-window
-    queries — q48/q79/q102b/q109 broadcasts, q48's semi/anti decon
-    legs), and q01 (one-pass agg machinery shared with the in-window
-    q42/q43/q45 censuses) originally held the last eight slots but
-    were displaced by the eight late-r5 additions, q02 by the ninth
-    (q111), q81 by the tenth (dedup_recall_report), and q28 by the
-    eleventh (q48b_span_decontaminate) — added queries outrank frozen
-    green rotation per the policy above; q02's join+agg+sort
-    machinery still runs every round as the driver's entry() smoke,
-    q81's range machinery is adjacent to r4-green q81b's bucketized
-    band join, and q28's as-of window machinery is shared with the
-    r4-green window spine.
-  - post-freeze FIX: q67_token_counting's chars_per_token now nullifs
-    a zero BPE-token divisor — the oracle fuzzer
-    (tests/test_fuzz_oracle.py) found the bare division CRASHES the
-    whole query on an empty/whitespace-only doc under ANSI mode
-    (fixture values are byte-identical — no empty docs there; strict
-    oracle re-verified at sf0.001/sf0.01). As changed code it re-enters
-    the rotation at the next window construction (r6), same as the
-    post-freeze additions below.
-  - post-freeze FIX: _corpus_normed (every cosine-space operator) now
-    EXCLUDES zero-norm vectors — cosine is undefined for a dead
-    encoder row, and left in it normalizes to a NaN array whose NaN
-    similarity outranks every real score in descending order,
-    polluting all kNN/near-dup/decontamination top-ks. Oracles carry
-    the same norm > 0 predicate; fixture values byte-identical
-    (strict re-verified: q60/q61/q66/q105), planted zero-vector test
-    added. In-window users (q61/q66/q105 + rows-only reports) are
-    already re-entering this round; q60 re-enters at r6 with q67.
-  - post-freeze FIX: q47_scd2_assembly's version window now tiebreaks
-    on event_id — ordering by ts alone is total only while
-    (user_id, ts) is unique, true in fixtures but not at scale where
-    same-microsecond events are routine and an untiebroken row_number
-    permutes between runs/engines. Both sides changed identically;
-    fixture values byte-identical (strict re-verified at sf0.01);
-    planted-ties test added. Re-enters rotation at r6. Same class,
-    same round: q93_keep_latest's max_by/min_by keys now encode
-    (ts, event_id) as a zero-padded string (DuckDB's arg_max orders
-    scalars only), making tied-ts winners defined; fixture values
-    byte-identical (strict re-verified), planted-ties test added.
-  - post-freeze ORACLE fix: q72_stream_sessions' oracle SQL evaluated
-    its lag flags and its running sum in two window passes that could
-    permute same-microsecond rows DIFFERENTLY (a flag-0 tied row
-    sorted early joins the previous session) — run-to-run flaky found
-    by the events fuzzer's exploration. Both windows now order by
-    (ts, event_id). The Spark query (session_window) was always
-    tie-safe and is unchanged; fixture compare unchanged.
-  - ``_POST_FREEZE_ADDITIONS`` (3): q115_source_quota_cap,
-    q116_bm25_topk, q117_weighted_sample — added AFTER the r5 window
-    froze at 50 slots.  Every head slot holds a strictly
-    higher-priority entry (the r4-promised stalest block, this
-    round's 25 earlier additions, the 6 changed queries), so these
-    three are the one sanctioned exception to "added queries enter
-    immediately": they are oracle-backed and parity-tested in-suite
-    this round and lead the r6 window with the never-checked class
-    (stalest-first makes that self-executing).
-  - ``_DEFERRED_TO_R6`` (50): q33, q95, q29 and q89 (r2-green,
-    displaced by the late additions q112/q113/q114 and changed-code
-    q97 per the policy above), plus the remaining r3-green relational
-    entries — frozen single-pass scalar/set-op/projection/window/agg
-    queries (q03/q06/q09/q10/q11-q24/q26/q27/q31/q32/q34-q36/q39/q82/
-    q86-q88/q90-q93/q98/q99 — q92's lag+running-sum machinery is
-    shared with q13/q31, q36/q88's rank/value windows with q11/q13,
-    q82's multi-grain agg with q26, q18's distinct-agg path with
-    sketch_error_report's exact twins, q10's theta machinery with
-    in-window q81, q06's filter+agg with in-window q01/q02),
-    plus q30/q96/q83 whose sketch-vs-exact behavior is value-surfaced
-    IN-WINDOW this round by sketch_error_report.  They lead r6
-    unconditionally (stalest-first makes that self-executing).
+r6 additionally attacks the debt STRUCTURALLY (the r5 verdict's item
+3): ``engine/rotation.py`` folds 25 frozen single-pass relational
+shapes into 4 composite queries — each a UNION ALL of the member
+plans with a ``shape`` discriminator, its oracle the UNION ALL of the
+very same member oracles — so ONE driver slot re-proves every
+member's machinery each round.  A singleton may therefore defer only
+if its composite is in-window (asserted by the guard test); the
+singletons keep their own unweakened oracles for their direct turns.
+
+Window history: r1 relational+sampling head (q25/q29/q33 red, fixed
+r2); r2 all 45 non-relational + 5 canary (50/50 green); r3 the 46
+relational without an r2 row + 4 changed (50/50); r4 the 8
+never-checked + 15 added + 3 changed + the non-relational block
+(50/50; 18 deferred); r5 the 19 stalest + 25 added + 6 changed
+(49/50: ml_fpgrowth_baskets' array column broke the driver
+canonicalizer — fixed this round by emitting the canonical string).
+
+* r6 window, 50 slots exactly:
+  - ``_R6_STALEST`` (4): the last r2-green entries — q33/q95/q29
+    (displaced from r5 by the late additions q112–q114) and q89
+    (displaced by changed-code q97).
+  - ``_R6_NEVER_CHECKED`` (3): the r5 post-freeze additions
+    q115/q116/q117 — oracle-backed + parity-tested in-suite since r5,
+    leading the window exactly as promised.  (q116's oracle also got
+    an association fix this round: idf * (num/den) now parenthesized
+    to mirror Spark's grouping bit-for-bit.)
+  - ``_NEW_IN_R6`` (5): the four rotation composites
+    (rot_scalar_shapes / rot_agg_shapes / rot_window_shapes /
+    rot_order_setop_shapes, strict-green at sf0.001/0.01/0.1) and
+    packing_invariants_report (q49b's greedy-packing invariants as a
+    driver-visible rows-only surface — the r5 verdict's item 5).
+  - ``_CHANGED_IN_R6`` (15): the r5 post-freeze fixes re-entering as
+    changed code — q67 (ANSI divide-by-zero on empty docs), q47
+    (timestamp-tie total order), q93 (total max_by key; this round
+    also biased +2^63 so the encoding is total over pre-epoch
+    timestamps and negative ids — the r5 ADVICE), q100 (empty funnel
+    base), q60 (zero-norm exclusion in _corpus_normed), q72
+    (oracle-only tie fix) — plus this round's changes:
+    ml_fpgrowth_baskets (canonical-string items, the one red r5 row),
+    q65/q75/q76/q76b (the r5 ADVICE: quantizer-backed ops now route
+    their corpus through _corpus_finite, so a zero/NaN/Inf embedding
+    can no longer out-rank real neighbors or merge dedup components),
+    dedup_recall_report (truth leg now content-addressed-sampled
+    above a doc budget + sample_docs column — verdict item 4), and
+    q19/q20/q26 (oracle HAVING count(*) > 0 pinning the grouping
+    family's empty-input semantics — found by the new relational
+    fuzzer).
+  - ``_R6_ROTATION`` (23): every deferred entry NOT covered by an
+    in-window composite — the join spine (q01/q02/q04/q06–q10,
+    q28 asof, q81 range, q35 cross), the window spine (q11/q13/q31),
+    sketches (q30/q83/q96), agg/misc (q18/q82/q39/q98/q99) — plus
+    q92 (sessionization, the highest-semantic-risk composite member,
+    taking the last slot).
+  - ``_DEFERRED_TO_R7`` (19): frozen r3-green single-pass singletons,
+    EVERY one a member of an in-window composite this round
+    (q03/q12/q14–q17/q21–q24/q27/q32/q34/q36/q86–q88/q90/q91): their
+    machinery is re-proven via the rot_* hash rows, and they lead r7
+    for their direct rows.
 """
 
 from __future__ import annotations
@@ -174,182 +92,118 @@ def _modules():
     return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational, rotation]
 
 
-# Every query whose most recent driver CORRECTNESS row is r2 — the
-# stalest class, leads the window unconditionally.
-_R5_STALEST = [
-    "ml_tfidf_features",
-    "ml_tuning_results",
-    "ml_explained_variance",
-    "ml_nb_predictions",
-    "ml_rf_predictions",
-    "ml_model_metrics",
-    "ml_misclassified_inverse",
-    "q62_brp_lsh_join",
-    "q41_sample_census",
-    "q42_census",
-    "q43_summary_stats",
-    "q45_per_class_mean",
-    "q84_sql_shipping_priority",
-    "q85_sql_cte_window_having",
-    "q94_recursive_cte",
-    "q37_grouped_udaf",
-    "q38_python_udtf",
-    "q69_tfidf",
-    "q25_correlated_subquery",
+# The last r2-green entries — the stalest class, leads the window
+# unconditionally (q33/q95/q29 were displaced from r5 by the late
+# additions q112-q114; q89 by changed-code q97).
+_R6_STALEST = [
+    "q33_collect_sorted",
+    "q95_variant_shred",
+    "q29_map_array_funcs",
+    "q89_fuzzy_match",
 ]
 
-# Queries ADDED in round 5 — never driver-checked.
-_NEW_IN_R5 = [
-    "sketch_error_report",        # q30/q96/q83b measured error vs exact twins
-    "stream_equivalence_report",  # real readStream runs vs batch twins
-    "q102_incremental_dedup",     # batch-vs-fingerprint-store ingest dedup
-    "q64b_frame_sample",          # temporal media sampling (video/audio leg)
-    "q103_bpe_pair_census",       # BPE round-0 pair statistics (oracle-backed)
-    "q103b_bpe_train",            # distributed BPE merge-rule training (iterative)
-    "q103c_bpe_tokenize",         # learned-merge tokenization (train->apply loop)
-    "q104_temperature_mixture",   # sqrt-temperature multilingual sampling
-    "q105_semantic_decontamination",  # embedding-space eval-overlap scrub
-    "q106_leakage_safe_split",    # near-dup-cluster-coherent train/val/test
-    "scaling_law_report",         # derived scale knobs vs corpus size
-    "q76b_ivfpq_ann",             # IVF+PQ residual ADC — the combined scale tier
-    "q102b_bloom_incremental_dedup",  # bloom-prefiltered history probe (oracle = q102's)
-    "q107_snapshot_diff",         # corpus release diff by content hash (oracle-backed)
-    "ml_quality_classifier",      # hashed-TF logistic quality filter (CCNet-style)
-    "q108_crawl_pagerank",        # link-graph authority (iterative power iteration)
-    "q109_pmi_collocations",      # PMI collocation mining (oracle-backed)
-    "ml_fpgrowth_baskets",        # frequent-itemset mining (PFP, support-recount tested)
-    "q110_embedding_drift",       # per-dimension snapshot drift (numpy-parity tested)
-    "q111_dsir_selection",        # DSIR importance-weighted selection (oracle-backed)
-    "dedup_recall_report",        # measured LSH candidate recall vs exact truth (oracle-backed)
-    "q48b_span_decontaminate",    # span-level decon: redact the chunk, keep the doc (oracle-backed)
-    "q112_cdc_merge",             # CDC MERGE/upsert compaction (oracle-backed, planted-branch tested)
-    "q113_substring_dedup",       # offset-invariant exact substring dedup (oracle-backed)
-    "q114_boilerplate_scrub",     # template-span removal by corpus frequency (oracle-backed)
-]
-
-# Queries whose implementation changed in round 5 — re-enter the
-# window regardless of rotation parity.
-_CHANGED_IN_R5 = [
-    "q61_knn_lsh_bucketed",       # n_bands derivation (OR-amplified LSH)
-    "q66_embedding_near_dup",     # n_bands derivation (OR-amplified LSH)
-    "q65_knn_ivf",                # shared two-level coarse quantizer
-    "q75_semantic_dedup",         # shared two-level coarse quantizer
-    "q67c_stream_heavy_hitters",  # two-stage partition-fold candidates
-    "q97_paragraph_dedup",        # refactored onto the shared chunker +
-                                  # reassembly helpers (values + plan
-                                  # pinned unchanged; re-enters per the
-                                  # changed-code override)
-]
-
-# Added AFTER the r5 window froze (the head's 50 slots all hold
-# strictly higher-priority entries — see the module docstring); each
-# is oracle-backed (strict-green in the local mirror at all three SFs)
-# and python-parity/planted-case tested in-suite, and leads the r6
-# window as part of the never-checked class.
-_POST_FREEZE_ADDITIONS = [
+# Added after the r5 window froze — never driver-checked; they lead
+# with the stalest class exactly as the r5 docstring promised.
+_R6_NEVER_CHECKED = [
     "q115_source_quota_cap",   # per-source quota cap (two-phase salted top-K)
     "q116_bm25_topk",          # Okapi BM25 retrieval (integer-grid scores)
     "q117_weighted_sample",    # A-ES weighted sampling without replacement
 ]
 
-# r3-green relational block, highest-semantic-risk first (see module
-# docstring for the selection rationale).  q28_asof_join, the last
-# surviving rotation slot, was displaced by the late-added
-# q48b_span_decontaminate (added queries outrank frozen green
-# rotation); its as-of machinery is r3-green and frozen, and it leads
-# the r6 window with the rest of the deferred block.
-_R5_RELATIONAL_ROTATION: list[str] = []
+# Queries ADDED in round 6 — enter immediately.
+_NEW_IN_R6 = [
+    "rot_scalar_shapes",       # composite: q21/q22/q23/q24/q29/q34/q95
+    "rot_agg_shapes",          # composite: q19/q20/q27/q32/q90/q91
+    "rot_window_shapes",       # composite: q12/q36/q88/q92
+    "rot_order_setop_shapes",  # composite: q03/q14/q15/q16/q17/q33/q86/q87
+    "packing_invariants_report",  # q49b greedy-packing invariants, driver-visible
+]
 
-# r3-green entries displaced by the 50-slot cap: frozen single-pass
-# relational queries (every one keeps its green r3 value-hash row and
-# in-suite tests), plus the three sketch queries whose error behavior
-# sketch_error_report value-surfaces in-window this round.  They lead
-# the r6 window.
-_DEFERRED_TO_R6 = {
-    "q28_asof_join",  # displaced by late-added q48b_span_decontaminate
-                      # (the last rotation slot); as-of machinery r3-green
-    "q33_collect_sorted",  # r2-green stalest entry displaced by late-added
-                           # q112_cdc_merge (never-checked outranks a green
-                           # row per the policy); its array_sort(collect_list)
-                           # ordered-reassembly machinery runs in-window via
-                           # q48b's clean-text rebuild; leads r6 with the block
-    "q95_variant_shred",   # r2-green stalest entry displaced by late-added
-                           # q113_substring_dedup (same policy); chosen over
-                           # the r4-promised 18 (all in-window as promised):
-                           # single-doc JSON shredding with no join/agg
-                           # machinery, frozen since r2; leads r6 with the
-                           # block
-    "q29_map_array_funcs",  # r2-green stalest entry displaced by late-added
-                            # q114_boilerplate_scrub (same policy); its
-                            # map/array scalar-func machinery is exercised
-                            # in-window by the array-HOF-heavy q111/q103/q113
-                            # pipelines; leads r6 with the block
-    "q89_fuzzy_match",      # r2-green stalest entry displaced by
-                            # changed-code q97 (the changed-code override
-                            # outranks a green row); fuzzy blocking frozen
-                            # since r2, block_key equi-join plan-pinned in
-                            # test_plans; leads r6 with the block
-    # the eight late-r5 additions (q76b/q102b/q107/ml_quality_classifier/
-    # q108/q109/ml_fpgrowth_baskets/q110) claimed the last eight window
-    # slots; the window-function spine and grouping-sets queries below
-    # (all r3-green, machinery frozen since r1) are the displaced block
-    # and lead r6 with the rest
+# Queries whose implementation OR oracle changed since the r5 window
+# froze — re-enter regardless of rotation parity (see the module
+# docstring for what changed in each).
+_CHANGED_IN_R6 = [
+    "ml_fpgrowth_baskets",     # canonical-string items (the one red r5 row)
+    "q67_token_counting",      # r5 post-freeze: ANSI div-by-zero on empty docs
+    "q47_scd2_assembly",       # r5 post-freeze: timestamp-tie total order
+    "q93_keep_latest",         # r5 post-freeze tie key; r6: +2^63 bias (full int64 domain)
+    "q100_funnel",             # r5 post-freeze: empty funnel base
+    "q60_knn_brute",           # r5 post-freeze: zero-norm exclusion (_corpus_normed)
+    "q72_stream_sessions",     # r5 post-freeze: oracle-only tie fix
+    "q65_knn_ivf",             # r6: _corpus_finite guard (r5 ADVICE)
+    "q75_semantic_dedup",      # r6: _corpus_finite guard (r5 ADVICE)
+    "q76_pq_ann",              # r6: _corpus_finite guard
+    "q76b_ivfpq_ann",          # r6: _corpus_finite guard
+    "dedup_recall_report",     # r6: sampled truth leg + sample_docs column
+    "q19_rollup",              # r6: oracle HAVING (empty-input semantics pinned)
+    "q20_cube",                # r6: oracle HAVING (empty-input semantics pinned)
+    "q26_grouping_sets",       # r6: oracle HAVING (empty-input semantics pinned)
+]
+
+# The r5-deferred block, minus the entries already in-window above and
+# minus the 19 composite-covered deferrals below: the join spine, the
+# window spine, the sketch family, and q92 (the highest-semantic-risk
+# composite member takes the last slot).
+_R6_ROTATION = [
+    "q28_asof_join",
     "q11_window_rank",
     "q13_window_running_sum",
     "q31_window_range_frame",
-    "q26_grouping_sets",
-    "q04_outer_join_agg",  # full-outer machinery exercised in-window by q107's diff join
-    "q07_broadcast_join",  # broadcast-join machinery pervasive in-window (q48/q79/q102b/q109)
-    "q08_semi_join",       # broadcast semi shape shared with in-window q48's decon anti/semi legs
-    "q01_pricing_summary",  # one-pass agg machinery shared with in-window q42/q43/q45 censuses
-    "q02_revenue_by_nation",  # displaced by late-added q111; its join+agg+sort
-                              # machinery runs every round as the entry() smoke
-    "q81_range_join",         # displaced by late-added dedup_recall_report;
-                              # range machinery adjacent to r4-green q81b
-    "q92_sessionization",  # lag+running-sum machinery shared with q13/q31
-    "q82_time_rollup",     # multi-grain agg machinery shared with q26
-    "q36_rank_functions",  # rank/dense_rank machinery shared with q11
-    "q88_value_window_funcs",  # value-window machinery shared with q13/q31
-    "q18_distinct_agg",    # distinct-agg path exercised in-window by sketch_error_report's exact twins
-    "q10_theta_join",      # theta machinery shared with in-window q81 range join
-    "q06_forecast_revenue",  # filter+agg shape shared with in-window q01/q02
-    "q09_anti_join",       # flag-twin of in-window q08's broadcast semi join
-    "q03_top_orders",      # sort+limit shape shared with deferred q14 / in-window q02
+    "q04_outer_join_agg",
+    "q07_broadcast_join",
+    "q08_semi_join",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q81_range_join",
+    "q82_time_rollup",
+    "q18_distinct_agg",
+    "q10_theta_join",
+    "q06_forecast_revenue",
+    "q09_anti_join",
+    "q30_approx_distinct",
+    "q35_cross_join",
+    "q39_unpivot",
+    "q83_percentiles",
+    "q96_hll_sketch_union",
+    "q98_embedding_quantize",
+    "q99_deterministic_split",
+    "q92_sessionization",
+]
+
+# Additions made after THIS round's window froze (none yet).
+_POST_FREEZE_ADDITIONS: list[str] = []
+
+# Frozen r3-green single-pass singletons deferred to r7 — every one a
+# member of an in-window composite this round (guard-test-asserted),
+# so its machinery still gets a driver hash row via rot_*; they lead
+# the r7 window for their direct rows.
+_DEFERRED_TO_R7 = {
+    "q03_top_orders",
     "q12_window_lag",
     "q14_topk_orders",
     "q15_union_all",
     "q16_intersect",
     "q17_except",
-    "q19_rollup",
-    "q20_cube",
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_json_funcs",
     "q24_math_case",
     "q27_pivot",
-    "q30_approx_distinct",
     "q32_stat_aggregates",
     "q34_date_arithmetic",
-    "q35_cross_join",
-    "q39_unpivot",
-    "q83_percentiles",
+    "q36_rank_functions",
     "q86_explode_lateral",
     "q87_null_semantics",
+    "q88_value_window_funcs",
     "q90_histogram",
     "q91_filtered_agg",
-    "q93_keep_latest",
-    "q96_hll_sketch_union",
-    "q98_embedding_quantize",
-    "q99_deterministic_split",
 }
 
 
 def _window_head() -> list[str]:
-    """The r5 driver-window head: the 19 stalest (r2-row) entries,
-    the 25 queries added this round, then the 6 changed queries —
-    the relational rotation block was fully displaced by late
-    additions — exactly 50 entries."""
-    head = _R5_STALEST + _NEW_IN_R5 + _CHANGED_IN_R5 + _R5_RELATIONAL_ROTATION
+    """The r6 driver-window head: 4 stalest (r2-row) + 3 never-checked
+    + 5 added + 15 changed + 23 rotation — exactly 50 entries."""
+    head = _R6_STALEST + _R6_NEVER_CHECKED + _NEW_IN_R6 + _CHANGED_IN_R6 + _R6_ROTATION
     assert len(head) == len(set(head)) == 50
     return head
 

@@ -90,24 +90,38 @@ def test_sketch_error_report_all_within_bound(spark, sf_dir):
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
     # entries. Rotation policy (see __spark_entry__ docstring,
-    # stalest-first): the r5 window must lead with every query whose
-    # latest driver row is r2, then this round's new and changed
-    # queries, then the prioritized relational rotation — 50 exactly.
+    # stalest-first): the r6 window leads with the stalest (r2-row)
+    # entries and the never-checked class, then this round's new and
+    # changed queries, then the rotation block — 50 exactly.
     names = list(contract.queries())[:50]
     head = contract._window_head()
     assert names == head, "driver window does not match the declared head"
     # Zero-slack guard: the head is exactly the window.
     assert len(head) == 50
-    # The stalest entries occupy the head outright.
-    assert names[: len(contract._R5_STALEST)] == contract._R5_STALEST
+    # The stalest + never-checked entries occupy the head outright.
+    lead = contract._R6_STALEST + contract._R6_NEVER_CHECKED
+    assert names[: len(lead)] == lead
     # New/changed queries are in-window, never deferred.
-    for q in contract._NEW_IN_R5 + contract._CHANGED_IN_R5:
+    for q in contract._NEW_IN_R6 + contract._CHANGED_IN_R6:
         assert q in names, q
-        assert q not in contract._DEFERRED_TO_R6, q
-    # Deferrals hold only frozen r3-green relational entries.
-    assert not (contract._DEFERRED_TO_R6 & set(contract._R5_STALEST))
-    assert not (contract._DEFERRED_TO_R6 & set(head))
-    # Generic never-checked guard (not just _NEW_IN_R5 membership):
+        assert q not in contract._DEFERRED_TO_R7, q
+    # Deferrals never overlap the head.
+    assert not (contract._DEFERRED_TO_R7 & set(head))
+    # The structural rule that makes deferral sound: every deferred
+    # singleton must be a member of an in-window composite, so its
+    # machinery still earns a driver hash row this round.
+    from engine import rotation
+
+    covered = {
+        m
+        for comp, members in rotation.ROTATIONS.items()
+        if comp in names
+        for m in members
+    }
+    assert contract._DEFERRED_TO_R7 <= covered, sorted(
+        contract._DEFERRED_TO_R7 - covered
+    )
+    # Generic never-checked guard (not just _NEW_IN_R6 membership):
     # any inventory entry with NO row in any past driver CORRECTNESS
     # artifact must be in-window this round — deferring a query the
     # driver has never proven is the one deferral class the policy
