@@ -45,7 +45,7 @@ canonicalizer — fixed this round by emitting the canonical string).
     rot_order_setop_shapes, strict-green at sf0.001/0.01/0.1) and
     packing_invariants_report (q49b's greedy-packing invariants as a
     driver-visible rows-only surface — the r5 verdict's item 5).
-  - ``_CHANGED_IN_R6`` (15): the r5 post-freeze fixes re-entering as
+  - ``_CHANGED_IN_R6`` (16): the r5 post-freeze fixes re-entering as
     changed code — q67 (ANSI divide-by-zero on empty docs), q47
     (timestamp-tie total order), q93 (total max_by key; this round
     also biased +2^63 so the encoding is total over pre-epoch
@@ -60,18 +60,18 @@ canonicalizer — fixed this round by emitting the canonical string).
     above a doc budget + sample_docs column — verdict item 4), and
     q19/q20/q26 (oracle HAVING count(*) > 0 pinning the grouping
     family's empty-input semantics — found by the new relational
-    fuzzer).
-  - ``_R6_ROTATION`` (23): every deferred entry NOT covered by an
+    fuzzer), and q23 (try_cast hardening: a malformed/non-numeric
+    props value crashed the bare int cast under ANSI — same fuzzer,
+    via its composite).
+  - ``_R6_ROTATION`` (22): every deferred entry NOT covered by an
     in-window composite — the join spine (q01/q02/q04/q06–q10,
     q28 asof, q81 range, q35 cross), the window spine (q11/q13/q31),
-    sketches (q30/q83/q96), agg/misc (q18/q82/q39/q98/q99) — plus
-    q92 (sessionization, the highest-semantic-risk composite member,
-    taking the last slot).
-  - ``_DEFERRED_TO_R7`` (19): frozen r3-green single-pass singletons,
+    sketches (q30/q83/q96), agg/misc (q18/q82/q39/q98/q99).
+  - ``_DEFERRED_TO_R7`` (20): frozen r3-green single-pass singletons,
     EVERY one a member of an in-window composite this round
-    (q03/q12/q14–q17/q21–q24/q27/q32/q34/q36/q86–q88/q90/q91): their
-    machinery is re-proven via the rot_* hash rows, and they lead r7
-    for their direct rows.
+    (q03/q12/q14–q17/q21/q22/q24/q27/q32/q34/q36/q86–q88/q90–q92):
+    their machinery is re-proven via the rot_* hash rows, and they
+    lead r7 for their direct rows.
 """
 
 from __future__ import annotations
@@ -138,6 +138,7 @@ _CHANGED_IN_R6 = [
     "q19_rollup",              # r6: oracle HAVING (empty-input semantics pinned)
     "q20_cube",                # r6: oracle HAVING (empty-input semantics pinned)
     "q26_grouping_sets",       # r6: oracle HAVING (empty-input semantics pinned)
+    "q23_json_funcs",          # r6: try_cast hardening (ANSI crash on malformed props)
 ]
 
 # The r5-deferred block, minus the entries already in-window above and
@@ -167,7 +168,6 @@ _R6_ROTATION = [
     "q96_hll_sketch_union",
     "q98_embedding_quantize",
     "q99_deterministic_split",
-    "q92_sessionization",
 ]
 
 # Additions made after THIS round's window froze (none yet).
@@ -197,12 +197,13 @@ _DEFERRED_TO_R7 = {
     "q88_value_window_funcs",
     "q90_histogram",
     "q91_filtered_agg",
+    "q92_sessionization",
 }
 
 
 def _window_head() -> list[str]:
     """The r6 driver-window head: 4 stalest (r2-row) + 3 never-checked
-    + 5 added + 15 changed + 23 rotation — exactly 50 entries."""
+    + 5 added + 16 changed + 22 rotation — exactly 50 entries."""
     head = _R6_STALEST + _R6_NEVER_CHECKED + _NEW_IN_R6 + _CHANGED_IN_R6 + _R6_ROTATION
     assert len(head) == len(set(head)) == 50
     return head

@@ -369,12 +369,20 @@ def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-in-string extraction (events.props) + aggregate over it."""
+    """JSON-in-string extraction (events.props) + aggregate over it.
+
+    Hostile-input hardening (r6, found by fuzzing the composite
+    members): a props value whose $.k is non-numeric ('{"k": "x"}',
+    '{"k": [1]}') made the bare int cast THROW under ANSI mode —
+    at crawl scale malformed metadata is routine and one bad row must
+    not kill the aggregate. try_cast maps it to NULL (avg skips it),
+    matching the oracle's json_valid + try_cast guard; fixture
+    values are unchanged (all fixture props are well-formed)."""
     e = load_events(spark, sf_dir)
     return (
         e.select(
             "event_type",
-            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+            F.get_json_object(F.col("props"), "$.k").try_cast("int").alias("k"),
             "value",
         )
         .groupBy("event_type")
@@ -915,7 +923,11 @@ ORACLE = {
     """,
     "q23_json_funcs": """
         SELECT event_type,
-               round(avg(json_extract_string(props, '$.k')::int), 6) AS avg_k,
+               -- json_valid + try_cast mirror Spark's lenient parser +
+               -- try_cast: malformed/non-numeric props -> NULL, not error
+               round(avg(CASE WHEN props IS NOT NULL AND json_valid(props)
+                              THEN try_cast(json_extract_string(props, '$.k') AS int)
+                         END), 6) AS avg_k,
                round(sum(value), 4) AS sum_value,
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type

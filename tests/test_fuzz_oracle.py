@@ -256,6 +256,13 @@ RELATIONAL_FUZZ_QUERIES = [
     "q81_range_join",
     "q87_null_semantics",    # the NULL-handling query on actually-NULL data
     "q88_value_window_funcs",
+    # the four rotation composites: fuzzing each fuzzes EVERY member
+    # (q19-q24, q27, q29, q32-q34, q36, q90-q92, q95, ... — 25
+    # singletons) under the same hostile mutations in one plan
+    "rot_scalar_shapes",
+    "rot_agg_shapes",
+    "rot_window_shapes",
+    "rot_order_setop_shapes",
 ]
 
 _SEGMENTS = ["BUILDING", "MACHINERY"]
@@ -333,7 +340,58 @@ def tpch_tables(draw):
         )
         for k in range(n_supp)
     ]
-    return {"customer": customer, "orders": orders, "lineitem": lineitem, "supplier": supplier}
+    # part: hostile strings stress the scalar-function family
+    # (q21/q29/q86 via the composites) — empty names, punctuation,
+    # multi-space runs, NULLs
+    word = st.sampled_from(["azure", "mint#7", "x", "", "  ", "a b", "promo!", "STEEL"])
+    n_part = draw(st.integers(min_value=0, max_value=6))
+    part = [
+        (
+            k,
+            draw(st.one_of(st.none(), st.lists(word, min_size=1, max_size=3).map(" ".join))),
+            f"Brand#{draw(st.integers(min_value=1, max_value=3))}{draw(st.integers(min_value=1, max_value=3))}",
+            draw(st.one_of(st.none(), st.sampled_from(["PROMO BURNISHED", "STANDARD PLATED", "x", ""]))),
+            draw(st.integers(min_value=0, max_value=50)),
+            draw(money(nullable=True)),
+        )
+        for k in range(n_part)
+    ]
+    n_doc = draw(st.integers(min_value=0, max_value=6))
+    documents = [
+        (
+            k,
+            draw(st.sampled_from(["", " ", "a", "w1 w2 w3", "x " * 10])),
+            draw(st.one_of(st.none(), st.sampled_from(["de", "en", "zh", "xx"]))),
+            draw(st.sampled_from(["src0", "src1"])),
+            0,
+        )
+        for k in range(n_doc)
+    ]
+    # events with STRING props (the fixture shape) incl. malformed /
+    # non-numeric JSON — the class that crashed q23's bare ANSI cast
+    n_ev = draw(st.integers(min_value=0, max_value=10))
+    events = [
+        (
+            k,
+            base + dt.timedelta(minutes=draw(st.integers(min_value=0, max_value=2000))),
+            draw(st.integers(min_value=0, max_value=3)),
+            draw(st.sampled_from(["view", "click", "purchase"])),
+            draw(money()),
+            draw(st.one_of(st.none(), st.sampled_from(
+                ['{"k": 3}', '{"k": 15}', "{}", "not json", '{"k": "x"}', '{"k": [1]}']
+            ))),
+        )
+        for k in range(n_ev)
+    ]
+    return {
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+        "supplier": supplier,
+        "part": part,
+        "documents": documents,
+        "events": events,
+    }
 
 
 _TPCH_SCHEMAS = {
@@ -341,6 +399,9 @@ _TPCH_SCHEMAS = {
     "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
     "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "events": "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
 }
 
 
