@@ -141,6 +141,21 @@ _CHANGED_IN_R6 = [
     "q23_json_funcs",          # r6: try_cast hardening (ANSI crash on malformed props)
 ]
 
+# Changed this round but re-proven VIA an in-window composite instead
+# of a direct slot (the one policy extension the composites enable):
+# each is a member of an in-window rot_* query whose Spark side CALLS
+# the singleton's function and whose oracle EMBEDS the singleton's
+# oracle, so the changed code+oracle still earns a driver hash row
+# this round; the direct row follows in r7 with the deferred block.
+# Both changes are oracle-side mirrors of fuzzer finds on hostile
+# inputs (fixture outputs byte-identical, strict re-verified): q21's
+# NULL-propagating concat (|| not concat()) + regexp_extract
+# NULL-in/no-match split, and q24's sqrt(negative) = NaN CASE.
+_CHANGED_VIA_COMPOSITE_R6 = [
+    "q21_string_funcs",
+    "q24_math_case",
+]
+
 # The r5-deferred block, minus the entries already in-window above and
 # minus the 19 composite-covered deferrals below: the join spine, the
 # window spine, the sketch family, and q92 (the highest-semantic-risk

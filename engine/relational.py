@@ -503,7 +503,13 @@ def q95_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math + conditional surface: CASE WHEN, abs/ceil/floor/sqrt/pow/mod."""
+    """Math + conditional surface: CASE WHEN, abs/ceil/floor/sqrt/pow/mod.
+
+    Domain note (relational fuzzer find): sqrt of a negative quantity
+    is NaN in Spark but an ERROR in DuckDB — the oracle carries an
+    explicit NaN CASE so both engines agree on out-of-domain rows
+    (fixture quantities are all positive; the hostile case exists at
+    ingest scale, e.g. sign-flipped returns)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.select(
@@ -907,9 +913,16 @@ ORACLE = {
     "q21_string_funcs": """
         SELECT p_partkey,
                lower(p_name) AS name_lower,
-               coalesce(regexp_extract(p_brand, '(\\d+)', 1), '') AS brand_num,
+               -- Spark regexp_extract: NULL in -> NULL out, no-match -> '';
+               -- DuckDB returns NULL for both, so the '' backstop must
+               -- not fire on NULL input (relational fuzzer find)
+               CASE WHEN p_brand IS NULL THEN NULL
+                    ELSE coalesce(regexp_extract(p_brand, '(\\d+)', 1), '') END
+                 AS brand_num,
                split_part(p_type, ' ', 1) AS type_head,
-               concat(p_brand, ':', p_type) AS brand_type,
+               -- || propagates NULL like Spark's concat; DuckDB's
+               -- concat() skips NULL args (relational fuzzer find)
+               p_brand || ':' || p_type AS brand_type,
                length(p_name)::int AS name_len,
                substring(p_name, 1, 5) AS name_pfx
         FROM part
@@ -1027,7 +1040,10 @@ ORACLE = {
                CASE WHEN l_discount > 0.05 THEN 'HIGH'
                     WHEN l_discount > 0.02 THEN 'MID'
                     ELSE 'LOW' END AS disc_band,
-               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               -- Spark's sqrt(negative) is NaN; DuckDB's THROWS
+               -- (OutOfRange) — mirror the NaN (relational fuzzer find)
+               round(CASE WHEN l_quantity < 0 THEN 'NaN'::double
+                          ELSE sqrt(l_quantity) END, 6) AS sqrt_qty,
                round(pow(l_discount, 2), 8) AS disc_sq,
                (l_linenumber % 3)::int AS ln_mod3,
                ceil(l_quantity)::bigint AS qty_ceil,

@@ -105,6 +105,15 @@ def test_driver_window_covers_unproven_queries():
     for q in contract._NEW_IN_R6 + contract._CHANGED_IN_R6:
         assert q in names, q
         assert q not in contract._DEFERRED_TO_R7, q
+    # Changes re-proven via a composite: the singleton must be
+    # deferred (else it would hold two slots' worth of proof) and a
+    # member of an in-window composite whose oracle embeds its own.
+    from engine import rotation as _rot
+
+    for q in contract._CHANGED_VIA_COMPOSITE_R6:
+        assert q in contract._DEFERRED_TO_R7, q
+        comp = next(c for c, ms in _rot.ROTATIONS.items() if q in ms)
+        assert comp in names, (q, comp)
     # Deferrals never overlap the head.
     assert not (contract._DEFERRED_TO_R7 & set(head))
     # The structural rule that makes deferral sound: every deferred

@@ -322,8 +322,15 @@ def tpch_tables(draw):
             i % 7 + 1,
             draw(money()),
             draw(money()),
-            draw(st.one_of(st.none(), st.sampled_from([0.0, 0.05, 0.25]))),
-            draw(st.sampled_from([0.0, 0.08])),
+            # discounts/taxes stay on the exact-binary 0.25 grid so
+            # (1 - discount) products and their sums are EXACT doubles:
+            # inexact multipliers (0.95) land sums on .xx5 rounding
+            # boundaries where Spark's and DuckDB's round() legitimately
+            # disagree in the last digit — the documented float class
+            # the engine's _trunc grids exist for (q93 docstring); the
+            # fuzzer probes NULL/tie/empty SHAPES, not that known class
+            draw(st.one_of(st.none(), st.sampled_from([0.0, 0.25, 0.5]))),
+            draw(st.sampled_from([0.0, 0.25])),
             draw(st.sampled_from(_FLAGS)),
             draw(st.sampled_from(["O", "F"])),
             draw(day),
