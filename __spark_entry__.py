@@ -67,9 +67,10 @@ canonicalizer — fixed this round by emitting the canonical string).
     in-window composite — the join spine (q01/q02/q04/q06–q10,
     q28 asof, q81 range, q35 cross), the window spine (q11/q13/q31),
     sketches (q30/q83/q96), agg/misc (q18/q82/q39/q98/q99).
-  - ``_DEFERRED_TO_R7`` (20): frozen r3-green single-pass singletons,
+  - ``_DEFERRED_TO_R7`` (19): frozen r3-green single-pass singletons,
     EVERY one a member of an in-window composite this round
-    (q03/q12/q14–q17/q21/q22/q24/q27/q32/q34/q36/q86–q88/q90–q92):
+    (q03/q12/q14–q17/q21/q22/q24/q27/q32/q34/q36/q86–q88/q90–q92,
+    minus q23 which re-entered directly with its try_cast change):
     their machinery is re-proven via the rot_* hash rows, and they
     lead r7 for their direct rows.
 """
@@ -201,7 +202,6 @@ _DEFERRED_TO_R7 = {
     "q17_except",
     "q21_string_funcs",
     "q22_date_funcs",
-    "q23_json_funcs",
     "q24_math_case",
     "q27_pivot",
     "q32_stat_aggregates",
