@@ -61,8 +61,10 @@ canonicalizer — fixed this round by emitting the canonical string).
     q19/q20/q26 (oracle HAVING count(*) > 0 pinning the grouping
     family's empty-input semantics — found by the new relational
     fuzzer), and q23 (try_cast hardening: a malformed/non-numeric
-    props value crashed the bare int cast under ANSI — same fuzzer,
-    via its composite).
+    props value crashed the bare int cast under ANSI — same fuzzer;
+    re-enters directly, displacing composite-covered q92).
+    q21/q24's oracle-side fuzzer fixes are instead re-proven via
+    their in-window composites (``_CHANGED_VIA_COMPOSITE_R6``).
   - ``_R6_ROTATION`` (22): every deferred entry NOT covered by an
     in-window composite — the join spine (q01/q02/q04/q06–q10,
     q28 asof, q81 range, q35 cross), the window spine (q11/q13/q31),
