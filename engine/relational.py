@@ -919,7 +919,10 @@ ORACLE = {
                CASE WHEN p_brand IS NULL THEN NULL
                     ELSE coalesce(regexp_extract(p_brand, '(\\d+)', 1), '') END
                  AS brand_num,
-               split_part(p_type, ' ', 1) AS type_head,
+               -- DuckDB split_part(NULL, ...) is '' not NULL; Spark's
+               -- split(NULL)[0] is NULL (relational fuzzer find)
+               CASE WHEN p_type IS NULL THEN NULL
+                    ELSE split_part(p_type, ' ', 1) END AS type_head,
                -- || propagates NULL like Spark's concat; DuckDB's
                -- concat() skips NULL args (relational fuzzer find)
                p_brand || ':' || p_type AS brand_type,
