@@ -150,13 +150,18 @@ _CHANGED_IN_R6 = [
 # the singleton's function and whose oracle EMBEDS the singleton's
 # oracle, so the changed code+oracle still earns a driver hash row
 # this round; the direct row follows in r7 with the deferred block.
-# Both changes are oracle-side mirrors of fuzzer finds on hostile
-# inputs (fixture outputs byte-identical, strict re-verified): q21's
-# NULL-propagating concat (|| not concat()) + regexp_extract
-# NULL-in/no-match split, and q24's sqrt(negative) = NaN CASE.
+# All are fuzzer finds on hostile inputs (fixture outputs
+# byte-identical, strict re-verified): q21's NULL-propagating concat
+# (|| not concat()) + regexp_extract NULL-in/no-match split +
+# split_part NULL, q24's sqrt(negative) = NaN CASE (both oracle-only),
+# and q32's corr rewritten on BOTH sides as covar_pop/nullif(σx·σy,0)
+# so a degenerate group yields NULL instead of killing the aggregate.
 _CHANGED_VIA_COMPOSITE_R6 = [
     "q21_string_funcs",
     "q24_math_case",
+    "q32_stat_aggregates",   # corr as guarded co-moment quotient: the
+                             # built-in corr THROWS (ANSI div-by-zero)
+                             # on a zero-variance group — fuzzer find
 ]
 
 # The r5-deferred block, minus the entries already in-window above and

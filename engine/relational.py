@@ -640,12 +640,25 @@ def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q32_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: corr, covariance, population/
-    sample variance & stddev — per return flag."""
+    sample variance & stddev — per return flag.
+
+    corr is computed as covar_pop / nullif(σx·σy, 0) — algebraically
+    identical to Pearson's r (the n's cancel) but NULL instead of a
+    DIVIDE_BY_ZERO crash on a zero-variance group (a single-row or
+    constant-valued group — found by the relational fuzzer: Spark's
+    built-in corr THROWS under ANSI mode there, and one degenerate
+    group must not kill the whole aggregate at crawl scale). The
+    oracle carries the same guarded quotient."""
     li = table(spark, sf_dir, "lineitem")
+    corr_den = F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice")
+                / F.nullif(corr_den, F.lit(0.0)),
+                6,
+            ).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
             F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
@@ -950,7 +963,12 @@ ORACLE = {
     """,
     "q32_stat_aggregates": """
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               -- same guarded quotient as the Spark side: NULL (not an
+               -- ANSI crash / engine-dependent NaN) on zero variance
+               round(covar_pop(l_quantity, l_extendedprice)
+                     / nullif(stddev_pop(l_quantity)
+                              * stddev_pop(l_extendedprice), 0),
+                     6) AS corr_qty_price,
                round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
                round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
                round(var_samp(l_discount), 8) AS var_disc,
