@@ -193,8 +193,20 @@ _R6_ROTATION = [
     "q99_deterministic_split",
 ]
 
-# Additions made after THIS round's window froze (none yet).
-_POST_FREEZE_ADDITIONS: list[str] = []
+# Additions made after THIS round's window froze — the sanctioned
+# exception class (r5's q115-q117 pattern): every head slot holds a
+# strictly higher-priority entry, so these sit out one round,
+# oracle-backed (strict-green at all three SFs) and planted-case /
+# recount tested in-suite, and LEAD the r7 window with the deferred
+# block.
+_POST_FREEZE_ADDITIONS: list[str] = [
+    "q118_incremental_neardup",   # near-dup ingest probe vs the standing
+                                  # banded-signature store (q102's split,
+                                  # q54's bands, integer match threshold)
+    "q119_context_budget_report", # context-window fit/split/windows/
+                                  # utilization planning report (exact
+                                  # bigint arithmetic end to end)
+]
 
 # Frozen r3-green single-pass singletons deferred to r7 — every one a
 # member of an in-window composite this round (guard-test-asserted),

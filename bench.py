@@ -141,6 +141,8 @@ HEADLINE = [
     "q116_bm25_topk",
     "q117_weighted_sample",
     "packing_invariants_report",
+    "q118_incremental_neardup",
+    "q119_context_budget_report",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

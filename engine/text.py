@@ -3424,3 +3424,249 @@ ORACLE["q117_weighted_sample"] = f"""
     FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_N}
     ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 post-freeze additions (lead the r7 driver window; see the
+# __spark_entry__ docstring).  Two corpus-ops the surface lacked: near-dup
+# ingest dedup against a standing SIGNATURE store (q102 is the exact-hash
+# twin), and the context-length budget report a trainer runs before a run.
+# ---------------------------------------------------------------------------
+
+# minimum matching signature positions (of N_MINHASH) for an LSH
+# candidate to count as a near-dup: 4/8 = est. Jaccard 0.5 — an exact
+# INTEGER threshold, so the verdict cannot drift on a float boundary
+NEARDUP_MATCH_MIN = 4
+
+
+def _banded_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_key) — q54's per-doc signature + banding,
+    factored out so the incremental probe (q118) and the batch
+    candidate join (q54) share one definition of the band key."""
+    sigs = minhash_signatures(d)
+    per_doc = sigs.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)"
+        ).alias("sig")
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    return per_doc.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.expr(f"sig[{b * rows_per_band + r}]") for r in range(rows_per_band)],
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+
+
+def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest dedup — q102's continuous-crawl
+    shape at MinHash granularity: the newly ingested batch
+    (doc_id % INCR_BATCH_MOD == 0, q102's split) is checked against
+    the STANDING corpus's banded-signature store and against itself,
+    labeling every batch doc ``near_dup_of_history`` /
+    ``near_dup_in_batch`` (keep-first: it matches an earlier batch
+    doc) / ``new``, with the smallest matching doc id as evidence.
+    This is the op a daily ingest actually needs — "is this document
+    a near-duplicate of ANYTHING we already have?" — without
+    rescanning or re-pairing the standing corpus (q54/q80 is the
+    periodic global compaction).
+
+    A candidate counts as a near-dup when ≥ NEARDUP_MATCH_MIN of the
+    N_MINHASH signature positions agree (4/8 ≈ Jaccard 0.5) — an
+    integer threshold on exact int64 minhashes, engine-portable by
+    construction.  Pairwise only, by design: transitive closure is
+    q80's global job, not the ingest probe's.
+
+    Scale shape (100 TB standing corpus, TB-scale daily batch):
+    signatures are computed for BATCH docs only at real scale — the
+    history side is the persisted (band_key, doc_id, sig) store this
+    fixture derives in-plan from the history split; bucketed on
+    band_key it makes the probe a co-located equi-join with no
+    history-side shuffle.  Work is O(batch × bands + collisions):
+    nothing touches history rows outside the probed band keys, and
+    the within-batch self-join is batch-sized — the standing corpus
+    is never re-paired.  Band keys are q54's xxhash64 (need not be
+    oracle-portable: the oracle's md5 band keys induce the same doc
+    groupings; a cross-band collision could only ADD a candidate,
+    which the signature-agreement verify filters)."""
+    d = table(spark, sf_dir, "documents")
+    bands = _banded_signatures(d)
+    batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")
+
+    def _best_match(cands: DataFrame, out: str) -> DataFrame:
+        return (
+            cands.distinct()
+            .withColumn("m", n_match)
+            .filter(F.col("m") >= NEARDUP_MATCH_MIN)
+            .groupBy("doc_id")
+            .agg(F.min("match_id").alias(out))
+        )
+
+    hmatch = _best_match(
+        batch.alias("n")
+        .join(hist.alias("h"), "band_key")
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("match_id"),
+            F.col("n.sig").alias("sa"),
+            F.col("h.sig").alias("sb"),
+        ),
+        "hist_match",
+    )
+    bmatch = _best_match(
+        batch.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        ),
+        "batch_match",
+    )
+    # base = ALL batch docs from the corpus, not the signature frame:
+    # a sub-shingle doc (< 3 tokens) has no signature and is trivially
+    # 'new' — it must still get a status row
+    base = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select("doc_id")
+    return (
+        base.join(hmatch, "doc_id", "left")
+        .join(bmatch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hist_match").isNotNull(), F.lit("near_dup_of_history"))
+            .when(F.col("batch_match").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("hist_match", "batch_match").alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q118_incremental_neardup"] = q118_incremental_neardup
+
+ORACLE["q118_incremental_neardup"] = f"""
+    WITH per_doc AS ({_DUCK_PER_DOC_SIG}),
+    bands AS (
+        SELECT doc_id, sig, unnest([{_DUCK_BANDS}]) AS band_key FROM per_doc),
+    nb AS (SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} = 0),
+    hb AS (SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+    hcand AS (
+        SELECT DISTINCT n.doc_id, h.doc_id AS match_id, n.sig AS sa, h.sig AS sb
+        FROM nb n JOIN hb h USING (band_key)),
+    hmatch AS (
+        SELECT doc_id, min(match_id) AS hist_match FROM hcand
+        WHERE len(list_filter(list_zip(sa, sb), t -> t[1] = t[2]))
+              >= {NEARDUP_MATCH_MIN}
+        GROUP BY doc_id),
+    bcand AS (
+        SELECT DISTINCT a.doc_id, b.doc_id AS match_id, a.sig AS sa, b.sig AS sb
+        FROM nb a JOIN nb b
+          ON a.band_key = b.band_key AND a.doc_id > b.doc_id),
+    bmatch AS (
+        SELECT doc_id, min(match_id) AS batch_match FROM bcand
+        WHERE len(list_filter(list_zip(sa, sb), t -> t[1] = t[2]))
+              >= {NEARDUP_MATCH_MIN}
+        GROUP BY doc_id),
+    base AS (SELECT doc_id FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0)
+    SELECT base.doc_id,
+           CASE WHEN hist_match IS NOT NULL THEN 'near_dup_of_history'
+                WHEN batch_match IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'new' END AS status,
+           coalesce(hist_match, batch_match) AS match_id
+    FROM base
+    LEFT JOIN hmatch USING (doc_id)
+    LEFT JOIN bmatch USING (doc_id)
+    ORDER BY base.doc_id
+"""
+
+
+# context windows the budget report prices (tokens; fixture docs span
+# tens-to-hundreds of tokens so all three fit/split regimes occur)
+CONTEXT_LENGTHS = [32, 128, 512]
+
+
+def q119_context_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget report — the planning query a trainer
+    runs BEFORE a run: for each candidate context window, how many
+    docs fit whole, how many must split, how many training windows
+    the q49 concat-and-chop layout yields per document, and the
+    window utilization (token occupancy of the window grid if each
+    doc's windows are padded to the boundary — the waste the q49
+    packer exists to reclaim; utilization_ppm == 1e6 would mean
+    zero padding).  All counts are exact bigints; utilization is
+    integer-division ppm (total_tokens·1e6 div windows·L), so the
+    row is bit-portable by construction.
+
+    Scale shape: ONE corpus scan — the per-doc token count is
+    projected once and the |CONTEXT_LENGTHS|-way explode happens on
+    the (n, L) pairs, never the text; the aggregate is a 3-group
+    hash agg with map-side combine, output 3 rows.  The whitespace
+    tokenization is q49/q67's (the '' doc counts 1 token, the
+    established engine-wide convention)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    per_l = d.select(
+        n_tokens.alias("n"),
+        F.explode(F.array(*[F.lit(L) for L in CONTEXT_LENGTHS])).alias("context_len"),
+    )
+    return (
+        per_l.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") <= F.col("context_len")).cast("bigint")).alias("docs_fit"),
+            F.sum((F.col("n") > F.col("context_len")).cast("bigint")).alias("docs_split"),
+            F.sum(F.expr("(n + context_len - 1) div context_len")).alias("windows"),
+            F.sum("n").alias("total_tokens"),
+        )
+        .select(
+            "context_len",
+            "n_docs",
+            "docs_fit",
+            "docs_split",
+            "windows",
+            "total_tokens",
+            F.expr("(total_tokens * 1000000) div (windows * context_len)").alias(
+                "utilization_ppm"
+            ),
+        )
+        .orderBy("context_len")
+    )
+
+
+QUERIES["q119_context_budget_report"] = q119_context_budget_report
+
+_DUCK_CTX_LENGTHS = ", ".join(str(L) for L in CONTEXT_LENGTHS)
+
+ORACLE["q119_context_budget_report"] = f"""
+    WITH toks AS (
+        SELECT len(string_split_regex(trim(text), ' +'))::bigint AS n
+        FROM documents),
+    per_l AS (
+        SELECT n, unnest([{_DUCK_CTX_LENGTHS}])::bigint AS context_len FROM toks),
+    agg AS (
+        SELECT context_len,
+               count(*)::bigint AS n_docs,
+               sum((n <= context_len)::int)::bigint AS docs_fit,
+               sum((n > context_len)::int)::bigint AS docs_split,
+               sum((n + context_len - 1) // context_len)::bigint AS windows,
+               sum(n)::bigint AS total_tokens
+        FROM per_l GROUP BY context_len)
+    SELECT context_len, n_docs, docs_fit, docs_split, windows, total_tokens,
+           ((total_tokens * 1000000) // (windows * context_len))::bigint
+             AS utilization_ppm
+    FROM agg ORDER BY context_len
+"""

@@ -1302,3 +1302,57 @@ def test_weighted_sample_matches_independent_python(spark, sf_dir):
     sample_mean = sum(quality[i] for i in ids) / len(ids)
     corpus_mean = sum(quality.values()) / len(quality)
     assert sample_mean > corpus_mean
+
+
+def test_incremental_neardup_planted_statuses(spark, tmp_path):
+    """q118 on a planted split (batch = doc_id % 3 == 0): an exact
+    near-dup of a history doc labels near_dup_of_history with the
+    history doc as evidence; two batch twins label the LATER one
+    near_dup_in_batch (keep-first); a unique doc and a sub-shingle
+    doc are new; history docs get no row at all."""
+    from engine.text import q118_incremental_neardup
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, t1, "en", "src0", len(t1)),     # history original
+        (0, t1, "en", "src0", len(t1)),     # batch: dup of history
+        (3, t2, "en", "src0", len(t2)),     # batch: first of a twin pair
+        (6, t2, "en", "src0", len(t2)),     # batch: later twin -> in-batch
+        (9, "a b", "en", "src0", 3),        # batch: sub-shingle -> new
+        (12, "totally different words here entirely unrelated content stream", "en", "src0", 10),
+        (2, "history only content that matches nothing in the batch at all", "en", "src0", 10),
+    ]
+    d = str(tmp_path / "incr_neardup")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in q118_incremental_neardup(spark, d).collect()}
+    assert set(out) == {0, 3, 6, 9, 12}  # batch docs only
+    assert out[0].status == "near_dup_of_history" and out[0].match_id == 1
+    assert out[3].status == "new" and out[3].match_id is None
+    assert out[6].status == "near_dup_in_batch" and out[6].match_id == 3
+    assert out[9].status == "new"
+    assert out[12].status == "new"
+
+
+def test_context_budget_report_exact_recount(spark, sf_dir):
+    """q119's per-window counts must equal an exact python recount of
+    the fixture (same whitespace tokenization, ceil-div windows,
+    integer-ppm utilization)."""
+    from engine.session import table
+    from engine.text import CONTEXT_LENGTHS, q119_context_budget_report
+
+    texts = [r.text for r in table(spark, sf_dir, "documents").select("text").collect()]
+    toks = [len(t.strip().split()) if t.strip() else 1 for t in texts]
+    got = {r.context_len: r for r in q119_context_budget_report(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(CONTEXT_LENGTHS)
+    for L in CONTEXT_LENGTHS:
+        windows = sum((n + L - 1) // L for n in toks)
+        r = got[L]
+        assert r.n_docs == len(toks)
+        assert r.docs_fit == sum(1 for n in toks if n <= L)
+        assert r.docs_split == sum(1 for n in toks if n > L)
+        assert r.windows == windows
+        assert r.total_tokens == sum(toks)
+        assert r.utilization_ppm == (sum(toks) * 1_000_000) // (windows * L)
