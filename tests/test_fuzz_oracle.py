@@ -156,7 +156,10 @@ def event_tables(draw):
     n_users = draw(st.integers(min_value=1, max_value=4))
     rows = []
     eid = 0
-    base = dt.datetime(2024, 3, 1)
+    # occasionally a PRE-EPOCH base: negative unix_micros exercises
+    # q93's biased total-order key (r6) and every other event-time
+    # operator's date arithmetic left of 1970
+    base = draw(st.sampled_from([dt.datetime(2024, 3, 1), dt.datetime(1969, 12, 29)]))
     for u in range(n_users):
         n_ev = draw(st.integers(min_value=1, max_value=10))
         # minute offsets, small domain so ties and session gaps both occur
