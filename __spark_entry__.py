@@ -166,8 +166,10 @@ _CHANGED_VIA_COMPOSITE_R6 = [
 
 # The r5-deferred block, minus the entries already in-window above and
 # minus the 19 composite-covered deferrals below: the join spine, the
-# window spine, the sketch family, and q92 (the highest-semantic-risk
-# composite member takes the last slot).
+# window spine, and the sketch family. (The last slot went to q23's
+# DIRECT re-entry with its try_cast change — see _CHANGED_IN_R6 —
+# which displaced q92 into _DEFERRED_TO_R7; q92 is composite-covered
+# this round via the in-window rot_window_shapes.)
 _R6_ROTATION = [
     "q28_asof_join",
     "q11_window_rank",

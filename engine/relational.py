@@ -648,9 +648,20 @@ def q32_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-valued group — found by the relational fuzzer: Spark's
     built-in corr THROWS under ANSI mode there, and one degenerate
     group must not kill the whole aggregate at crawl scale). The
-    oracle carries the same guarded quotient."""
+    oracle carries the same guarded quotient.
+
+    r7 (ADVICE): the σ legs are computed over PAIRWISE-COMPLETE rows
+    (both columns non-null), matching built-in corr/covar_pop's
+    pairwise deletion — a bare stddev_pop ranges over its own
+    column's non-null rows, so asymmetric NULLs would make the
+    quotient diverge from Pearson's r. The fixture columns are
+    non-nullable (identical output, hash unchanged); the guard is for
+    real nullable inputs."""
     li = table(spark, sf_dir, "lineitem")
-    corr_den = F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice")
+    pairwise = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    corr_den = F.stddev_pop(F.when(pairwise, F.col("l_quantity"))) * F.stddev_pop(
+        F.when(pairwise, F.col("l_extendedprice"))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -964,10 +975,15 @@ ORACLE = {
     "q32_stat_aggregates": """
         SELECT l_returnflag,
                -- same guarded quotient as the Spark side: NULL (not an
-               -- ANSI crash / engine-dependent NaN) on zero variance
+               -- ANSI crash / engine-dependent NaN) on zero variance;
+               -- sigma legs over pairwise-complete rows, like corr
                round(covar_pop(l_quantity, l_extendedprice)
-                     / nullif(stddev_pop(l_quantity)
-                              * stddev_pop(l_extendedprice), 0),
+                     / nullif(stddev_pop(CASE WHEN l_quantity IS NOT NULL
+                                          AND l_extendedprice IS NOT NULL
+                                         THEN l_quantity END)
+                              * stddev_pop(CASE WHEN l_quantity IS NOT NULL
+                                            AND l_extendedprice IS NOT NULL
+                                           THEN l_extendedprice END), 0),
                      6) AS corr_qty_price,
                round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
                round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
@@ -2526,10 +2542,14 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r5 driver canonicalizer crashed sorting an ``array<bigint>``
     column (pandas "unhashable type: 'list'", CORRECTNESS_r05), so
     the one schema the contract consumer cannot canonicalize is an
-    array. The string IS the ordering key the query already used for
-    its tiebreaks (the old ``cast(items as string)`` tiebreak was
-    lexicographic over the same digit strings), so row content and
-    order are unchanged — only the column's type."""
+    array. Row content and order are unchanged ON THE FIXTURES
+    (verified at sf0.001/0.01 before/after; the contract hash was
+    regenerated from the new output, not assumed stable). In general
+    the two keys are NOT order-identical: the old tiebreak compared
+    ``'[1, 2]'``-style strings, the new one ``'1,2'`` — on a prefix
+    tie (e.g. equal-freq ``{1}`` vs ``{12}``) ``']' > '2'`` ordered
+    ``{12}`` first while the comma key orders ``{1}`` first, so
+    freq-tied top-K membership at the cut could differ from r5."""
     from pyspark.ml.fpm import FPGrowth
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
