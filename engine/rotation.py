@@ -27,9 +27,12 @@ IDENTICALLY on the Spark and DuckDB sides:
 The serialization is NOT a weaker check in practice: every member is
 hash-green at full float precision in some past round, so a value that
 moves off its 1e-4 grid cell (or any key/count/flag change at all)
-flips the composite's hash. What the composite buys is arithmetic: 25
-singleton slots collapse into 4, bringing max driver-row staleness
-back under the window size.
+flips the composite's hash. What the composite buys is arithmetic: r6
+collapsed 25 relational singleton slots into 4 composites; r7 applies
+the same move to the text / stream / similarity / multimodal /
+sampling / stats / SQL-API families (the r6 verdict's item 1) — 63
+more members into 9 composites — so EVERY hash-green singleton's
+machinery earns a driver row each round, direct or composite.
 
 Scale shape: a UNION ALL of narrow single-pass shapes executes each
 member exactly as its standalone plan (Catalyst plans each branch
@@ -45,9 +48,21 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import relational
+from . import multimodal, relational, sampling, similarity, sqlapi, stats, streaming, text, text_ml, udfs
 
 NULL_S = "∅"
+
+# Member registry: composites may draw from any single-pass contract
+# module (r6 covered only `relational`; r7 extends the pattern to the
+# text / stream / similarity / multimodal / sampling / stats / SQL-API
+# families — the r6 verdict's item 1). Keys are globally unique across
+# modules (asserted by the contract's merge).
+_MEMBER_MODULES = [relational, text, text_ml, similarity, streaming, multimodal, sampling, stats, sqlapi, udfs]
+MEMBER_QUERIES: dict = {}
+MEMBER_ORACLE: dict = {}
+for _m in _MEMBER_MODULES:
+    MEMBER_QUERIES.update(_m.QUERIES)
+    MEMBER_ORACLE.update(_m.ORACLE)
 
 # (column, kind) per member, in output order. kinds:
 #   s string · i int/bigint · b boolean · f double (1e-4 floor grid)
@@ -136,7 +151,7 @@ def _duck_ser(col: str, kind: str) -> str:
 
 
 def _leg_frame(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = relational.QUERIES[name](spark, sf_dir)
+    df = MEMBER_QUERIES[name](spark, sf_dir)
     k = F.concat_ws("|", *[_spark_ser(c, kind) for c, kind in _LEGS[name]])
     return df.select(F.lit(name).alias("shape"), k.alias("k"))
 
@@ -155,9 +170,148 @@ def _composite_oracle(members: list[str]) -> str:
         exprs = ", ".join(_duck_ser(c, kind) for c, kind in _LEGS[n])
         parts.append(
             f"SELECT '{n}' AS shape, concat_ws('|', {exprs}) AS k"
-            f"\nFROM ({relational.ORACLE[n]}) leg"
+            f"\nFROM ({MEMBER_ORACLE[n]}) leg"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# r7 members — the 38-query r4-stale block plus the r5-stale
+# single-pass family (the r6 verdict's item 1: the relational
+# composites' arithmetic applied to the text / stream / similarity /
+# multimodal / sampling / stats / SQL-API shapes). Schemas captured
+# from the live queries at sf0.001 and pinned by
+# tests/test_rotation.py::test_every_member_spec_matches_member_schema.
+_LEGS_R7: dict[str, list[tuple[str, str]]] = {
+    "q50_dedup_exact": [("text_hash", "s"), ("keeper_doc_id", "i"), ("n_copies", "i")],
+    "q51_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
+    "q52_ngram_jaccard": [("doc_a", "i"), ("doc_b", "i"), ("jaccard", "f")],
+    "q53_minhash_signatures": [("doc_id", "i"), ("seed", "i"), ("minhash", "i")],
+    "q54_minhash_candidates": [("doc_a", "i"), ("doc_b", "i"), ("est_jaccard", "f")],
+    "q55_simhash": [("doc_id", "i"), ("simhash", "i")],
+    "q59_char_fingerprint": [("doc_id", "i"), ("rolling_min_hash", "i")],
+    "q81b_band_self_join": [("bucket", "i"), ("n_pairs", "i")],
+    "q56_langid": [("doc_id", "i"), ("lang", "s"), ("predicted_lang", "s"), ("marker_hits", "i")],
+    "q57_quality_score": [("doc_id", "i"), ("n_tokens", "i"), ("n_distinct", "i"), ("distinct_ratio", "f"), ("mean_tok_len", "f"), ("quality", "f"), ("bucket", "s")],
+    "q57b_repetition_signals": [("doc_id", "i"), ("n_tokens", "i"), ("dup_2gram_frac", "f"), ("top_2gram_frac", "f"), ("dup_3gram_frac", "f"), ("top_3gram_frac", "f"), ("repetitive", "b")],
+    "q57c_unigram_logprob": [("doc_id", "i"), ("n_tokens", "i"), ("avg_neg_logprob", "f")],
+    "q58_token_stats": [("lang", "s"), ("n_docs", "i"), ("n_tokens", "i"), ("vocab", "i"), ("tokens_per_doc", "f")],
+    "q67b_heavy_hitters": [("tok", "s"), ("n_occurrences", "i"), ("rank", "i")],
+    "q68_data_pipeline": [("lang", "s"), ("n_docs", "i"), ("token_budget", "i"), ("avg_quality", "f")],
+    "q48_decontaminate": [("doc_id", "i"), ("n_shingles", "i"), ("n_hits", "i"), ("contam_rate", "f"), ("contaminated", "b")],
+    "q49_sequence_packing": [("doc_id", "i"), ("shard", "i"), ("n_tokens", "i"), ("start_tok", "i"), ("end_tok", "i"), ("first_window", "i"), ("last_window", "i"), ("n_windows", "i")],
+    "q49c_rag_chunking": [("doc_id", "i"), ("chunk_idx", "i"), ("start_tok", "i"), ("n_chunk_tokens", "i"), ("chunk_hash", "s")],
+    "q77_dq_report": [("tbl", "s"), ("metric", "s"), ("value", "i")],
+    "q78_pii_scrub": [("doc_id", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ssn", "i"), ("n_ipv4", "i"), ("scrubbed_hash", "s"), ("scrubbed_len", "i")],
+    "q79_corpus_mix": [("lang", "s"), ("n_before", "i"), ("n_selected", "i"), ("rate_ppm", "i")],
+    "q74b_stream_decontaminate": [("doc_id", "i"), ("n_shingles", "i"), ("n_hits", "i"), ("contam_rate", "f"), ("contaminated", "b")],
+    "q70_stream_tumbling": [("window_start", "t"), ("event_type", "s"), ("n", "i"), ("sum_value", "f")],
+    "q71_stream_sliding": [("window_start", "t"), ("n", "i")],
+    "q73_stream_dedup_count": [("n_unique", "i"), ("sum_value", "f")],
+    "q74_stream_join": [("event_id", "i"), ("user_id", "i"), ("purchase_ts", "t"), ("click_ts", "t")],
+    "q63_multimodal_meta": [("doc_id", "i"), ("n_bytes", "i"), ("payload_sha256", "s"), ("lang", "s"), ("emb_dim", "i")],
+    "q64_media_features": [("shard", "i"), ("n", "i"), ("total_pixel_sum", "i"), ("min_byte", "i"), ("max_byte", "i"), ("total_bytes", "i"), ("avg_byte_mean", "f")],
+    "q40_balanced_sample": [("vec_id", "i"), ("label", "i")],
+    "q44_sparsity": [("n_near_zero", "i"), ("n_exact_zero", "i"), ("n_total", "i"), ("near_zero_frac", "f")],
+    "q46_gap_fill": [("user_id", "i"), ("day", "d"), ("n_events", "i"), ("is_gap", "b"), ("locf_value", "f")],
+    "q101_retention_cohorts": [("cohort_week", "t"), ("k", "i"), ("n_users", "i")],
+    "q80_dedup_components": [("component", "i"), ("cluster_size", "i"), ("keeper", "i")],
+    "q80b_component_representatives": [("component", "i"), ("cluster_size", "i"), ("keeper_doc_id", "i"), ("keeper_quality", "f")],
+    "q102_incremental_dedup": [("doc_id", "i"), ("fingerprint", "s"), ("status", "s")],
+    "q102b_bloom_incremental_dedup": [("doc_id", "i"), ("fingerprint", "s"), ("status", "s")],
+    "q106_leakage_safe_split": [("doc_id", "i"), ("split_key", "i"), ("split", "s")],
+    "q107_snapshot_diff": [("doc_id", "i"), ("status", "s")],
+    "q112_cdc_merge": [("custkey", "i"), ("name", "s"), ("acctbal", "f"), ("action", "s")],
+    "q113_substring_dedup": [("doc_id", "i"), ("n_tokens", "i"), ("n_dup_windows", "i"), ("n_removed", "i"), ("clean_text_hash", "s")],
+    "q114_boilerplate_scrub": [("doc_id", "i"), ("n_chunks", "i"), ("n_boiler", "i"), ("clean_text_hash", "s")],
+    "q97_paragraph_dedup": [("doc_id", "i"), ("n_chunks", "i"), ("n_kept", "i"), ("dedup_text_hash", "s")],
+    "q103_bpe_pair_census": [("left_sym", "s"), ("right_sym", "s"), ("pair_count", "i")],
+    "q104_temperature_mixture": [("lang", "s"), ("n_tokens_before", "i"), ("p_target", "f"), ("rate_ppm", "i"), ("docs_selected", "i"), ("tokens_selected", "i")],
+    "q109_pmi_collocations": [("w1", "s"), ("w2", "s"), ("cab", "i"), ("pmi", "f")],
+    "q111_dsir_selection": [("doc_id", "i"), ("n_grams", "i"), ("dsir_score", "i"), ("rank", "i")],
+    "q67c_stream_heavy_hitters": [("tok", "s"), ("n_occurrences", "i"), ("rank", "i")],
+    "q69_tfidf": [("doc_id", "i"), ("term", "s"), ("tf", "i"), ("rank", "i"), ("tfidf", "f")],
+    "q48b_span_decontaminate": [("doc_id", "i"), ("n_chunks", "i"), ("n_removed", "i"), ("removed_rate", "f"), ("clean_text_hash", "s")],
+    "q25_correlated_subquery": [("o_orderkey", "i"), ("o_custkey", "i"), ("totalprice", "f"), ("cust_avg", "f")],
+    "q37_grouped_udaf": [("l_returnflag", "s"), ("geo_mean_disc", "f")],
+    "q38_python_udtf": [("doc_id", "i"), ("pos", "i"), ("token", "s")],
+    "q84_sql_shipping_priority": [("l_orderkey", "i"), ("revenue", "f"), ("o_orderdate", "t"), ("o_orderpriority", "s")],
+    "q85_sql_cte_window_having": [("c_nationkey", "i"), ("n_customers", "i"), ("avg_top_order", "f")],
+    "q94_recursive_cte": [("o_custkey", "i"), ("hop", "i"), ("cum_spend", "f")],
+    "q41_sample_census": [("label", "i"), ("count", "i")],
+    "q105_semantic_decontamination": [("vec_id", "i"), ("max_eval_sim", "f"), ("n_hits", "i"), ("contaminated", "b")],
+    "q61_knn_lsh_bucketed": [("query_id", "i"), ("vec_id", "i"), ("bucket", "i"), ("cosine", "f"), ("rank", "i")],
+    "q66_embedding_near_dup": [("vec_a", "i"), ("vec_b", "i"), ("cosine", "f")],
+    "q64b_frame_sample": [("doc_id", "i"), ("frame_idx", "i"), ("src_frame", "i"), ("frame_bytes", "i"), ("byte_sum", "i")],
+    "q42_census": [("label", "i"), ("count", "i")],
+    "q43_summary_stats": [("dim", "i"), ("n", "i"), ("mean", "f"), ("std", "f"), ("min", "f"), ("p25", "f"), ("median", "f"), ("p75", "f"), ("max", "f")],
+    "q45_per_class_mean": [("label", "i"), ("dim", "i"), ("mean", "f")],
+}
+_LEGS.update(_LEGS_R7)
+
+# r7 composite membership (9 composites, 63 members). Groups are
+# thematic: each composite UNION-ALLs shapes that exercise one family
+# of the SURVEY-§2 surface, so a red composite row localizes quickly.
+ROTATIONS.update(
+    {
+        # MinHash / SimHash / fingerprint dedup machinery (r4-stale)
+        "rot_text_dedup_shapes": [
+            "q50_dedup_exact", "q51_fingerprint", "q52_ngram_jaccard",
+            "q53_minhash_signatures", "q54_minhash_candidates",
+            "q55_simhash", "q59_char_fingerprint", "q81b_band_self_join",
+        ],
+        # language-ID / quality / repetition / token-census machinery
+        "rot_text_quality_shapes": [
+            "q56_langid", "q57_quality_score", "q57b_repetition_signals",
+            "q57c_unigram_logprob", "q58_token_stats",
+            "q67b_heavy_hitters", "q68_data_pipeline",
+        ],
+        # decontamination / packing / scrub / mix pipeline shapes
+        "rot_text_pipeline_shapes": [
+            "q48_decontaminate", "q49_sequence_packing",
+            "q49c_rag_chunking", "q77_dq_report", "q78_pii_scrub",
+            "q79_corpus_mix", "q74b_stream_decontaminate",
+        ],
+        # batch-equivalent streaming shapes (tumbling/sliding/dedup/join)
+        "rot_stream_shapes": [
+            "q70_stream_tumbling", "q71_stream_sliding",
+            "q73_stream_dedup_count", "q74_stream_join",
+        ],
+        # multimodal metadata + sampling + event-shape machinery
+        "rot_mm_sample_shapes": [
+            "q63_multimodal_meta", "q64_media_features",
+            "q40_balanced_sample", "q44_sparsity", "q46_gap_fill",
+            "q101_retention_cohorts", "q80_dedup_components",
+            "q80b_component_representatives",
+        ],
+        # incremental-ingest dedup + snapshot/CDC + span dedup (r5-stale)
+        "rot_ingest_dedup_shapes": [
+            "q102_incremental_dedup", "q102b_bloom_incremental_dedup",
+            "q106_leakage_safe_split", "q107_snapshot_diff",
+            "q112_cdc_merge", "q113_substring_dedup",
+            "q114_boilerplate_scrub", "q97_paragraph_dedup",
+        ],
+        # corpus statistics: BPE census, mixing, PMI, DSIR, TF-IDF
+        "rot_corpus_stats_shapes": [
+            "q103_bpe_pair_census", "q104_temperature_mixture",
+            "q109_pmi_collocations", "q111_dsir_selection",
+            "q67c_stream_heavy_hitters", "q69_tfidf",
+            "q48b_span_decontaminate",
+        ],
+        # SQL-text API / subquery / Python UDF-UDTF / census shapes
+        "rot_sql_udf_shapes": [
+            "q25_correlated_subquery", "q37_grouped_udaf",
+            "q38_python_udtf", "q84_sql_shipping_priority",
+            "q85_sql_cte_window_having", "q94_recursive_cte",
+            "q41_sample_census",
+        ],
+        # vector / embedding machinery + frame sampling + stats
+        "rot_vector_shapes": [
+            "q105_semantic_decontamination", "q61_knn_lsh_bucketed",
+            "q66_embedding_near_dup", "q64b_frame_sample",
+            "q42_census", "q43_summary_stats", "q45_per_class_mean",
+        ],
+    }
+)
 
 
 QUERIES = {name: _composite(members) for name, members in ROTATIONS.items()}

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from engine import relational, rotation
+from engine import rotation
 
 
 def test_every_member_spec_matches_member_schema(spark, sf_dir):
@@ -28,7 +28,7 @@ def test_every_member_spec_matches_member_schema(spark, sf_dir):
         "timestamp_ntz": "t",
     }
     for name, spec in rotation._LEGS.items():
-        df = relational.QUERIES[name](spark, sf_dir)
+        df = rotation.MEMBER_QUERIES[name](spark, sf_dir)
         got = [(c, kind_of_dtype[t]) for c, t in df.dtypes]
         assert got == spec, f"{name}: schema drifted from _LEGS spec"
 
@@ -52,7 +52,7 @@ def test_composite_population_equals_members(spark, sf_dir, comp):
         .collect()
     }
     for m in rotation.ROTATIONS[comp]:
-        assert got.get(m) == relational.QUERIES[m](spark, sf_dir).count(), m
+        assert got.get(m) == rotation.MEMBER_QUERIES[m](spark, sf_dir).count(), m
 
 
 def test_serialized_rows_never_null_or_empty(spark, sf_dir):
