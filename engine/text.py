@@ -3438,6 +3438,49 @@ ORACLE["q117_weighted_sample"] = f"""
 # INTEGER threshold, so the verdict cannot drift on a float boundary
 NEARDUP_MATCH_MIN = 4
 
+# within-batch blow-up bound (r6 verdict watch item): a pathological
+# batch (thousands of near-identical docs, e.g. un-scrubbed
+# boilerplate) puts them all in one band key, making the within-batch
+# self-join quadratic in that band. Each batch doc therefore compares
+# only against the NEARDUP_BAND_CAP EARLIEST batch docs per band —
+# pair count per band drops from O(B²) to O(B·cap). Keep-first
+# semantics make the earliest docs exactly the candidates that matter:
+# a doc's reported match is min(match_id), which lives among the
+# band's earliest members whenever the cap doesn't bind. The cap is a
+# documented recall bound when it DOES bind (a doc whose only
+# signature-agreeing partners all rank past the cap reports 'new');
+# at fixture scale no band comes near it (asserted in tests), so the
+# oracle — whose md5 band keys group differently — needs no mirror.
+NEARDUP_BAND_CAP = 64
+
+
+def _batch_band_candidates(batch: DataFrame, cap: int = NEARDUP_BAND_CAP) -> DataFrame:
+    """Within-batch near-dup candidate pairs ``(doc_id, match_id, sa,
+    sb)`` for q118: batch docs paired inside each band key against the
+    ``cap`` earliest docs of that band (see NEARDUP_BAND_CAP). The
+    row_number shuffle and the self-join hash-partition on the SAME
+    key (band_key), so the bound costs no extra exchange."""
+    wb = Window.partitionBy("band_key").orderBy("doc_id")
+    b_side = (
+        batch.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    return (
+        batch.alias("a")
+        .join(
+            b_side.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+    )
+
 
 def _banded_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, sig, band_key) — q54's per-doc signature + banding,
@@ -3491,8 +3534,11 @@ def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_key it makes the probe a co-located equi-join with no
     history-side shuffle.  Work is O(batch × bands + collisions):
     nothing touches history rows outside the probed band keys, and
-    the within-batch self-join is batch-sized — the standing corpus
-    is never re-paired.  Band keys are q54's xxhash64 (need not be
+    the within-batch self-join is batch-sized AND hot-band-bounded
+    (r7: ≤ NEARDUP_BAND_CAP comparisons per doc per band, see
+    _batch_band_candidates) — the standing corpus is never re-paired
+    and a boilerplate-heavy batch cannot go quadratic inside one
+    band.  Band keys are q54's xxhash64 (need not be
     oracle-portable: the oracle's md5 band keys induce the same doc
     groupings; a cross-band collision could only ADD a candidate,
     which the signature-agreement verify filters)."""
@@ -3522,21 +3568,7 @@ def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "hist_match",
     )
-    bmatch = _best_match(
-        batch.alias("a")
-        .join(
-            batch.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("match_id"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        ),
-        "batch_match",
-    )
+    bmatch = _best_match(_batch_band_candidates(batch), "batch_match")
     # base = ALL batch docs from the corpus, not the signature frame:
     # a sub-shingle doc (< 3 tokens) has no signature and is trivially
     # 'new' — it must still get a status row

@@ -1336,6 +1336,86 @@ def test_incremental_neardup_planted_statuses(spark, tmp_path):
     assert out[12].status == "new"
 
 
+def test_q118_band_cap_bounds_hot_band(spark):
+    """The r6 verdict's watch item, planted: a boilerplate batch where
+    hundreds of near-identical docs share one band key. Uncapped, the
+    within-batch self-join would generate O(B²) pairs; the capped
+    candidate generator must emit exactly min(i, cap) candidates for
+    the i-th doc of the band — linear in B — while keep-first
+    evidence (the band's earliest doc) survives for every doc."""
+    from pyspark.sql import functions as F
+
+    from engine.text import NEARDUP_BAND_CAP, _batch_band_candidates
+
+    n = 300  # > 4 * cap: the quadratic regime if the cap were absent
+    sig = [11, 22, 33, 44, 55, 66, 77, 88]
+    batch = spark.createDataFrame(
+        [(i, sig, 42) for i in range(n)], "doc_id bigint, sig array<bigint>, band_key bigint"
+    )
+    cands = _batch_band_candidates(batch)
+    expected = sum(min(i, NEARDUP_BAND_CAP) for i in range(n))
+    assert cands.count() == expected < n * (n - 1) // 2
+    # every doc past position 0 still has the band's earliest doc
+    # (keep-first's reported evidence) among its candidates
+    firsts = cands.groupBy("doc_id").agg(F.min("match_id").alias("m"))
+    assert firsts.filter("m != 0").count() == 0
+    assert firsts.count() == n - 1
+
+
+def test_q118_band_cap_never_binds_on_fixture(spark, sf_dir):
+    """The cap is a no-op at fixture scale — the largest within-batch
+    band group sits far below NEARDUP_BAND_CAP, so q118's contract
+    output (and its un-mirrored oracle) cannot depend on the bound."""
+    from pyspark.sql import functions as F
+
+    from engine.text import INCR_BATCH_MOD, NEARDUP_BAND_CAP, _banded_signatures
+    from engine.session import table
+
+    batch = _banded_signatures(table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % INCR_BATCH_MOD == 0
+    )
+    biggest = (
+        batch.groupBy("band_key").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert biggest < NEARDUP_BAND_CAP
+
+
+def test_q118_history_store_probe_elides_history_shuffle(spark, sf_dir):
+    """Pins the SCALING.md claim as a plan shape (r6 verdict item 3):
+    with the standing (band_key, doc_id, sig) store persisted bucketed
+    on band_key, the ingest probe join reads the store co-located —
+    the ONLY exchange under the join is the batch side's. At 100 TB
+    this is the difference between shuffling a TB-scale batch and
+    shuffling the standing corpus every day."""
+    from pyspark.sql import functions as F
+
+    from engine.io import write_bucketed
+    from engine.session import table
+    from engine.text import INCR_BATCH_MOD, _banded_signatures
+
+    bands = _banded_signatures(table(spark, sf_dir, "documents"))
+    hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    spark.sql("DROP TABLE IF EXISTS q118_hist_store")
+    write_bucketed(hist, "q118_hist_store", "band_key", 8)
+
+    store = spark.table("q118_hist_store")
+    batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = batch.alias("n").join(store.alias("h"), "band_key")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # bucketed scan active on the history side...
+        assert "SelectedBucketsCount" in plan
+        # ...and the join sees exactly ONE band_key exchange: the
+        # batch side's. A history-side shuffle would make it two.
+        assert plan.count("Exchange hashpartitioning(band_key") == 1
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS q118_hist_store")
+
+
 def test_context_budget_report_exact_recount(spark, sf_dir):
     """q119's per-window counts must equal an exact python recount of
     the fixture (same whitespace tokenization, ceil-div windows,
