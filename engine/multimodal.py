@@ -116,9 +116,15 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 def fake_decode(payload: bytes, side: int = 32) -> np.ndarray:
     """Deterministic stand-in decoder: tile the payload bytes into a
-    (side × side) uint8 'image' — same shape contract as decode_image."""
+    (side × side) uint8 'image' — same shape contract as decode_image.
+    TOTAL on bytes: a zero-byte payload (empty document, truncated
+    blob — real at crawl scale) decodes to the all-zero image instead
+    of blowing up the whole mapInPandas task on a numpy reshape
+    (r7 multimodal fuzzer find)."""
     buf = np.frombuffer(payload, dtype=np.uint8)
-    reps = int(np.ceil(side * side / max(len(buf), 1)))
+    if len(buf) == 0:
+        return np.zeros((side, side), dtype=np.uint8)
+    reps = int(np.ceil(side * side / len(buf)))
     return np.tile(buf, reps)[: side * side].reshape(side, side)
 
 
@@ -335,7 +341,7 @@ QUERIES = {
 
 ORACLE = {
     "q63_multimodal_meta": """
-        SELECT doc_id, octet_length(text::blob)::int AS n_bytes,
+        SELECT doc_id, octet_length(encode(text))::int AS n_bytes,
                sha256(text) AS payload_sha256, lang,
                len(embedding)::int AS emb_dim
         FROM documents JOIN embeddings ON doc_id = vec_id
@@ -345,11 +351,16 @@ ORACLE = {
     # ascii(substr(text, pos, 1)) == payload byte
     "q64_media_features": """
         WITH px AS (
+            -- zero-byte payloads decode to the all-zero image
+            -- (fake_decode's total-on-bytes contract, r7): the modulo
+            -- tiling is guarded so i % 0 can't NULL the pixel list
             SELECT doc_id,
-                   octet_length(text::blob) AS n_bytes,
+                   octet_length(encode(text)) AS n_bytes,
                    list_transform(
                        generate_series(0, 1023),
-                       i -> ascii(substr(text, (i % octet_length(text::blob))::int + 1, 1))
+                       i -> CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                            ELSE ascii(substr(text, (i % octet_length(encode(text)))::int + 1, 1))
+                            END
                    ) AS vals
             FROM documents),
         per_doc AS (
@@ -377,8 +388,8 @@ ORACLE = {
     "q64b_frame_sample": """
         WITH f AS (
             SELECT doc_id, text,
-                   octet_length(text::blob)::int AS n_bytes,
-                   greatest(octet_length(text::blob) // 256, 1)::int AS total
+                   octet_length(encode(text))::int AS n_bytes,
+                   greatest(octet_length(encode(text)) // 256, 1)::int AS total
             FROM documents),
         srcs AS (
             SELECT DISTINCT doc_id, text, n_bytes,

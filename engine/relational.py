@@ -427,26 +427,55 @@ def q98_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x + 0.5) instead of round(): identical IEEE ops in both
     engines (Spark's round() differs from DuckDB's on ties — see
     SCALING.md float-determinism notes). Quantized vectors are emitted
-    '|'-joined (driver canonicalizer can't hash raw arrays)."""
+    '|'-joined (driver canonicalizer can't hash raw arrays).
+
+    Degenerate vectors (r7 similarity fuzzer finds): the all-zero
+    vector quantizes to all-zero at scale 1 (with a NULL scale, both
+    engines' NULL-ignoring least/greatest drove every element to 127
+    and the error legs diverged — Spark's greatest dropped the NULL
+    error terms to 0, DuckDB's list max returned NULL); a NaN/Inf
+    vector gets NULL quantized/max_err (int8 quantization of a
+    non-finite value is undefined, and the NaN error leg crashed the
+    oracle's ANSI bigint cast) — the CASE guard keeps the throwing
+    cast out of the taken branch on both engines."""
     e = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    d = e.select("vec_id", v.alias("v")).withColumn(
-        "s",
-        F.nullif(
-            F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))") / F.lit(127.0),
-            F.lit(0.0),
-        ),
+    d = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn(
+            "fin",
+            F.expr(
+                "aggregate(v, true, (acc, x) ->"
+                " acc AND NOT isnan(x) AND abs(x) != double('Infinity'))"
+            ),
+        )
+        .withColumn(
+            "s",
+            F.coalesce(
+                F.nullif(
+                    F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))") / F.lit(127.0),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
+            ),
+        )
     )
     clip = "greatest(-127D, least(127D, floor(x / s + 0.5D)))"
     return d.select(
         "vec_id",
-        F.array_join(F.expr(f"transform(v, x -> cast({clip} as int))"), "|").alias("quantized"),
-        F.floor(
-            F.expr(
-                f"aggregate(v, 0D, (acc, x) -> greatest(acc, abs({clip} * s - x)))"
-            )
-            * F.lit(1e6)
-        ).cast("bigint").alias("max_err_1e6"),
+        F.when(
+            F.col("fin"),
+            F.array_join(F.expr(f"transform(v, x -> cast({clip} as int))"), "|"),
+        ).alias("quantized"),
+        F.when(
+            F.col("fin"),
+            F.floor(
+                F.expr(
+                    f"aggregate(v, 0D, (acc, x) -> greatest(acc, abs({clip} * s - x)))"
+                )
+                * F.lit(1e6)
+            ).cast("bigint"),
+        ).alias("max_err_1e6"),
     )
 
 
@@ -1753,17 +1782,24 @@ ORACLE.update(
         """,
         "q98_embedding_quantize": """
             WITH d AS (
+                -- all-zero vector: scale 1 (quantizes to zeros, error 0);
+                -- NaN/Inf vector: NULL outputs (CASE keeps the throwing
+                -- NaN->bigint cast out of the taken branch)
                 SELECT vec_id, embedding::double[] AS v,
-                       nullif(list_aggregate(list_transform(embedding, x -> abs(x::double)), 'max')
-                              / 127.0, 0.0) AS s
+                       list_aggregate(list_transform(embedding,
+                           x -> isfinite(x::double)), 'bool_and') AS fin,
+                       coalesce(nullif(
+                           list_aggregate(list_transform(embedding, x -> abs(x::double)), 'max')
+                           / 127.0, 0.0), 1.0) AS s
                 FROM embeddings)
             SELECT vec_id,
-                   array_to_string(list_transform(v,
+                   CASE WHEN fin THEN array_to_string(list_transform(v,
                        x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))::int), '|')
-                     AS quantized,
-                   floor(list_aggregate(list_transform(v,
+                   END AS quantized,
+                   CASE WHEN fin THEN floor(list_aggregate(list_transform(v,
                        x -> abs(greatest(-127.0, least(127.0, floor(x / s + 0.5))) * s - x)),
-                       'max') * 1e6)::bigint AS max_err_1e6
+                       'max') * 1e6)::bigint
+                   END AS max_err_1e6
             FROM d
         """,
         "q95_variant_shred": """

@@ -126,7 +126,7 @@ def q60_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"), "rank")
     )
 
 
@@ -168,9 +168,17 @@ def _bucket(col: str, n_planes: int = N_PLANES) -> str:
     q61 oracle emits ::bigint): _derive_n_planes reaches 36 at the
     1e12-row corpus scaling_law_report models, where 1 << 35 exceeds
     int32 and an int cast would throw under ANSI mode (the PySpark 4
-    default) or wrap-alias buckets under legacy mode."""
+    default) or wrap-alias buckets under legacy mode.
+
+    Dims are read with ``get()`` (NULL past the end), not ``[ ]``:
+    a corpus whose dim is below the derived plane count must hash
+    into the low-plane bucket space, not die on an ANSI
+    INVALID_ARRAY_INDEX (r7 similarity fuzzer find — dim-4 vectors
+    under the 8-plane default). NULL > 0 is false in the CASE, which
+    is exactly DuckDB's 1-based OOB-NULL behavior, so the oracle
+    geometry is unchanged."""
     return " + ".join(
-        f"(CASE WHEN {col}[{j}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+        f"(CASE WHEN get({col}, {j}) > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
 
 
@@ -367,7 +375,7 @@ def q61_knn_lsh_bucketed(
         joined.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "bucket", F.round("sim", 6).alias("cosine"), "rank")
+        .select("query_id", "vec_id", "bucket", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"), "rank")
     )
 
 
@@ -424,7 +432,7 @@ def _q61_banded(
             "query_id",
             "vec_id",
             F.col("bucket0").alias("bucket"),
-            F.round("sim", 6).alias("cosine"),
+            (F.round("sim", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
     )
@@ -436,6 +444,10 @@ def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if e.head() is None:  # MLlib's fit throws on an empty dataset (fuzzer find)
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, euclidean_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     ).fit(e)
@@ -758,6 +770,10 @@ def q65_knn_ivf(
     corpus = _corpus_finite(spark, sf_dir).select(
         "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
+    if corpus.head() is None:  # empty / all-degenerate corpus (fuzzer find)
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cell bigint, cosine double, rank int"
+        )
     if nlist is None or nprobe is None:
         d_nlist, d_nprobe = _derive_ivf(corpus.count())
         nlist = d_nlist if nlist is None else nlist
@@ -791,7 +807,7 @@ def q65_knn_ivf(
         joined.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cell", F.round("sim", 6).alias("cosine"), "rank")
+        .select("query_id", "vec_id", "cell", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"), "rank")
     )
 
 
@@ -851,7 +867,7 @@ def q66_embedding_near_dup(
         pairs.select("vec_a", F.col("vec_id").alias("vec_b"), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
         .limit(20)
-        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
+        .select("vec_a", "vec_b", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -895,7 +911,7 @@ def _q66_banded(
         .select("vec_a", "vec_b", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
         .limit(20)
-        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
+        .select("vec_a", "vec_b", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -952,6 +968,10 @@ def q75_semantic_dedup(
     corpus = _corpus_finite(spark, sf_dir).select(
         "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
+    if corpus.head() is None:  # empty / all-degenerate corpus (fuzzer find)
+        return spark.createDataFrame(
+            [], "component bigint, group_size bigint, keeper bigint, n_dropped bigint"
+        )
     if k is None:
         # one narrow count over the guarded corpus (no longer pure
         # parquet metadata — the finite-norm filter must see the rows):
@@ -1010,6 +1030,20 @@ PQ_RERANK_FLOOR = 60
 PQ_RERANK_FRAC = 0.075
 
 
+def _pq_geometry(n_sample: int, dim: int) -> tuple[int, int]:
+    """Effective (m, k) for a PQ fit on a narrow or tiny corpus (r7
+    similarity fuzzer finds): the subspace count must DIVIDE the
+    dimension (the encode kernels reshape (n, m, dim/m) — PQ_M=8 on a
+    dim-4 corpus crashed on a zero-width subspace), and the per-
+    subspace centroid count can't exceed the training-sample size
+    (rng.choice without replacement threw on k=16 > n). Fixture
+    geometry (dim 64, n ≥ 500) is unchanged: (8, 16)."""
+    m = min(PQ_M, dim)
+    while m > 1 and dim % m != 0:
+        m -= 1
+    return m, max(1, min(PQ_K, n_sample))
+
+
 def _pq_codebooks(sample, m: int, k: int, iters: int, seed: int):
     """Per-subspace Lloyd k-means on a driver-side sample — the
     standard PQ practice (codebooks are m·k·(dim/m) floats — tiny —
@@ -1059,6 +1093,10 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline is measured and floor-pinned in tests."""
     corpus = _corpus_finite(spark, sf_dir)
     n_corpus = corpus.count()
+    if n_corpus == 0:  # empty / all-degenerate corpus: nothing to index
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cosine double, rank int"
+        )
     rerank = max(PQ_RERANK_FLOOR, int(n_corpus * PQ_RERANK_FRAC))
     # codebook training sample: bounded driver-side collect (fixture:
     # whole table; at scale: .sample(fraction=...) first). orderBy
@@ -1069,7 +1107,8 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = np.array(
         [r.emb for r in corpus.orderBy("vec_id").limit(4096).collect()]
     )
-    books = _pq_codebooks(sample, PQ_M, PQ_K, PQ_ITERS, seed=42)
+    pq_m, pq_k = _pq_geometry(len(sample), sample.shape[1])
+    books = _pq_codebooks(sample, pq_m, pq_k, PQ_ITERS, seed=42)
     m, k, sub = books.shape
     flat_books = books  # captured (broadcast via task serialization)
 
@@ -1147,7 +1186,7 @@ def q76_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"), "rank")
     )
 
 
@@ -1201,6 +1240,10 @@ def q76b_ivfpq_ann(
         "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
     n_corpus = corpus.count()
+    if n_corpus == 0:  # empty / all-degenerate corpus: nothing to index
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cosine double, rank int"
+        )
     if nlist is None or nprobe is None:
         d_nlist, d_nprobe = _derive_ivf(n_corpus)
         nlist = d_nlist if nlist is None else nlist
@@ -1214,7 +1257,8 @@ def q76b_ivfpq_ann(
     cells = qz.cell_centers
     sample_rows = assigned.orderBy("vec_id").limit(4096).collect()
     resid_sample = np.array([np.array(r.emb) - cells[int(r.cell)] for r in sample_rows])
-    books = _pq_codebooks(resid_sample, PQ_M, PQ_K, PQ_ITERS, seed=42)
+    pq_m, pq_k = _pq_geometry(len(resid_sample), resid_sample.shape[1])
+    books = _pq_codebooks(resid_sample, pq_m, pq_k, PQ_ITERS, seed=42)
     m, k, sub = books.shape
     # centroid lookup shipped as a dense (nlist_like, d) array keyed by
     # cell id — task-serialized like q76's codebooks (model-scale)
@@ -1292,7 +1336,7 @@ def q76b_ivfpq_ann(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine"), "rank")
+        .select("query_id", "vec_id", (F.round("sim", 6) + F.lit(0.0)).alias("cosine"), "rank")
     )
 
 
@@ -1414,7 +1458,7 @@ def q105_semantic_decontamination(
     # guard as sketch_error_report's rel_err)
     return scored.select(
         "vec_id",
-        F.round("mx", 6).alias("max_eval_sim"),
+        (F.round("mx", 6) + F.lit(0.0)).alias("max_eval_sim"),
         "n_hits",
         F.coalesce(F.col("mx") >= F.expr(thr), F.lit(False)).alias("contaminated"),
     )
@@ -1465,7 +1509,7 @@ ORACLE = {
         scored AS (
             SELECT a.vec_id, list_dot_product(a.emb, q.emb) AS sim
             FROM corp a, ev q)
-        SELECT vec_id, round(max(sim), 6) AS max_eval_sim,
+        SELECT vec_id, round(max(sim), 6) + 0.0 AS max_eval_sim,
                sum((sim >= {SEM_DECON_THRESHOLD!r})::int)::int AS n_hits,
                max(sim) >= {SEM_DECON_THRESHOLD!r} AS contaminated
         FROM scored GROUP BY vec_id
@@ -1482,7 +1526,7 @@ ORACLE = {
                    ({_DUCK_BUCKET})::int AS bucket
             FROM embeddings WHERE {_DUCK_NONZERO})
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_DUCK_COS_AB}, 6) AS cosine
+               round({_DUCK_COS_AB}, 6) + 0.0 AS cosine
         FROM c a JOIN c b
           ON a.vec_id < b.vec_id
          AND bit_count(xor(a.bucket, b.bucket)::bigint) <= {PROBE_HAMMING}
@@ -1500,7 +1544,7 @@ ORACLE = {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
-        SELECT query_id, vec_id, round(sim, 6) AS cosine, rank::int AS rank
+        SELECT query_id, vec_id, round(sim, 6) + 0.0 AS cosine, rank::int AS rank
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "q61_knn_lsh_bucketed": f"""
@@ -1529,7 +1573,7 @@ ORACLE = {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
-        SELECT query_id, vec_id, bucket, round(sim, 6) AS cosine, rank::int AS rank
+        SELECT query_id, vec_id, bucket, round(sim, 6) + 0.0 AS cosine, rank::int AS rank
         FROM ranked WHERE rank <= {TOP_K}
     """,
 }

@@ -444,3 +444,212 @@ def _check_tpch(spark, tmp_path, tables, name):
 def test_fuzz_relational_operators_match_oracles(spark, tmp_path, tables):
     for name in RELATIONAL_FUZZ_QUERIES:
         _check_tpch(spark, tmp_path, tables, name)
+
+
+# similarity/ANN fuzz (r7, the r6 verdict's item 5): random embedding
+# corpora with the degenerate shapes crawl-scale data actually has and
+# the fixtures lack — duplicate vectors (tied cosines), constant
+# dimensions (PQ subspace degeneracy), ALL-identical corpora (KMeans
+# cell collapse), zero vectors, NaN/Inf components, empty and
+# sub-N_QUERIES corpora. Values live on the 0.25 exact-binary grid so
+# cross-engine dot products and norms are IEEE-identical (the
+# relational fuzzer's money() rule); the hash/argmin determinism notes
+# in SCALING.md stay scoped to finite inputs, so NaN/Inf rows are
+# excluded by the operators' _corpus_normed/_corpus_finite guards —
+# which is exactly the behavior under test.
+SIMILARITY_FUZZ_QUERIES = [
+    "q60_knn_brute",            # exact top-k under ties & degenerates
+    "q61_knn_lsh_bucketed",     # multi-probe LSH, portable bucket keys
+    "q66_embedding_near_dup",   # banded self-join near-dup
+    "q105_semantic_decontamination",  # broadcast eval-set scan
+    "q98_embedding_quantize",   # int8 quantization incl. zero vectors
+]
+
+# rows-only ANN operators (seeded MLlib RNG / KMeans fits — no SQL
+# oracle by design): fuzz for CRASHES and structural invariants
+# instead of value parity.
+SIMILARITY_FUZZ_ROWSONLY = [
+    "q62_brp_lsh_join",
+    "q65_knn_ivf",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
+    "q76b_ivfpq_ann",
+]
+
+
+@st.composite
+def embedding_tables(draw):
+    dim = draw(st.sampled_from([4, 8]))
+    n = draw(st.integers(min_value=0, max_value=12))
+    grid = st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0)
+    vecs = [[draw(grid) for _ in range(dim)] for _ in range(n)]
+    if n >= 2 and draw(st.booleans()):
+        vecs[1] = list(vecs[0])  # exact duplicate → tied cosines
+    if n >= 1 and draw(st.booleans()):
+        j = draw(st.integers(min_value=0, max_value=dim - 1))
+        for v in vecs:  # constant dimension → PQ subspace degeneracy
+            v[j] = 0.5
+    if n >= 3 and draw(st.booleans()):
+        vecs = [list(vecs[0]) for _ in vecs]  # KMeans cell collapse
+    if n >= 1 and draw(st.booleans()):
+        vecs[-1] = [0.0] * dim  # zero vector (undefined cosine)
+    if n >= 2 and draw(st.booleans()):
+        bad = draw(st.sampled_from([float("nan"), float("inf"), float("-inf")]))
+        vecs[-2] = [bad] + vecs[-2][1:]
+    return [(i, vecs[i], i % 4) for i in range(n)]
+
+
+def _write_embeddings(spark, tmp_path, rows, tag):
+    d = str(
+        tmp_path
+        / f"sfuzz_{tag}_{abs(hash(tuple((r[0], tuple(r[1])) for r in rows))) % 10**8}"
+    )
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    return d
+
+
+@given(embedding_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_similarity_operators_match_oracles(spark, tmp_path, rows):
+    import __spark_entry__ as contract
+
+    d = _write_embeddings(spark, tmp_path, rows, "oracle")
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    for name in SIMILARITY_FUZZ_QUERIES:
+        sdf = contract.queries()[name](spark, d).toPandas()
+        odf = con.execute(contract.oracle_sql()[name]).fetchdf()
+        err = _values_match(_normalize(sdf), _normalize(odf))
+        assert err is None, f"{name}: {err}\nrows={rows!r}"
+
+
+@given(embedding_tables())
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_similarity_rowsonly_never_crash(spark, tmp_path, rows):
+    """The seeded-RNG ANN family on hostile corpora: must never
+    throw (an empty corpus, a corpus of one repeated vector, or a
+    NaN row must not kill an ingest pipeline), and the structural
+    invariants must hold — ids come from the corpus, ranks stay
+    within top-k, scores of returned rows are finite."""
+    import math as _math
+
+    import __spark_entry__ as contract
+
+    d = _write_embeddings(spark, tmp_path, rows, "rowsonly")
+    ids = {r[0] for r in rows}
+    for name in SIMILARITY_FUZZ_ROWSONLY:
+        out = contract.queries()[name](spark, d).toPandas()
+        for col in ("vec_id", "vec_a", "vec_b", "query_id"):
+            if col in out.columns:
+                assert set(out[col]) <= ids, f"{name}: {col} outside corpus"
+        if "rank" in out.columns and len(out):
+            assert out["rank"].max() <= 10, name
+        for col in ("cosine", "euclidean_dist", "adc_dist"):
+            if col in out.columns:
+                assert all(_math.isfinite(v) for v in out[col]), (
+                    f"{name}: non-finite {col}\nrows={rows!r}"
+                )
+
+
+# multimodal fuzz (r7, same verdict item): hostile payloads through the
+# binary-column dataflow. The contract queries derive payloads from
+# documents.text (utf-8), so the corpora() text strategy already covers
+# zero-byte, sub-frame, and huge payloads — value-checked against the
+# oracles. The decode stubs are additionally unit-fuzzed on raw bytes:
+# truncated PPM headers, comment-only headers, short rasters, and
+# arbitrary garbage must either decode to the fixed side×side contract
+# or raise a CLEAN ValueError/NotImplementedError — never hang, never
+# leak a numpy reshape error from a half-parsed header.
+MULTIMODAL_FUZZ_QUERIES = ["q63_multimodal_meta", "q64_media_features", "q64b_frame_sample"]
+
+
+@given(corpora())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_multimodal_operators_match_oracles(spark, tmp_path, rows):
+    import __spark_entry__ as contract
+
+    sig = abs(hash(tuple(r[1] for r in rows))) % 10**8
+    d = str(tmp_path / f"mmfuzz_{sig}")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    # aligned embeddings so q63's join has hits and misses
+    emb = [(r[0], [0.25 * (r[0] % 5), 0.5, -0.25, 1.0], r[0] % 3) for r in rows[::2]]
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    for name in MULTIMODAL_FUZZ_QUERIES:
+        sdf = contract.queries()[name](spark, d).toPandas()
+        odf = con.execute(contract.oracle_sql()[name]).fetchdf()
+        err = _values_match(_normalize(sdf), _normalize(odf))
+        assert err is None, f"{name}: {err}\nrows={rows!r}"
+
+
+_PPM_BYTES = st.one_of(
+    st.binary(max_size=64),                          # arbitrary garbage
+    st.just(b"P5"),                                  # magic only
+    st.just(b"P5\n"),                                # truncated header
+    st.just(b"P5\n2 2\n"),                           # missing maxval
+    st.just(b"P5\n2 2\n255\n\x01\x02"),              # short raster
+    st.just(b"P5\n# comment\n2 2\n255\n\x01\x02\x03\x04"),
+    st.just(b"P6\n2 1\n255\n" + bytes(6)),
+    st.just(b"P5\n0 0\n255\n"),                      # zero-dim image
+    st.builds(lambda b: b"P5\n4 4\n255\n" + b, st.binary(min_size=16, max_size=16)),
+)
+
+
+@given(_PPM_BYTES)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_fuzz_decode_image_contract(payload):
+    import numpy as np
+
+    from engine.multimodal import decode_image
+
+    try:
+        out = decode_image(payload, side=32)
+    except (ValueError, NotImplementedError):
+        return  # clean rejection is part of the contract
+    assert isinstance(out, np.ndarray) and out.shape == (32 * 32,), payload
+    assert out.dtype == np.uint8
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_fuzz_fake_decode_and_frames_total(payload):
+    """The fallback decoder and the frame sampler must be TOTAL on
+    bytes — any payload (incl. b'') tiles/pads to the fixed shape."""
+    import numpy as np
+
+    from engine.multimodal import FRAME_SIZE, fake_decode, sample_frames
+
+    img = fake_decode(payload, side=32)
+    assert img.shape == (32, 32) and img.dtype == np.uint8
+    frames = sample_frames(payload, 4, FRAME_SIZE)
+    assert 1 <= len(frames) <= 4
+    for f in frames:
+        assert f.shape == (16, 16)
