@@ -7,12 +7,12 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 152 (147 at the r5 freeze + the 5 r6
-additions).  Policy: stalest-first — every window is filled in order
-of how long a query has gone without a driver row (never-checked
-first, then oldest round), with two overrides: queries whose code OR
-oracle changed this round and queries added this round always
-re-enter immediately.
+entries; the full inventory is 163 (154 after the r6 freeze + the 9
+r7 family composites).  Policy: stalest-first — every window is
+filled in order of how long a query has gone without a driver row
+(never-checked first, then oldest round), with two overrides: queries
+whose code OR oracle changed this round and queries added this round
+always re-enter immediately.
 
 r6 additionally attacks the debt STRUCTURALLY (the r5 verdict's item
 3): ``engine/rotation.py`` folds 25 frozen single-pass relational
@@ -31,50 +31,48 @@ never-checked + 15 added + 3 changed + the non-relational block
 (49/50: ml_fpgrowth_baskets' array column broke the driver
 canonicalizer — fixed this round by emitting the canonical string).
 
-* r6 window, 50 slots exactly:
-  - ``_R6_STALEST`` (4): the last r2-green entries — q33/q95/q29
-    (displaced from r5 by the late additions q112–q114) and q89
-    (displaced by changed-code q97).
-  - ``_R6_NEVER_CHECKED`` (3): the r5 post-freeze additions
-    q115/q116/q117 — oracle-backed + parity-tested in-suite since r5,
-    leading the window exactly as promised.  (q116's oracle also got
-    an association fix this round: idf * (num/den) now parenthesized
-    to mirror Spark's grouping bit-for-bit.)
-  - ``_NEW_IN_R6`` (5): the four rotation composites
-    (rot_scalar_shapes / rot_agg_shapes / rot_window_shapes /
-    rot_order_setop_shapes, strict-green at sf0.001/0.01/0.1) and
-    packing_invariants_report (q49b's greedy-packing invariants as a
-    driver-visible rows-only surface — the r5 verdict's item 5).
-  - ``_CHANGED_IN_R6`` (16): the r5 post-freeze fixes re-entering as
-    changed code — q67 (ANSI divide-by-zero on empty docs), q47
-    (timestamp-tie total order), q93 (total max_by key; this round
-    also biased +2^63 so the encoding is total over pre-epoch
-    timestamps and negative ids — the r5 ADVICE), q100 (empty funnel
-    base), q60 (zero-norm exclusion in _corpus_normed), q72
-    (oracle-only tie fix) — plus this round's changes:
-    ml_fpgrowth_baskets (canonical-string items, the one red r5 row),
-    q65/q75/q76/q76b (the r5 ADVICE: quantizer-backed ops now route
-    their corpus through _corpus_finite, so a zero/NaN/Inf embedding
-    can no longer out-rank real neighbors or merge dedup components),
-    dedup_recall_report (truth leg now content-addressed-sampled
-    above a doc budget + sample_docs column — verdict item 4), and
-    q19/q20/q26 (oracle HAVING count(*) > 0 pinning the grouping
-    family's empty-input semantics — found by the new relational
-    fuzzer), and q23 (try_cast hardening: a malformed/non-numeric
-    props value crashed the bare int cast under ANSI — same fuzzer;
-    re-enters directly, displacing composite-covered q92).
-    q21/q24's oracle-side fuzzer fixes are instead re-proven via
-    their in-window composites (``_CHANGED_VIA_COMPOSITE_R6``).
-  - ``_R6_ROTATION`` (22): every deferred entry NOT covered by an
-    in-window composite — the join spine (q01/q02/q04/q06–q10,
-    q28 asof, q81 range, q35 cross), the window spine (q11/q13/q31),
-    sketches (q30/q83/q96), agg/misc (q18/q82/q39/q98/q99).
-  - ``_DEFERRED_TO_R7`` (19): frozen r3-green single-pass singletons,
-    EVERY one a member of an in-window composite this round
-    (q03/q12/q14–q17/q21/q22/q24/q27/q32/q34/q36/q86–q88/q90–q92,
-    minus q23 which re-entered directly with its try_cast change):
-    their machinery is re-proven via the rot_* hash rows, and they
-    lead r7 for their direct rows.
+* r6 window (50): 4 stalest (q33/q95/q29/q89) + 3 never-checked
+  (q115-q117) + 5 added (4 rot composites + packing report) + 16
+  changed + 22 rotation; 19 composite-covered singletons deferred.
+  Result: 50/50 clean, first zero-error board.
+
+* r7 window, 50 slots exactly:
+  - ``_R7_NEVER_CHECKED`` (2): the r6 post-freeze additions
+    q118 (incremental near-dup ingest — ALSO changed this round: the
+    within-batch leg is hot-band-capped, output fixture-identical and
+    plan-pinned) and q119 (context budget report), leading exactly as
+    the r6 docstring promised.
+  - ``_R7_DEFERRED_DIRECT`` (19): the r6 ``_DEFERRED_TO_R7`` block —
+    frozen r3-green singletons whose machinery was re-proven via the
+    r6 composites — now taking the promised direct rows (q32 also
+    carries this round's pairwise-complete corr legs, an ADVICE fix).
+  - ``_NEW_IN_R7`` (9): the text/stream/similarity/multimodal
+    composites (engine/rotation.py) — the r6 verdict's item 1 — each
+    a UNION ALL of 7-9 frozen hash-green members with their oracles
+    embedded verbatim; strict-green at sf0.001/0.01/0.1 in engine AND
+    vanilla sessions. One slot now re-proves each family every round.
+  - ``_CHANGED_IN_R7`` (4): q65/q75/q76/q76b — the r7 similarity
+    fuzzer's empty-corpus/PQ-geometry guards (rows-only by design, so
+    no composite can carry them; fixture row counts unchanged).
+  - ``_R7_ROWSONLY_ROTATION`` (16): every remaining rows-only entry
+    whose latest row is r4/r5 — the r6 verdict's item 6
+    (ann_recall_report / ml_adaptive_tuning) plus the r4 invariant
+    reports (q49b/q83b) and the r5 rows-only block (ml_* summaries,
+    BPE train/tokenize, PageRank, drift, q62 — q62 also carries this
+    round's empty-corpus guard — and the three reports).
+  - ``_DISPLACED_TO_R8_ROWSONLY`` (4): ml_misclassified_inverse /
+    ml_nb_predictions / ml_rf_predictions / ml_tuning_results — the
+    only entries whose staleness exceeds one round after r7 (r5 rows).
+    Rows-only prediction/tuning frames with the strongest in-suite
+    invariant coverage (accuracy/metric floors, inverse round-trip,
+    seeded-grid determinism in tests/test_pipeline.py); they lead r8.
+  - ``_CHANGED_VIA_COMPOSITE_R7``: changed-this-round hash-green
+    singletons re-proven via an in-window composite that CALLS them
+    and embeds their oracle — q60/q98 (fuzzer: -0.0 canonicalization,
+    degenerate-vector quantization; both joined rot_vector_shapes at
+    the freeze), q61/q66 (get()-safe bucket planes + -0.0), q105
+    (-0.0), q63/q64/q64b (encode() oracle byte-length + zero-byte
+    decode). Their direct rows follow with the normal rotation.
 """
 
 from __future__ import annotations
@@ -95,126 +93,20 @@ def _modules():
     return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational, rotation]
 
 
-# The last r2-green entries — the stalest class, leads the window
-# unconditionally (q33/q95/q29 were displaced from r5 by the late
-# additions q112-q114; q89 by changed-code q97).
-_R6_STALEST = [
-    "q33_collect_sorted",
-    "q95_variant_shred",
-    "q29_map_array_funcs",
-    "q89_fuzzy_match",
+# The r6 post-freeze additions — never driver-checked; they lead the
+# window exactly as the r6 docstring promised. q118 is also this
+# round's one changed never-checked entry (hot-band cap; output
+# fixture-identical, strict-verified, plan-pinned in tests).
+_R7_NEVER_CHECKED = [
+    "q118_incremental_neardup",
+    "q119_context_budget_report",
 ]
 
-# Added after the r5 window froze — never driver-checked; they lead
-# with the stalest class exactly as the r5 docstring promised.
-_R6_NEVER_CHECKED = [
-    "q115_source_quota_cap",   # per-source quota cap (two-phase salted top-K)
-    "q116_bm25_topk",          # Okapi BM25 retrieval (integer-grid scores)
-    "q117_weighted_sample",    # A-ES weighted sampling without replacement
-]
-
-# Queries ADDED in round 6 — enter immediately.
-_NEW_IN_R6 = [
-    "rot_scalar_shapes",       # composite: q21/q22/q23/q24/q29/q34/q95
-    "rot_agg_shapes",          # composite: q19/q20/q27/q32/q90/q91
-    "rot_window_shapes",       # composite: q12/q36/q88/q92
-    "rot_order_setop_shapes",  # composite: q03/q14/q15/q16/q17/q33/q86/q87
-    "packing_invariants_report",  # q49b greedy-packing invariants, driver-visible
-]
-
-# Queries whose implementation OR oracle changed since the r5 window
-# froze — re-enter regardless of rotation parity (see the module
-# docstring for what changed in each).
-_CHANGED_IN_R6 = [
-    "ml_fpgrowth_baskets",     # canonical-string items (the one red r5 row)
-    "q67_token_counting",      # r5 post-freeze: ANSI div-by-zero on empty docs
-    "q47_scd2_assembly",       # r5 post-freeze: timestamp-tie total order
-    "q93_keep_latest",         # r5 post-freeze tie key; r6: +2^63 bias (full int64 domain)
-    "q100_funnel",             # r5 post-freeze: empty funnel base
-    "q60_knn_brute",           # r5 post-freeze: zero-norm exclusion (_corpus_normed)
-    "q72_stream_sessions",     # r5 post-freeze: oracle-only tie fix
-    "q65_knn_ivf",             # r6: _corpus_finite guard (r5 ADVICE)
-    "q75_semantic_dedup",      # r6: _corpus_finite guard (r5 ADVICE)
-    "q76_pq_ann",              # r6: _corpus_finite guard
-    "q76b_ivfpq_ann",          # r6: _corpus_finite guard
-    "dedup_recall_report",     # r6: sampled truth leg + sample_docs column
-    "q19_rollup",              # r6: oracle HAVING (empty-input semantics pinned)
-    "q20_cube",                # r6: oracle HAVING (empty-input semantics pinned)
-    "q26_grouping_sets",       # r6: oracle HAVING (empty-input semantics pinned)
-    "q23_json_funcs",          # r6: try_cast hardening (ANSI crash on malformed props)
-]
-
-# Changed this round but re-proven VIA an in-window composite instead
-# of a direct slot (the one policy extension the composites enable):
-# each is a member of an in-window rot_* query whose Spark side CALLS
-# the singleton's function and whose oracle EMBEDS the singleton's
-# oracle, so the changed code+oracle still earns a driver hash row
-# this round; the direct row follows in r7 with the deferred block.
-# All are fuzzer finds on hostile inputs (fixture outputs
-# byte-identical, strict re-verified): q21's NULL-propagating concat
-# (|| not concat()) + regexp_extract NULL-in/no-match split +
-# split_part NULL, q24's sqrt(negative) = NaN CASE (both oracle-only),
-# and q32's corr rewritten on BOTH sides as covar_pop/nullif(σx·σy,0)
-# so a degenerate group yields NULL instead of killing the aggregate.
-_CHANGED_VIA_COMPOSITE_R6 = [
-    "q21_string_funcs",
-    "q24_math_case",
-    "q32_stat_aggregates",   # corr as guarded co-moment quotient: the
-                             # built-in corr THROWS (ANSI div-by-zero)
-                             # on a zero-variance group — fuzzer find
-]
-
-# The r5-deferred block, minus the entries already in-window above and
-# minus the 19 composite-covered deferrals below: the join spine, the
-# window spine, and the sketch family. (The last slot went to q23's
-# DIRECT re-entry with its try_cast change — see _CHANGED_IN_R6 —
-# which displaced q92 into _DEFERRED_TO_R7; q92 is composite-covered
-# this round via the in-window rot_window_shapes.)
-_R6_ROTATION = [
-    "q28_asof_join",
-    "q11_window_rank",
-    "q13_window_running_sum",
-    "q31_window_range_frame",
-    "q04_outer_join_agg",
-    "q07_broadcast_join",
-    "q08_semi_join",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q81_range_join",
-    "q82_time_rollup",
-    "q18_distinct_agg",
-    "q10_theta_join",
-    "q06_forecast_revenue",
-    "q09_anti_join",
-    "q30_approx_distinct",
-    "q35_cross_join",
-    "q39_unpivot",
-    "q83_percentiles",
-    "q96_hll_sketch_union",
-    "q98_embedding_quantize",
-    "q99_deterministic_split",
-]
-
-# Additions made after THIS round's window froze — the sanctioned
-# exception class (r5's q115-q117 pattern): every head slot holds a
-# strictly higher-priority entry, so these sit out one round,
-# oracle-backed (strict-green at all three SFs) and planted-case /
-# recount tested in-suite, and LEAD the r7 window with the deferred
-# block.
-_POST_FREEZE_ADDITIONS: list[str] = [
-    "q118_incremental_neardup",   # near-dup ingest probe vs the standing
-                                  # banded-signature store (q102's split,
-                                  # q54's bands, integer match threshold)
-    "q119_context_budget_report", # context-window fit/split/windows/
-                                  # utilization planning report (exact
-                                  # bigint arithmetic end to end)
-]
-
-# Frozen r3-green single-pass singletons deferred to r7 — every one a
-# member of an in-window composite this round (guard-test-asserted),
-# so its machinery still gets a driver hash row via rot_*; they lead
-# the r7 window for their direct rows.
-_DEFERRED_TO_R7 = {
+# The r6 _DEFERRED_TO_R7 block taking its promised direct rows: frozen
+# r3-green single-pass singletons whose machinery was re-proven via
+# the r6 composites. q32 additionally carries this round's
+# pairwise-complete corr denominator (r6 ADVICE; fixture-identical).
+_R7_DEFERRED_DIRECT = [
     "q03_top_orders",
     "q12_window_lag",
     "q14_topk_orders",
@@ -234,13 +126,109 @@ _DEFERRED_TO_R7 = {
     "q90_histogram",
     "q91_filtered_agg",
     "q92_sessionization",
+]
+
+# Queries ADDED in round 7 — the nine family composites (the r6
+# verdict's item 1); enter immediately, strict-green at all three SFs
+# in engine and vanilla sessions.
+_NEW_IN_R7 = [
+    "rot_text_dedup_shapes",     # q50-q55/q59/q81b
+    "rot_text_quality_shapes",   # q56/q57/q57b/q57c/q58/q67b/q68
+    "rot_text_pipeline_shapes",  # q48/q49/q49c/q77/q78/q79/q74b
+    "rot_stream_shapes",         # q70/q71/q73/q74
+    "rot_mm_sample_shapes",      # q63/q64/q40/q44/q46/q101/q80/q80b
+    "rot_ingest_dedup_shapes",   # q102/q102b/q106/q107/q112/q113/q114/q97
+    "rot_corpus_stats_shapes",   # q103/q104/q109/q111/q67c/q69/q48b
+    "rot_sql_udf_shapes",        # q25/q37/q38/q84/q85/q94/q41
+    "rot_vector_shapes",         # q105/q61/q66/q64b/q42/q43/q45/q60/q98
+]
+
+# Changed this round, rows-only by design (no composite can carry a
+# query without an oracle): the r7 similarity fuzzer's empty-corpus /
+# PQ-geometry guards. Fixture row counts unchanged.
+_CHANGED_IN_R7 = [
+    "q65_knn_ivf",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
+    "q76b_ivfpq_ann",
+]
+
+# Every remaining rows-only entry with an r4/r5-latest row — the r6
+# verdict's item 6 leads (the two derived-knob reports), then the r4
+# invariant reports and the r5 rows-only block. q62 also carries this
+# round's empty-corpus guard (changed + stale: doubly in-window).
+_R7_ROWSONLY_ROTATION = [
+    "ann_recall_report",
+    "ml_adaptive_tuning",
+    "q49b_greedy_packing",
+    "q83b_percentiles_approx",
+    "q62_brp_lsh_join",
+    "ml_explained_variance",
+    "ml_model_metrics",
+    "ml_quality_classifier",
+    "ml_tfidf_features",
+    "q103b_bpe_train",
+    "q103c_bpe_tokenize",
+    "q108_crawl_pagerank",
+    "q110_embedding_drift",
+    "scaling_law_report",
+    "sketch_error_report",
+    "stream_equivalence_report",
+]
+
+# Changed hash-green singletons re-proven via an in-window composite
+# whose Spark side CALLS them and whose oracle EMBEDS theirs (the r6
+# _CHANGED_VIA_COMPOSITE policy): the r7 fuzzer fixes. Fixture
+# outputs byte-identical, strict re-verified; direct rows follow with
+# the normal rotation.
+_CHANGED_VIA_COMPOSITE_R7 = [
+    "q60_knn_brute",             # -0.0 canonicalization (rot_vector_shapes)
+    "q98_embedding_quantize",    # zero/NaN-vector semantics (rot_vector_shapes)
+    "q61_knn_lsh_bucketed",      # get()-safe bucket planes + -0.0
+    "q66_embedding_near_dup",    # get()-safe bucket planes + -0.0
+    "q105_semantic_decontamination",  # -0.0 canonicalization
+    "q63_multimodal_meta",       # oracle encode() byte length
+    "q64_media_features",        # zero-byte decode + oracle encode()/mod-0 guard
+    "q64b_frame_sample",         # oracle encode() byte length
+]
+
+# The four rows-only entries displaced by _CHANGED_IN_R7 (the only
+# staleness > 1 round after r7; see the module docstring for the
+# in-suite coverage justification). They lead the r8 window.
+_DISPLACED_TO_R8_ROWSONLY = [
+    "ml_misclassified_inverse",
+    "ml_nb_predictions",
+    "ml_rf_predictions",
+    "ml_tuning_results",
+]
+
+# Additions made after THIS round's window froze — the sanctioned
+# exception class (the q115-q117 / q118-q119 pattern): they sit out
+# one round, oracle-backed and tested in-suite, and lead the r8
+# window. Empty at the freeze.
+_POST_FREEZE_ADDITIONS: list[str] = []
+
+# Frozen hash-green singletons with no direct slot this round, EVERY
+# one a member of an in-window composite (guard-test-asserted): the 63
+# r4/r5-stale members of the nine new composites plus q60/q98.
+_DEFERRED_VIA_COMPOSITE_R7 = {
+    m
+    for comp in _NEW_IN_R7
+    for m in __import__("engine.rotation", fromlist=["ROTATIONS"]).ROTATIONS[comp]
 }
 
 
 def _window_head() -> list[str]:
-    """The r6 driver-window head: 4 stalest (r2-row) + 3 never-checked
-    + 5 added + 16 changed + 22 rotation — exactly 50 entries."""
-    head = _R6_STALEST + _R6_NEVER_CHECKED + _NEW_IN_R6 + _CHANGED_IN_R6 + _R6_ROTATION
+    """The r7 driver-window head: 2 never-checked + 19 promised direct
+    rows + 9 new composites + 4 changed rows-only + 16 rows-only
+    rotation — exactly 50 entries."""
+    head = (
+        _R7_NEVER_CHECKED
+        + _R7_DEFERRED_DIRECT
+        + _NEW_IN_R7
+        + _CHANGED_IN_R7
+        + _R7_ROWSONLY_ROTATION
+    )
     assert len(head) == len(set(head)) == 50
     return head
 

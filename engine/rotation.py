@@ -245,6 +245,8 @@ _LEGS_R7: dict[str, list[tuple[str, str]]] = {
     "q42_census": [("label", "i"), ("count", "i")],
     "q43_summary_stats": [("dim", "i"), ("n", "i"), ("mean", "f"), ("std", "f"), ("min", "f"), ("p25", "f"), ("median", "f"), ("p75", "f"), ("max", "f")],
     "q45_per_class_mean": [("label", "i"), ("dim", "i"), ("mean", "f")],
+    "q60_knn_brute": [("query_id", "i"), ("vec_id", "i"), ("cosine", "f"), ("rank", "i")],
+    "q98_embedding_quantize": [("vec_id", "i"), ("quantized", "s"), ("max_err_1e6", "i")],
 }
 _LEGS.update(_LEGS_R7)
 
@@ -305,10 +307,14 @@ ROTATIONS.update(
             "q41_sample_census",
         ],
         # vector / embedding machinery + frame sampling + stats
+        # (q60/q98 joined at the r7 freeze: both changed this round —
+        # -0.0 canonicalization / degenerate-vector semantics — and a
+        # composite hash row re-proves them without a direct slot)
         "rot_vector_shapes": [
             "q105_semantic_decontamination", "q61_knn_lsh_bucketed",
             "q66_embedding_near_dup", "q64b_frame_sample",
             "q42_census", "q43_summary_stats", "q45_per_class_mean",
+            "q60_knn_brute", "q98_embedding_quantize",
         ],
     }
 )

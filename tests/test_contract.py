@@ -90,51 +90,41 @@ def test_sketch_error_report_all_within_bound(spark, sf_dir):
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
     # entries. Rotation policy (see __spark_entry__ docstring,
-    # stalest-first): the r6 window leads with the stalest (r2-row)
-    # entries and the never-checked class, then this round's new and
-    # changed queries, then the rotation block — 50 exactly.
+    # stalest-first with changed/new overrides): the r7 window leads
+    # with the never-checked class, then the 19 promised direct rows,
+    # the 9 new composites, the changed rows-only block, and the
+    # rows-only rotation — 50 exactly.
     names = list(contract.queries())[:50]
     head = contract._window_head()
     assert names == head, "driver window does not match the declared head"
-    # Zero-slack guard: the head is exactly the window.
     assert len(head) == 50
-    # The stalest + never-checked entries occupy the head outright.
-    lead = contract._R6_STALEST + contract._R6_NEVER_CHECKED
-    assert names[: len(lead)] == lead
-    # New/changed queries are in-window, never deferred.
-    for q in contract._NEW_IN_R6 + contract._CHANGED_IN_R6:
+    # Never-checked entries occupy the head outright.
+    assert names[: len(contract._R7_NEVER_CHECKED)] == contract._R7_NEVER_CHECKED
+    # New/changed queries are in-window.
+    for q in contract._NEW_IN_R7 + contract._CHANGED_IN_R7:
         assert q in names, q
-        assert q not in contract._DEFERRED_TO_R7, q
-    # Changes re-proven via a composite: the singleton must be
-    # deferred (else it would hold two slots' worth of proof) and a
-    # member of an in-window composite whose oracle embeds its own.
-    from engine import rotation as _rot
-
-    for q in contract._CHANGED_VIA_COMPOSITE_R6:
-        assert q in contract._DEFERRED_TO_R7, q
-        comp = next(c for c, ms in _rot.ROTATIONS.items() if q in ms)
-        assert comp in names, (q, comp)
-    # Deferrals never overlap the head.
-    assert not (contract._DEFERRED_TO_R7 & set(head))
-    # The structural rule that makes deferral sound: every deferred
-    # singleton must be a member of an in-window composite, so its
-    # machinery still earns a driver hash row this round.
+    # Changes re-proven via a composite: the singleton must NOT hold a
+    # direct slot too, and must be a member of an in-window composite
+    # whose oracle embeds its own.
     from engine import rotation
 
+    for q in contract._CHANGED_VIA_COMPOSITE_R7:
+        assert q not in names, q
+        comp = next(c for c, ms in rotation.ROTATIONS.items() if q in ms)
+        assert comp in names, (q, comp)
+    # The structural rule that makes deferral sound: every deferred
+    # singleton is a member of an in-window composite.
     covered = {
         m
         for comp, members in rotation.ROTATIONS.items()
         if comp in names
         for m in members
     }
-    assert contract._DEFERRED_TO_R7 <= covered, sorted(
-        contract._DEFERRED_TO_R7 - covered
-    )
-    # Generic never-checked guard (not just _NEW_IN_R6 membership):
-    # any inventory entry with NO row in any past driver CORRECTNESS
-    # artifact must be in-window this round — deferring a query the
-    # driver has never proven is the one deferral class the policy
-    # forbids outright.
+    assert contract._DEFERRED_VIA_COMPOSITE_R7 <= covered
+    assert not (contract._DEFERRED_VIA_COMPOSITE_R7 & set(names))
+    # Generic never-checked guard: any inventory entry with NO row in
+    # any past driver CORRECTNESS artifact must be in-window this
+    # round (or declared post-freeze).
     import glob
     import json
     import os
@@ -144,16 +134,32 @@ def test_driver_window_covers_unproven_queries():
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         proven |= set(json.load(open(p)))
     never_checked = set(contract.queries()) - proven
-    # The one sanctioned exception (see the __spark_entry__ docstring):
-    # additions made AFTER the window froze at 50 strictly-higher-
-    # priority slots sit out one round and lead the r6 window. They
-    # must be declared, oracle-backed, and disjoint from the head.
     post_freeze = set(contract._POST_FREEZE_ADDITIONS)
     assert not (post_freeze & set(head))
-    assert post_freeze <= set(contract.oracle_sql())
     assert never_checked <= set(head) | post_freeze, sorted(
         never_checked - set(head) - post_freeze
     )
+    # THE r7 claim, pinned: every contract query is at most one round
+    # stale — in-window, composite-covered in-window, checked last
+    # round, post-freeze, or in the declared (rows-only, in-suite-
+    # covered) displaced list.
+    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r06.json"))))
+    uncovered = (
+        set(contract.queries())
+        - set(head)
+        - covered
+        - last_round
+        - post_freeze
+        - set(contract._DISPLACED_TO_R8_ROWSONLY)
+    )
+    assert not uncovered, sorted(uncovered)
+    # Displacement honesty: every displaced entry is rows-only (no
+    # oracle — a hash query could have ridden a composite instead)
+    # and has a prior driver row (never-checked may not defer).
+    oracles = contract.oracle_sql()
+    for q in contract._DISPLACED_TO_R8_ROWSONLY:
+        assert q not in oracles, q
+        assert q in proven, q
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
