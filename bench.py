@@ -147,6 +147,26 @@ HEADLINE = [
     "rot_agg_shapes",
     "rot_window_shapes",
     "rot_order_setop_shapes",
+    # NOT benched: the nine r7 family composites (rot_text_dedup /
+    # text_quality / text_pipeline / stream / mm_sample / ingest_dedup
+    # / corpus_stats / sql_udf / vector _shapes). Each is a UNION ALL
+    # of already-benched member plans plus a final projection —
+    # benching them would double-count ~54 s of member wall-time as
+    # new cost without measuring any new operator. The four relational
+    # composites above stay: they predate r7 in the bench artifacts
+    # (comparability) and pin that the UNION-ALL wrapper itself costs
+    # ~nothing over its members. r7 also adds the nine previously
+    # unbenched member singletons below, so every composite member is
+    # individually benched.
+    "q51_fingerprint",
+    "q53_minhash_signatures",
+    "q56_langid",
+    "q59_char_fingerprint",
+    "q63_multimodal_meta",
+    "q64_media_features",
+    "q74b_stream_decontaminate",
+    "q41_sample_census",
+    "q43_summary_stats",
     "q64b_frame_sample",
     "q70_stream_tumbling",
     "q71_stream_sliding",

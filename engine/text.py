@@ -3457,9 +3457,14 @@ NEARDUP_BAND_CAP = 64
 def _batch_band_candidates(batch: DataFrame, cap: int = NEARDUP_BAND_CAP) -> DataFrame:
     """Within-batch near-dup candidate pairs ``(doc_id, match_id, sa,
     sb)`` for q118: batch docs paired inside each band key against the
-    ``cap`` earliest docs of that band (see NEARDUP_BAND_CAP). The
-    row_number shuffle and the self-join hash-partition on the SAME
-    key (band_key), so the bound costs no extra exchange."""
+    ``cap`` earliest docs of that band (see NEARDUP_BAND_CAP).
+
+    Plan shape (snapshot-pinned): the rank filter compiles to Spark's
+    WindowGroupLimit with a PARTIAL pass before the exchange, so the
+    one band_key shuffle the window adds moves at most ``cap`` rows
+    per band per input partition — the capped b-side is then small
+    enough to BROADCAST into the self-join at fixture SF, and at scale
+    the SMJ reuses the window's band_key partitioning."""
     wb = Window.partitionBy("band_key").orderBy("doc_id")
     b_side = (
         batch.withColumn("rn", F.row_number().over(wb))

@@ -57,6 +57,10 @@ FUZZ_QUERIES = [
     "q67_token_counting",    # the div-by-zero regression this file found
     "q102_incremental_dedup",        # history-vs-batch statuses
     "q102b_bloom_incremental_dedup",  # bloom twin must equal q102 exactly
+    # a documents-only r7 composite: fuzzing it fuzzes all 7 member
+    # queries AND the rotation serializer legs (NaN/Inf/NULL/1e-4
+    # floor grid) on hostile text in one plan
+    "rot_text_quality_shapes",
 ]
 
 _WORD = st.text(
@@ -481,8 +485,11 @@ SIMILARITY_FUZZ_ROWSONLY = [
 def embedding_tables(draw):
     dim = draw(st.sampled_from([4, 8]))
     n = draw(st.integers(min_value=0, max_value=12))
-    grid = st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0)
-    vecs = [[draw(grid) for _ in range(dim)] for _ in range(n)]
+    # 0.25-grid values drawn as ints and divided here — no .map(lambda)
+    # (hypothesis's lambda source introspection is unreliable under the
+    # full suite: reflection.py "expected to be unreachable")
+    grid = st.integers(min_value=-8, max_value=8)
+    vecs = [[draw(grid) / 4.0 for _ in range(dim)] for _ in range(n)]
     if n >= 2 and draw(st.booleans()):
         vecs[1] = list(vecs[0])  # exact duplicate → tied cosines
     if n >= 1 and draw(st.booleans()):
@@ -610,6 +617,10 @@ def test_fuzz_multimodal_operators_match_oracles(spark, tmp_path, rows):
         assert err is None, f"{name}: {err}\nrows={rows!r}"
 
 
+def _valid_p5_header(raster: bytes) -> bytes:
+    return b"P5\n4 4\n255\n" + raster
+
+
 _PPM_BYTES = st.one_of(
     st.binary(max_size=64),                          # arbitrary garbage
     st.just(b"P5"),                                  # magic only
@@ -619,7 +630,7 @@ _PPM_BYTES = st.one_of(
     st.just(b"P5\n# comment\n2 2\n255\n\x01\x02\x03\x04"),
     st.just(b"P6\n2 1\n255\n" + bytes(6)),
     st.just(b"P5\n0 0\n255\n"),                      # zero-dim image
-    st.builds(lambda b: b"P5\n4 4\n255\n" + b, st.binary(min_size=16, max_size=16)),
+    st.binary(min_size=16, max_size=16).map(_valid_p5_header),
 )
 
 
