@@ -7,8 +7,9 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 163 (154 after the r6 freeze + the 9
-r7 family composites).  Policy: stalest-first — every window is
+entries; the full inventory is 165 (154 after the r6 freeze + the 9
+r7 family composites + the 2 post-freeze additions q120/q121).
+Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
 whose code OR oracle changed this round and queries added this round
@@ -203,10 +204,15 @@ _DISPLACED_TO_R8_ROWSONLY = [
 ]
 
 # Additions made after THIS round's window froze — the sanctioned
-# exception class (the q115-q117 / q118-q119 pattern): they sit out
-# one round, oracle-backed and tested in-suite, and lead the r8
-# window. Empty at the freeze.
-_POST_FREEZE_ADDITIONS: list[str] = []
+# exception class (the q115-q117 / q118-q119 pattern): every head
+# slot holds a strictly higher-priority entry, so these sit out one
+# round, oracle-backed (strict-green at all three SFs, engine AND
+# vanilla sessions) and recount/fuzz-tested in-suite, and LEAD the r8
+# window.
+_POST_FREEZE_ADDITIONS: list[str] = [
+    "q120_budget_selection",        # token-budget corpus cut, no global sort
+    "q121_source_diversity_report", # exact inverse-Simpson source diversity
+]
 
 # Frozen hash-green singletons with no direct slot this round, EVERY
 # one a member of an in-window composite (guard-test-asserted): the 63

@@ -143,6 +143,8 @@ HEADLINE = [
     "packing_invariants_report",
     "q118_incremental_neardup",
     "q119_context_budget_report",
+    "q120_budget_selection",
+    "q121_source_diversity_report",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

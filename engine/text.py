@@ -3707,3 +3707,178 @@ ORACLE["q119_context_budget_report"] = f"""
              AS utilization_ppm
     FROM agg ORDER BY context_len
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 post-freeze additions (lead the r8 driver window; see the
+# __spark_entry__ docstring).  Two curation ops the surface lacked:
+# token-budget-constrained corpus selection (the "cut the best B tokens"
+# step every pretraining run does after scoring), and a source-diversity
+# report (the concentration signal mixing decisions are made against).
+# ---------------------------------------------------------------------------
+
+# token budget as a share of the corpus, in ppm (400000 = keep the
+# best 40% of tokens) — integer so budget arithmetic is exact bigints
+BUDGET_PPM = 400_000
+
+
+def _quality_1e6_col():
+    """q57's composite quality on the exact 1e-6 bigint grid —
+    floor(raw·1e6) directly, NOT floor(trunc6(raw)·1e6): trunc6 already
+    divides by 1e6, and re-multiplying a rounded double by 1e6 can land
+    a hair under the integer and floor one grid cell low in one engine
+    (the -0.0/rounding class the r7 fuzzers exist to catch). The raw
+    expression is IEEE-identical across engines (q57 hash-green), so
+    its floor is too."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tok_len = (F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens)
+    raw = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.3 * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0))
+    )
+    return F.floor(raw * F.lit(1e6)).cast("bigint")
+
+
+def q120_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: keep the best-quality
+    documents (q57 score, ties by doc_id) until BUDGET_PPM of the
+    corpus's tokens is exhausted — the selection step that actually
+    cuts a pretraining corpus after scoring (quality-ranked greedy fill
+    is the standard shape; DSIR q111 ranks by target-likeness, this op
+    ranks by quality and respects a TOKEN budget, not a doc count).
+    A doc is kept iff its inclusive running token total fits the
+    budget; the crossing doc is dropped (never split).
+
+    Output: (sel_rank, doc_id, quality_1e6, n_tokens, cum_tokens) for
+    the selected docs, sel_rank the global quality rank — exact
+    bigints end to end (budget = sum·BUDGET_PPM div 1e6).
+
+    Scale shape — the naive plan is a GLOBAL sort + single-partition
+    running sum over the corpus (the 100 TB killer). This plan never
+    globally sorts the data: quality lives on the 1e-6 bigint grid, so
+    (1) a census by quality level (≤ ~1.1e6 rows whatever N is) gets
+    per-level token/doc totals in one map-side-combining agg;
+    (2) level prefix sums run in a window over the CENSUS — the one
+    single-partition window is grid-bounded, never corpus-bounded;
+    (3) levels whose prefix already exceeds the budget are pruned
+    (broadcast), and each surviving doc's global cum/rank is its
+    level's prefix + a running sum WITHIN its level — a window
+    partitioned by quality_1e6, fully distributed. Selection at the
+    boundary level falls out of the same filter. The corpus is
+    scanned once and shuffled once (by quality level)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("n_tokens"),
+        _quality_1e6_col().alias("quality_1e6"),
+    )
+    totals = base.agg(
+        F.expr(f"sum(n_tokens) * {BUDGET_PPM} div 1000000").alias("budget")
+    )
+    census = base.groupBy("quality_1e6").agg(
+        F.sum("n_tokens").alias("lvl_tokens"), F.count(F.lit(1)).alias("lvl_docs")
+    )
+    # prefix over STRICTLY higher quality levels: grid-bounded window
+    w_lvl = Window.orderBy(F.col("quality_1e6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = (
+        census.select(
+            "quality_1e6",
+            F.coalesce(F.sum("lvl_tokens").over(w_lvl), F.lit(0)).alias("tok_prefix"),
+            F.coalesce(F.sum("lvl_docs").over(w_lvl), F.lit(0)).alias("doc_prefix"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("tok_prefix") < F.col("budget"))
+    )
+    w_doc = Window.partitionBy("quality_1e6").orderBy("doc_id")
+    return (
+        base.join(F.broadcast(levels), "quality_1e6")
+        .withColumn("cum_tokens", F.col("tok_prefix") + F.sum("n_tokens").over(w_doc))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .withColumn(
+            "sel_rank", (F.col("doc_prefix") + F.row_number().over(w_doc)).cast("int")
+        )
+        .select("sel_rank", "doc_id", "quality_1e6", "n_tokens", "cum_tokens")
+        .orderBy("sel_rank")
+    )
+
+
+QUERIES["q120_budget_selection"] = q120_budget_selection
+
+ORACLE["q120_budget_selection"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), ' +'))::bigint AS n_tokens,
+               floor((0.4 * least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(string_split_regex(trim(text), ' +')))::double
+                              / len(string_split_regex(trim(text), ' +')))
+                     + 0.3 * least((length(regexp_replace(trim(text), ' +', '', 'g'))::double
+                                    / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0))
+                     * 1e6)::bigint AS quality_1e6
+        FROM documents),
+    b AS (SELECT (sum(n_tokens) * {BUDGET_PPM}) // 1000000 AS budget FROM t),
+    r AS (SELECT *,
+                 sum(n_tokens) OVER (ORDER BY quality_1e6 DESC, doc_id) AS cum_tokens,
+                 row_number() OVER (ORDER BY quality_1e6 DESC, doc_id) AS rn
+          FROM t)
+    SELECT rn::int AS sel_rank, doc_id, quality_1e6, n_tokens, cum_tokens
+    FROM r, b WHERE cum_tokens <= budget ORDER BY sel_rank
+"""
+
+
+def q121_source_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity report per language: doc counts, distinct
+    sources, Simpson concentration index and the EFFECTIVE number of
+    sources (inverse Simpson, the ecology-standard diversity number) —
+    the concentration signal corpus-mixing decisions (q79/q104) and
+    per-source caps (q115) are made against: a language whose
+    effective source count is ~1 is a single-crawler monoculture no
+    matter how many nominal sources it lists.
+
+    All integer-exact: with per-(lang, source) counts c_s and total n,
+    simpson_ppm = (Σ c_s² · 1e6) div n² and eff_sources_1e3 =
+    (n² · 1e3) div Σ c_s² are pure bigint arithmetic — bit-portable by
+    construction, no float anywhere.
+
+    Scale shape: two hash aggregations with map-side combine —
+    (lang, source) then lang — shuffling O(distinct pairs), and a
+    final sort on ≤ |langs| rows. One corpus scan of two columns."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_src.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            F.expr("sum_sq * 1000000 div (n_docs * n_docs)").alias("simpson_ppm"),
+            F.expr("n_docs * n_docs * 1000 div sum_sq").alias("eff_sources_1e3"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q121_source_diversity_report"] = q121_source_diversity_report
+
+ORACLE["q121_source_diversity_report"] = """
+    WITH per_src AS (
+        SELECT lang, source, count(*)::bigint AS c
+        FROM documents GROUP BY lang, source),
+    per_lang AS (
+        SELECT lang, sum(c)::bigint AS n_docs, count(*)::bigint AS n_sources,
+               sum(c * c)::bigint AS sum_sq
+        FROM per_src GROUP BY lang)
+    SELECT lang, n_docs, n_sources,
+           (sum_sq * 1000000) // (n_docs * n_docs) AS simpson_ppm,
+           (n_docs * n_docs * 1000) // sum_sq AS eff_sources_1e3
+    FROM per_lang ORDER BY lang
+"""

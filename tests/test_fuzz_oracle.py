@@ -61,6 +61,8 @@ FUZZ_QUERIES = [
     # queries AND the rotation serializer legs (NaN/Inf/NULL/1e-4
     # floor grid) on hostile text in one plan
     "rot_text_quality_shapes",
+    "q120_budget_selection",        # budget boundary on hostile token counts
+    "q121_source_diversity_report", # concentration arithmetic on tiny corpora
 ]
 
 _WORD = st.text(

@@ -1436,3 +1436,90 @@ def test_context_budget_report_exact_recount(spark, sf_dir):
         assert r.windows == windows
         assert r.total_tokens == sum(toks)
         assert r.utilization_ppm == (sum(toks) * 1_000_000) // (windows * L)
+
+
+def test_q120_budget_selection_exact_recount(spark, sf_dir):
+    """q120's selection must equal the python greedy recount: docs in
+    (quality_1e6 DESC, doc_id) order, kept while the inclusive token
+    total fits budget = total·BUDGET_PPM div 1e6 — the crossing doc is
+    dropped, never split, and every kept doc's rank/cum is global."""
+    from engine.session import table
+    from engine.text import BUDGET_PPM, q120_budget_selection
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = []
+    for r in rows:
+        toks = [t for t in r.text.strip().split() if t] or [""]
+        n_tok = len(toks)
+        n_dis = len(set(toks))
+        mean_len = sum(len(t) for t in toks) / n_tok
+        raw = 0.4 * min(n_tok / 100.0, 1.0) + 0.3 * (n_dis / n_tok) + 0.3 * min(mean_len / 10.0, 1.0)
+        import math
+
+        docs.append((math.floor(raw * 1e6), r.doc_id, n_tok))
+    total = sum(n for _, _, n in docs)
+    budget = total * BUDGET_PPM // 1_000_000
+    docs.sort(key=lambda t: (-t[0], t[1]))
+    expected, cum = [], 0
+    for rank, (q1e6, doc_id, n_tok) in enumerate(docs, 1):
+        cum += n_tok
+        if cum <= budget:
+            expected.append((rank, doc_id, q1e6, n_tok, cum))
+    got = [
+        (r.sel_rank, r.doc_id, r.quality_1e6, r.n_tokens, r.cum_tokens)
+        for r in q120_budget_selection(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    assert got, "budget selects nothing at fixture scale — recount broken"
+
+
+def test_q120_empty_corpus_selects_nothing(spark, tmp_path):
+    from engine.text import q120_budget_selection
+
+    d = str(tmp_path / "q120_empty")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    assert q120_budget_selection(spark, d).count() == 0
+
+
+def test_q121_source_diversity_exact_recount(spark, sf_dir):
+    """Simpson/effective-source numbers are pure bigint arithmetic —
+    recount exactly, and pin the monoculture invariant (one source ⇒
+    simpson 1e6, effective exactly 1.000)."""
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import q121_source_diversity_report
+
+    pairs = Counter(
+        (r.lang, r.source)
+        for r in table(spark, sf_dir, "documents").select("lang", "source").collect()
+    )
+    by_lang: dict = {}
+    for (lang, _), c in pairs.items():
+        n, k, sq = by_lang.get(lang, (0, 0, 0))
+        by_lang[lang] = (n + c, k + 1, sq + c * c)
+    expected = sorted(
+        (lang, n, k, sq * 1_000_000 // (n * n), n * n * 1000 // sq)
+        for lang, (n, k, sq) in by_lang.items()
+    )
+    got = [
+        (r.lang, r.n_docs, r.n_sources, r.simpson_ppm, r.eff_sources_1e3)
+        for r in q121_source_diversity_report(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_q121_monoculture_effective_sources_is_one(spark, tmp_path):
+    from engine.text import q121_source_diversity_report
+
+    rows = [(i, f"doc {i}", "en", "only-src", 5) for i in range(7)]
+    d = str(tmp_path / "q121_mono")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = q121_source_diversity_report(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_sources, r.simpson_ppm, r.eff_sources_1e3) == (1, 1_000_000, 1000)

@@ -103,6 +103,10 @@ def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
 # q101's final plan prints 6 or 7 codegen ids across identical runs.
 RUNTIME_VARIANT = {
     "q101_retention_cohorts": {"codegen_spans": {6, 7}},
+    # inherits q101's variance: the composite UNION ALLs q101's plan
+    # as one leg, so its finalized codegen id count moves by the same
+    # ±1 (33 with q101 at 6, 34 with q101 at 7)
+    "rot_mm_sample_shapes": {"codegen_spans": {33, 34}},
 }
 
 
