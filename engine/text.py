@@ -3767,31 +3767,42 @@ def q120_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), and each surviving doc's global cum/rank is its
     level's prefix + a running sum WITHIN its level — a window
     partitioned by quality_1e6, fully distributed. Selection at the
-    boundary level falls out of the same filter. The corpus is
-    scanned once and shuffled once (by quality level)."""
+    boundary level falls out of the same filter.
+
+    The plan reads the text column twice (census leg + join leg; the
+    budget total derives from the CENSUS window pass, not a third
+    scan — counters pinned in PLANS.json). At 100 TB the narrow
+    (doc_id, n_tokens, quality_1e6) projection would be checkpointed
+    first (io.checkpoint) so the text bytes are read exactly once;
+    in-plan, that materialization isn't worth it at fixture sizes."""
     d = table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("n_tokens"),
         _quality_1e6_col().alias("quality_1e6"),
     )
-    totals = base.agg(
-        F.expr(f"sum(n_tokens) * {BUDGET_PPM} div 1000000").alias("budget")
-    )
     census = base.groupBy("quality_1e6").agg(
         F.sum("n_tokens").alias("lvl_tokens"), F.count(F.lit(1)).alias("lvl_docs")
     )
-    # prefix over STRICTLY higher quality levels: grid-bounded window
+    # prefix over STRICTLY higher quality levels AND the corpus total
+    # (for the budget) from the SAME grid-bounded census window pass —
+    # deriving the total here instead of a separate base.agg() saves a
+    # whole corpus scan (the text column is the expensive read)
     w_lvl = Window.orderBy(F.col("quality_1e6").desc()).rowsBetween(
         Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.col("quality_1e6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     levels = (
         census.select(
             "quality_1e6",
             F.coalesce(F.sum("lvl_tokens").over(w_lvl), F.lit(0)).alias("tok_prefix"),
             F.coalesce(F.sum("lvl_docs").over(w_lvl), F.lit(0)).alias("doc_prefix"),
+            F.sum("lvl_tokens").over(w_all).alias("total_tokens"),
         )
-        .crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr(f"total_tokens * {BUDGET_PPM} div 1000000"))
+        .drop("total_tokens")
         .filter(F.col("tok_prefix") < F.col("budget"))
     )
     w_doc = Window.partitionBy("quality_1e6").orderBy("doc_id")
