@@ -74,6 +74,10 @@ canonicalizer — fixed this round by emitting the canonical string).
     the freeze), q61/q66 (get()-safe bucket planes + -0.0), q105
     (-0.0), q63/q64/q64b (encode() oracle byte-length + zero-byte
     decode). Their direct rows follow with the normal rotation.
+  - ``_POST_FREEZE_ADDITIONS`` (2): q120_budget_selection and
+    q121_source_diversity_report — added after the freeze, the
+    sanctioned sit-out-one-round class; strict-green at all three SFs
+    in both sessions, recount/fuzz-tested, and they LEAD r8.
 """
 
 from __future__ import annotations
@@ -218,9 +222,7 @@ _POST_FREEZE_ADDITIONS: list[str] = [
 # one a member of an in-window composite (guard-test-asserted): the 63
 # r4/r5-stale members of the nine new composites plus q60/q98.
 _DEFERRED_VIA_COMPOSITE_R7 = {
-    m
-    for comp in _NEW_IN_R7
-    for m in __import__("engine.rotation", fromlist=["ROTATIONS"]).ROTATIONS[comp]
+    m for comp in _NEW_IN_R7 for m in rotation.ROTATIONS[comp]
 }
 
 
