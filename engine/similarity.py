@@ -580,6 +580,28 @@ def fit_quantizer(
     — O(k₁·d + visited·k₂·d) per query."""
     from pyspark.ml.clustering import KMeans
 
+    # MLlib KMeans crashes (executor-side AIOOBE in the || init) when
+    # k exceeds the number of DISTINCT points — a 1-row corpus, or a
+    # tiny corpus of repeated vectors, under the derived nlist=2 floor
+    # (r7 exploration fuzzer; row-count clamping alone still crashed
+    # on duplicates). Clamp to the distinct-embedding count, measured
+    # over xxhash64 of the array so the guard shuffles 8-byte keys,
+    # not vectors (a hash collision could only clamp k one lower —
+    # fewer cells, never a crash or a wrong result). One extra narrow
+    # pass; the multi-iteration fit that follows dwarfs it. Fixture
+    # paths are unaffected (k ≪ distinct there).
+    k = max(1, min(k, df.select(F.xxhash64("emb")).distinct().count()))
+    if k < 2:
+        # MLlib KMeans requires k >= 2; a single cell needs no
+        # clustering at all — everything is cell 0, centered on the
+        # corpus mean (what a k=1 Lloyd fit converges to anyway)
+        from pyspark.ml.stat import Summarizer
+
+        mean = np.array(
+            df.select(Summarizer.mean(F.col("features")).alias("m")).head().m.toArray()
+        )
+        assigned = df.withColumn("cell", F.lit(0).cast("bigint"))
+        return Quantizer(assigned, lambda qv, nprobe: [0], {0: mean})
     if k <= TWO_LEVEL_MIN_K and not force_two_level:
         km = KMeans(
             k=k, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell"
@@ -1503,16 +1525,26 @@ _DUCK_BUCKET = " + ".join(
 
 ORACLE = {
     "q105_semantic_decontamination": f"""
+        -- LEFT join + coalesce mirror the engine's empty-eval
+        -- semantics: with no (finite) eval vectors every corpus
+        -- vector still gets a row — NULL max_eval_sim, 0 hits, clean
+        -- (r7 exploration fuzzer: the inner-join form silently
+        -- dropped zero-partner corpus rows)
         WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings WHERE {_DUCK_NONZERO}),
         ev AS (SELECT vec_id AS eval_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} = 0),
         corp AS (SELECT vec_id, emb FROM c WHERE vec_id % {SEM_DECON_MOD} <> 0),
         scored AS (
             SELECT a.vec_id, list_dot_product(a.emb, q.emb) AS sim
-            FROM corp a, ev q)
-        SELECT vec_id, round(max(sim), 6) + 0.0 AS max_eval_sim,
-               sum((sim >= {SEM_DECON_THRESHOLD!r})::int)::int AS n_hits,
-               max(sim) >= {SEM_DECON_THRESHOLD!r} AS contaminated
-        FROM scored GROUP BY vec_id
+            FROM corp a, ev q),
+        agg AS (
+            SELECT vec_id, round(max(sim), 6) + 0.0 AS max_eval_sim,
+                   sum((sim >= {SEM_DECON_THRESHOLD!r})::int)::int AS n_hits,
+                   max(sim) >= {SEM_DECON_THRESHOLD!r} AS contaminated
+            FROM scored GROUP BY vec_id)
+        SELECT corp.vec_id, agg.max_eval_sim,
+               coalesce(agg.n_hits, 0) AS n_hits,
+               coalesce(agg.contaminated, false) AS contaminated
+        FROM corp LEFT JOIN agg USING (vec_id)
     """,
     "q66_embedding_near_dup": f"""
         -- GEOMETRY NOTE: this oracle encodes the FIXTURE bucket width

