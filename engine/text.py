@@ -573,7 +573,15 @@ def q58_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q59_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite): minimum
-    60-bit hash over all 8-char windows of the text."""
+    60-bit hash over all 8-char windows of the text.
+
+    Cost note: one hash per character position, all inside a JVM
+    higher-order function (narrow, no shuffle) — the wall-time is the
+    md5-based PORTABLE hash (the oracle computes the identical value
+    in DuckDB). A deployment that doesn't need cross-engine parity
+    swaps _SPARK_H60 for xxhash64(substr(...)) and cuts the per-window
+    cost ~5x (q113's substring dedup already uses xxhash64 windows —
+    its parity is structural, not value-level)."""
     d = table(spark, sf_dir, "documents")
     expr = (
         "array_min(transform(sequence(1, greatest(1, length(text) - 7)), "
