@@ -7,8 +7,8 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 165 (154 after the r6 freeze + the 9
-r7 family composites + the 2 post-freeze additions q120/q121).
+entries; the full inventory is 168 (154 after the r6 freeze + the 9
+r7 family composites + the 5 post-freeze additions q120-q124).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
@@ -74,10 +74,12 @@ canonicalizer — fixed this round by emitting the canonical string).
     the freeze), q61/q66 (get()-safe bucket planes + -0.0), q105
     (-0.0), q63/q64/q64b (encode() oracle byte-length + zero-byte
     decode). Their direct rows follow with the normal rotation.
-  - ``_POST_FREEZE_ADDITIONS`` (2): q120_budget_selection and
-    q121_source_diversity_report — added after the freeze, the
-    sanctioned sit-out-one-round class; strict-green at all three SFs
-    in both sessions, recount/fuzz-tested, and they LEAD r8.
+  - ``_POST_FREEZE_ADDITIONS`` (5): q120_budget_selection,
+    q121_source_diversity_report, q122_token_entropy,
+    q123_hard_negatives, and q124_hybrid_rrf — added after the
+    freeze, the sanctioned sit-out-one-round class; each strict-green
+    at all three SFs in engine AND vanilla sessions, recount-tested
+    against independent python implementations, and they LEAD r8.
 """
 
 from __future__ import annotations
@@ -216,6 +218,9 @@ _DISPLACED_TO_R8_ROWSONLY = [
 _POST_FREEZE_ADDITIONS: list[str] = [
     "q120_budget_selection",        # token-budget corpus cut, no global sort
     "q121_source_diversity_report", # exact inverse-Simpson source diversity
+    "q122_token_entropy",           # shuffle-free grid-entropy quality gate
+    "q123_hard_negatives",          # contrastive-mining top-k + margins
+    "q124_hybrid_rrf",              # BM25 + Dirichlet-QL reciprocal-rank fusion
 ]
 
 # Frozen hash-green singletons with no direct slot this round, EVERY

@@ -145,6 +145,9 @@ HEADLINE = [
     "q119_context_budget_report",
     "q120_budget_selection",
     "q121_source_diversity_report",
+    "q122_token_entropy",
+    "q123_hard_negatives",
+    "q124_hybrid_rrf",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

@@ -130,6 +130,83 @@ def q60_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_normed_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_corpus_normed`` with the class label kept — the contrastive-
+    mining operators need it; same degenerate-vector guard."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", F.expr(_NORM.format(a="emb")))
+        .filter((F.col("nrm") > 0) & ~F.isnan("nrm") & (F.col("nrm") < F.lit(float("inf"))))
+        .withColumn("emb_n", F.expr("transform(emb, x -> x / nrm)"))
+        .select("vec_id", "label", F.col("emb_n").alias("emb"))
+    )
+
+
+def q123_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning training
+    (the FaceNet/SimCLR data-prep leg): for each anchor (the fixture
+    query set, vec_id < N_QUERIES), the TOP_K most-similar corpus
+    vectors with a DIFFERENT label, each with its margin against the
+    anchor's best same-label positive and a ``harder_than_positive``
+    flag (a true triplet violation — exactly the pairs a trainer
+    up-weights). q60 finds neighbors; this op finds the neighbors you
+    TRAIN on.
+
+    Anchors with no finite same-label positive anywhere in the corpus
+    get NULL margin and flag TRUE (trivially violated); degenerate
+    vectors are excluded by the shared ``_corpus_normed`` guard.
+
+    Scale shape: anchors broadcast ⇒ the corpus never shuffles for the
+    scoring join (q60's plan); the positive leg is a ≤N_QUERIES-row
+    aggregate broadcast back into the ranked negatives; ranking is the
+    per-anchor window (partial top-k map-side under AQE). Two corpus
+    scans (score leg + positive leg) plus two anchor scans that
+    pushdown prunes to the ≤N_QUERIES rows (PLANS.json pins all
+    four) — at real scale the normalized projection would be
+    checkpointed once and shared.
+
+    Float determinism: cosine and margin are computed on the raw
+    IEEE-identical dot products, rounded at emission (round6 + 0.0,
+    the q60-proven pattern); the flag compares the raw doubles both
+    engines compute identically."""
+    corpus = _corpus_normed_labeled(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+    )
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.withColumn("sim", F.expr(_DOT.format(a="emb", b="qemb")))
+    pos = (
+        scored.filter(F.col("label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.filter(F.col("label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .join(F.broadcast(pos), "query_id", "left")
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            (F.round("sim", 6) + F.lit(0.0)).alias("cosine"),
+            "rank",
+            (F.round(F.col("pos_sim") - F.col("sim"), 6) + F.lit(0.0)).alias("margin"),
+            F.coalesce(F.col("sim") >= F.col("pos_sim"), F.lit(True)).alias(
+                "harder_than_positive"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # Sign-LSH geometry. N_PLANES sizes the bucket space (2^n_planes
 # buckets): expected bucket occupancy is N / 2^n_planes, and the
 # within-bucket join output is quadratic in occupancy, so n_planes must
@@ -1488,6 +1565,7 @@ def q105_semantic_decontamination(
 
 QUERIES = {
     "q60_knn_brute": q60_knn_brute,
+    "q123_hard_negatives": q123_hard_negatives,
     "q105_semantic_decontamination": q105_semantic_decontamination,
     "q61_knn_lsh_bucketed": q61_knn_lsh_bucketed,
     "q62_brp_lsh_join": q62_brp_lsh_join,
@@ -1564,6 +1642,31 @@ ORACLE = {
          AND bit_count(xor(a.bucket, b.bucket)::bigint) <= {PROBE_HAMMING}
         ORDER BY {_DUCK_COS_AB} DESC, vec_a, vec_b
         LIMIT 20
+    """,
+    "q123_hard_negatives": f"""
+        WITH c AS (
+            SELECT vec_id, label, {_DUCK_NORMED} AS emb
+            FROM embeddings WHERE {_DUCK_NONZERO}),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   a.vec_id, a.label, list_dot_product(a.emb, q.emb) AS sim
+            FROM c a, c q
+            WHERE q.vec_id < {N_QUERIES} AND a.vec_id <> q.vec_id),
+        pos AS (
+            SELECT query_id, max(sim) AS pos_sim
+            FROM scored WHERE label = query_label GROUP BY query_id),
+        ranked AS (
+            SELECT query_id, query_label, vec_id, label, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored WHERE label <> query_label)
+        SELECT r.query_id, r.query_label, r.vec_id, r.label AS neg_label,
+               round(r.sim, 6) + 0.0 AS cosine, r.rank::int AS rank,
+               round(p.pos_sim - r.sim, 6) + 0.0 AS margin,
+               coalesce(r.sim >= p.pos_sim, true) AS harder_than_positive
+        FROM ranked r LEFT JOIN pos p USING (query_id)
+        WHERE r.rank <= {TOP_K}
+        ORDER BY r.query_id, r.rank
     """,
     "q60_knn_brute": f"""
         WITH c AS (SELECT vec_id, {_DUCK_NORMED} AS emb FROM embeddings WHERE {_DUCK_NONZERO}),

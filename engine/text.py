@@ -3218,6 +3218,37 @@ BM25_QUERY_TERMS = {
 }
 
 
+def _retrieval_frames(spark: SparkSession, sf_dir: str):
+    """The shared candidate machinery of the retrieval operators
+    (q116 BM25, q124 hybrid RRF): the fixed query workload as a tiny
+    DataFrame, the corpus totals (1 row), and the matched (term,
+    doc_id, tf, dl) frame — built exactly as q116 always built them
+    (factored, not copied, when q124 joined; q116's plan and hash are
+    unchanged). The broadcast term filter runs BEFORE any shuffle, so
+    shuffle volume is O(matching tokens) regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERY_TERMS.items()) for t in ts],
+        "query_id string, term string",
+    )
+    terms = qterms.select("term").distinct()
+    tot = d.select(F.size(toks).cast("bigint").alias("dl")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tfd = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(terms), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return qterms, tot, tfd
+
+
 def q116_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (Okapi k1=1.2, b=0.75) for a fixed query
     workload over the corpus — the retrieval leg a training-data
@@ -3242,26 +3273,7 @@ def q116_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip the driver's bit-exact hash (ln of exact-count quotients is
     the q57c/q109-proven portable op).  Ranks are total-ordered by
     (score DESC, doc_id)."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(BM25_QUERY_TERMS.items()) for t in ts],
-        "query_id string, term string",
-    )
-    terms = qterms.select("term").distinct()
-    tot = d.select(F.size(toks).cast("bigint").alias("dl")).groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
-    )
-    tfd = (
-        d.select(
-            "doc_id",
-            F.size(toks).cast("bigint").alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .join(F.broadcast(terms), "term")
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    qterms, tot, tfd = _retrieval_frames(spark, sf_dir)
     # df as a count window over the (term, doc) frame rather than a
     # separate aggregate: tfd feeding BOTH a groupBy and the scoring
     # join would plan the explode scan twice (Catalyst does not dedupe
@@ -3912,4 +3924,285 @@ ORACLE["q121_source_diversity_report"] = """
            (sum_sq * 1000000) // (n_docs * n_docs) AS simpson_ppm,
            (n_docs * n_docs * 1000) // sum_sq AS eff_sources_1e3
     FROM per_lang ORDER BY lang
+"""
+
+
+# docs whose token-distribution entropy falls below this are flagged —
+# e^2 ≈ 7.4 effective distinct tokens, the gibberish/keyword-stuffing
+# floor (binds on the fixture: 1/500 at sf0.001, 20/5000 at sf0.1)
+ENTROPY_MIN_1E6 = 2_000_000
+
+# run-length fold over the SORTED token array: per-token counts and the
+# Σ floor(c·ln(c)·1e6) entropy numerator WITHOUT exploding the corpus —
+# equal tokens are adjacent after array_sort, so one JVM aggregate()
+# pass counts runs (prev/run) while accumulating the finished runs'
+# grid terms (acc) and the distinct count (nd); the finish lambda folds
+# the final run in. ln(run) on an exact bigint run length is the
+# engine-portable float op (the q57c/q109 class), and each run's term
+# is floor-gridded BEFORE the bigint sum, so accumulation order can't
+# flip a bit.
+_ENTROPY_FOLD = """
+aggregate(
+  array_sort(split(trim(text), ' +')),
+  struct(cast(null as string) as prev, cast(0 as bigint) as run,
+         cast(0 as bigint) as acc, cast(0 as bigint) as nd),
+  (s, x) -> CASE WHEN s.prev IS NOT NULL AND x = s.prev
+            THEN struct(x as prev, s.run + 1L as run, s.acc as acc, s.nd as nd)
+            ELSE struct(x as prev, 1L as run,
+                        s.acc + CASE WHEN s.run > 0
+                                THEN floor(s.run * ln(s.run) * 1e6) ELSE 0L END as acc,
+                        s.nd + 1L as nd) END,
+  s -> struct(s.acc + CASE WHEN s.run > 0
+                      THEN floor(s.run * ln(s.run) * 1e6) ELSE 0L END as acc,
+              s.nd as nd))
+"""
+
+
+def q122_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy with a
+    low-entropy flag — the gibberish / keyword-stuffing / template-spam
+    filter that complements q57's ratio heuristics and q57b's n-gram
+    repetition caps: a page repeating one token ("buy buy buy …") has
+    entropy → 0 however long it is, while q57's length term still
+    rewards it. Standard corpus-quality rule (C4/Gopher-family
+    pipelines gate on exactly this signal).
+
+    Entropy on the exact 1e-6 grid: H = ln(n) − (Σ_t c_t·ln c_t)/n
+    becomes entropy_1e6 = floor(ln(n)·1e6) − (Σ_t floor(c_t·ln(c_t)·1e6))
+    div n — ln of exact bigint counts is the proven engine-portable
+    float op (q57c/q109), every term is floor-gridded BEFORE the bigint
+    sum, and the division is integer, so the value is bit-portable by
+    construction (grid bias < 1e-6 nats, irrelevant to a 2.0-nat
+    threshold). A single-token doc gets exactly 0.
+
+    Scale shape: ZERO shuffles — the run-length fold over the sorted
+    token array (``_ENTROPY_FOLD``) computes per-token counts, the
+    entropy numerator, and the distinct count in ONE JVM
+    aggregate() pass per row (scan → project, whole-stage codegen;
+    plan-pinned). The explode→groupBy(doc,tok)→groupBy(doc) form
+    shuffles the corpus token stream twice; per-row sort+fold is
+    O(L log L) CPU with NO data movement — at 100 TB the difference
+    is the whole job. Output is corpus-rows sized, ordered by doc_id
+    for the fixture gate only."""
+    d = table(spark, sf_dir, "documents")
+    ent = F.floor(F.log(F.col("n_tokens")) * F.lit(1e6)) - F.expr("st.acc div n_tokens")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("n_tokens"),
+            F.expr(_ENTROPY_FOLD).alias("st"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("st.nd").alias("n_distinct"),
+            ent.alias("entropy_1e6"),
+        )
+        .withColumn("low_entropy", F.col("entropy_1e6") < ENTROPY_MIN_1E6)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q122_token_entropy"] = q122_token_entropy
+
+ORACLE["q122_token_entropy"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        FROM documents),
+    cnt AS (SELECT doc_id, tok, count(*)::bigint AS c FROM tok GROUP BY 1, 2),
+    per AS (
+        SELECT doc_id,
+               sum(floor(c * ln(c) * 1e6)::bigint)::bigint AS acc,
+               count(*)::bigint AS n_distinct,
+               sum(c)::bigint AS n_tokens
+        FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           floor(ln(n_tokens) * 1e6)::bigint - acc // n_tokens AS entropy_1e6,
+           (floor(ln(n_tokens) * 1e6)::bigint - acc // n_tokens)
+               < {ENTROPY_MIN_1E6} AS low_entropy
+    FROM per ORDER BY doc_id
+"""
+
+
+# ---------------------------------- hybrid retrieval fusion (RRF)
+
+QL_MU = 2000.0   # Dirichlet smoothing mass (Zhai & Lafferty's default range)
+RRF_K = 60       # the canonical RRF constant (Cormack et al. 2009)
+RRF_POOL = 20    # per-leg candidate pool fused per query
+
+
+def q124_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: two independent
+    rankers over the same fixed query workload — q116's Okapi BM25 and
+    a Dirichlet-smoothed query-likelihood LM (Zhai & Lafferty 2001) —
+    each contribute 1/(RRF_K + rank) per document; the fused top-k is
+    what production retrieval stacks actually serve (fusion beats
+    either leg alone because the legs' failure modes differ). The
+    decontamination-by-search and hard-negative-mining pipelines run
+    exactly this shape with the dense leg swapped in where embeddings
+    exist for the corpus.
+
+    QL scoring uses the matched-terms decomposition so absent terms
+    never need rows: ln P(q|d) = Σ_matched ln(1 + tf/(μ·cf_t/C)) +
+    |q|·ln(μ/(dl+μ)) — only matched (term, doc) pairs, per-doc length,
+    and per-term collection frequencies appear.
+
+    Exactness: every float leaves through a floor(·1e6) grid BEFORE
+    any summation (the q116/q111 discipline) — leg scores are bigint
+    sums of gridded terms, leg ranks are ints, and the RRF sum is pure
+    integer arithmetic (1e9 div (K + rank)), so the fused ranking is
+    bit-portable by construction.
+
+    Scale shape: both legs reuse ``_retrieval_frames`` — the broadcast
+    term filter bounds every shuffle at O(matching tokens); cf and df
+    are count/sum windows over the candidate frame (no corpus
+    re-scan); the fusion union/agg is O(queries × 2·RRF_POOL) rows.
+    Three corpus scans total (the matched frame plans twice — once per
+    leg — plus the totals leg); at 100 TB the matched frame would be
+    checkpointed once instead."""
+    qterms, tot, tfd = _retrieval_frames(spark, sf_dir)
+
+    # --- BM25 leg: q116's scoring expression verbatim
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") * F.col("n_docs") / F.col("total_toks")))
+    )
+    bm25 = (
+        tfd.withColumn("df", dfreq)
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tot))
+        .select("query_id", "doc_id", F.floor(idf * norm * F.lit(1e6)).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_1e6"))
+    )
+
+    # --- Dirichlet query-likelihood leg
+    cf = F.sum("tf").over(Window.partitionBy("term"))
+    g1 = F.floor(
+        F.log(1.0 + F.col("tf") / (F.lit(QL_MU) * F.col("cf") / F.col("total_toks")))
+        * F.lit(1e6)
+    )
+    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    ql = (
+        tfd.withColumn("cf", cf)
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tot))
+        .select("query_id", "doc_id", g1.alias("g1"), "dl")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("g1").alias("sum_g1"), F.first("dl").alias("dl"))
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("sum_g1")
+                + F.col("nq")
+                * F.floor(F.log(F.lit(QL_MU) / (F.col("dl") + F.lit(QL_MU))) * F.lit(1e6))
+            ).alias("score_1e6"),
+        )
+    )
+
+    def _pooled(leg: DataFrame, name: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_1e6").desc(), F.col("doc_id")
+        )
+        return (
+            leg.withColumn("lrank", F.row_number().over(w))
+            .filter(F.col("lrank") <= RRF_POOL)
+            .select("query_id", "doc_id", "lrank", F.lit(name).alias("leg"))
+        )
+
+    fused = (
+        _pooled(bm25, "bm25")
+        .unionAll(_pooled(ql, "ql"))
+        .withColumn("contrib", F.expr(f"1000000000 div ({RRF_K} + lrank)"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_legs"),
+            F.min(F.when(F.col("leg") == "bm25", F.col("lrank"))).alias("bm25_rank"),
+            F.min(F.when(F.col("leg") == "ql", F.col("lrank"))).alias("ql_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "rrf_score", "n_legs", "bm25_rank", "ql_rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["q124_hybrid_rrf"] = q124_hybrid_rrf
+
+ORACLE["q124_hybrid_rrf"] = f"""
+    WITH qterms(query_id, term) AS (VALUES {_DUCK_BM25_QTERMS}),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+        FROM documents),
+    dl AS (
+        SELECT doc_id, len(string_split_regex(trim(lower(text)), ' +'))::bigint AS dl
+        FROM documents),
+    tot AS (SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS total_toks FROM dl),
+    tfd AS (
+        SELECT t.term, t.doc_id, count(*)::bigint AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+        GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tfd GROUP BY term),
+    bm25 AS (
+        SELECT q.query_id, t.doc_id,
+               sum(floor(
+                   ln((tot.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * ((t.tf * ({BM25_K1} + 1.0))
+                      / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * (d.dl::double * tot.n_docs / tot.total_toks))))
+                   * 1e6)::bigint)::bigint AS score_1e6
+        FROM tfd t
+        JOIN qterms q USING (term)
+        JOIN dfreq f USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN tot
+        GROUP BY 1, 2),
+    nq AS (SELECT query_id, count(*)::bigint AS nq FROM qterms GROUP BY query_id),
+    ql AS (
+        SELECT g.query_id, g.doc_id,
+               g.sum_g1 + nq.nq * floor(ln({QL_MU} / (d.dl + {QL_MU})) * 1e6)::bigint AS score_1e6
+        FROM (
+            SELECT q.query_id, t.doc_id,
+                   sum(floor(ln(1.0 + t.tf / ({QL_MU} * f.cf / tot.total_toks)) * 1e6)::bigint)::bigint AS sum_g1
+            FROM tfd t
+            JOIN qterms q USING (term)
+            JOIN dfreq f USING (term)
+            CROSS JOIN tot
+            GROUP BY 1, 2) g
+        JOIN dl d USING (doc_id)
+        JOIN nq USING (query_id)),
+    pooled AS (
+        SELECT query_id, doc_id, lrank, leg FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score_1e6 DESC, doc_id) AS lrank,
+                   'bm25' AS leg
+            FROM bm25) WHERE lrank <= {RRF_POOL}
+        UNION ALL
+        SELECT query_id, doc_id, lrank, leg FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score_1e6 DESC, doc_id) AS lrank,
+                   'ql' AS leg
+            FROM ql) WHERE lrank <= {RRF_POOL}),
+    fused AS (
+        SELECT query_id, doc_id,
+               sum(1000000000 // ({RRF_K} + lrank))::bigint AS rrf_score,
+               count(*)::bigint AS n_legs,
+               min(CASE WHEN leg = 'bm25' THEN lrank END)::bigint AS bm25_rank,
+               min(CASE WHEN leg = 'ql' THEN lrank END)::bigint AS ql_rank
+        FROM pooled GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id)::int AS rank
+        FROM fused)
+    SELECT query_id, rank, doc_id, rrf_score, n_legs, bm25_rank, ql_rank
+    FROM ranked WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
 """

@@ -63,6 +63,8 @@ FUZZ_QUERIES = [
     "rot_text_quality_shapes",
     "q120_budget_selection",        # budget boundary on hostile token counts
     "q121_source_diversity_report", # concentration arithmetic on tiny corpora
+    "q122_token_entropy",           # grid entropy on empty/constant/giant docs
+    "q124_hybrid_rrf",              # two-leg fusion when terms (don't) match
 ]
 
 _WORD = st.text(
@@ -469,6 +471,7 @@ SIMILARITY_FUZZ_QUERIES = [
     "q66_embedding_near_dup",   # banded self-join near-dup
     "q105_semantic_decontamination",  # broadcast eval-set scan
     "q98_embedding_quantize",   # int8 quantization incl. zero vectors
+    "q123_hard_negatives",      # margins/flags under ties, missing positives
 ]
 
 # rows-only ANN operators (seeded MLlib RNG / KMeans fits — no SQL

@@ -164,3 +164,14 @@ def test_q81b_band_join_is_equi_hash_join(spark, sf_dir):
     plan = _plan(relational.q81b_band_self_join(spark, sf_dir))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_q122_entropy_is_shuffle_free(spark, sf_dir):
+    # the run-length fold computes per-doc entropy WITHOUT exploding:
+    # scan -> project (+ the fixture orderBy's range exchange is the
+    # only allowed movement); a hash exchange would mean the op
+    # regressed to the explode->groupBy form
+    plan = _plan(text.q122_token_entropy(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1

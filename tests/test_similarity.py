@@ -905,3 +905,80 @@ def test_quantizer_single_row_corpus(spark, tmp_path):
     assert q65_knn_ivf(spark, d2).count() == 2      # the twin pair finds itself
     assert q75_semantic_dedup(spark, d2).count() == 1  # one duplicate group
     assert q76b_ivfpq_ann(spark, d2).count() == 2
+
+
+def test_hard_negatives_numpy_recount(spark, sf_dir):
+    """q123 against an independent numpy recount: per anchor, the
+    different-label top-k by cosine with (sim desc, vec_id) ties, the
+    best same-label positive, margins, and the violation flag."""
+    import numpy as np
+
+    from engine.session import table
+    from engine.similarity import N_QUERIES, TOP_K, q123_hard_negatives
+
+    rows = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs, labels = {}, {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        n = float(np.sqrt((v * v).sum()))
+        if n > 0 and np.isfinite(n):
+            vecs[r.vec_id] = v / n
+            labels[r.vec_id] = r.label
+    got = list(q123_hard_negatives(spark, sf_dir).collect())
+    by_anchor: dict = {}
+    for r in got:
+        by_anchor.setdefault(r.query_id, []).append(r)
+    for qid in (i for i in range(N_QUERIES) if i in vecs):
+        q, ql = vecs[qid], labels[qid]
+        sims = {
+            vid: float(q @ v) for vid, v in vecs.items() if vid != qid
+        }
+        pos = max(
+            (s for vid, s in sims.items() if labels[vid] == ql), default=None
+        )
+        negs = sorted(
+            ((vid, s) for vid, s in sims.items() if labels[vid] != ql),
+            key=lambda t: (-t[1], t[0]),
+        )[:TOP_K]
+        mine = by_anchor[qid]
+        assert [r.vec_id for r in mine] == [vid for vid, _ in negs]
+        for r, (vid, s) in zip(mine, negs):
+            assert abs(r.cosine - s) < 6e-7  # emitted at round-6
+            assert r.neg_label == labels[vid] != ql
+            if pos is None:
+                assert r.margin is None and r.harder_than_positive
+            else:
+                assert abs(r.margin - (pos - s)) < 6e-7
+                assert r.harder_than_positive == (s >= pos)
+
+
+def test_hard_negatives_planted_semantics(spark, tmp_path):
+    """Planted geometry: an anchor whose nearest different-label
+    vector is CLOSER than its best positive must flag it
+    harder_than_positive with a negative margin; an anchor class with
+    no second member gets NULL margin and flag TRUE on every negative;
+    a degenerate zero vector never appears."""
+    from engine.similarity import q123_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),     # anchor A
+        (1, [0.99, 0.1, 0.0, 0.0], 1),    # hard negative (closer than pos)
+        (2, [0.8, 0.6, 0.0, 0.0], 0),     # A's best positive
+        (3, [0.0, 1.0, 0.0, 0.0], 1),     # easy negative
+        (4, [0.0, 0.0, 1.0, 0.0], 7),     # anchor B: label 7 is unique
+        (5, [0.0] * 4, 1),                # degenerate: excluded
+    ]
+    d = str(tmp_path / "q123")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = list(q123_hard_negatives(spark, d).collect())
+    assert all(r.vec_id != 5 for r in out)
+    a = [r for r in out if r.query_id == 0]
+    assert a[0].vec_id == 1 and a[0].harder_than_positive and a[0].margin < 0
+    easy = next(r for r in a if r.vec_id == 3)
+    assert not easy.harder_than_positive and easy.margin > 0
+    b = [r for r in out if r.query_id == 4]
+    assert b and all(r.margin is None and r.harder_than_positive for r in b)

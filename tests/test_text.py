@@ -1523,3 +1523,170 @@ def test_q121_monoculture_effective_sources_is_one(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.n_sources, r.simpson_ppm, r.eff_sources_1e3) == (1, 1_000_000, 1000)
+
+
+def test_q122_token_entropy_exact_recount(spark, sf_dir):
+    """The fold's grid entropy must equal an independent Python
+    recount (Counter per doc, same floor-grid formula) on every
+    fixture doc — run-length counting, the numerator sum, and the
+    integer division all re-derived from scratch."""
+    import math
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import ENTROPY_MIN_1E6, q122_token_entropy
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {r.doc_id: r for r in q122_token_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.strip().split()
+        toks = toks if toks else [""]
+        c = Counter(toks)
+        n = sum(c.values())
+        acc = sum(math.floor(v * math.log(v) * 1e6) for v in c.values())
+        ent = math.floor(math.log(n) * 1e6) - acc // n
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_distinct, r.entropy_1e6) == (n, len(c), ent), doc_id
+        assert r.low_entropy == (ent < ENTROPY_MIN_1E6)
+
+
+def test_q122_entropy_planted_semantics(spark, tmp_path):
+    """Planted docs pin the semantics: a one-token doc and a
+    constant-token doc have entropy exactly 0 (flagged), a uniform
+    k-distinct doc has entropy ~ln(k) (grid), and repetition LOWERS
+    entropy at equal length — the signal q57's length term misses."""
+    import math
+
+    from engine.text import ENTROPY_MIN_1E6, q122_token_entropy
+
+    rows = [
+        (0, "lonely", "en", "s", 6),                      # 1 token -> 0
+        (1, " ".join(["buy"] * 400), "en", "s", 1600),    # spam -> 0
+        (2, " ".join(f"w{i}" for i in range(64)), "en", "s", 256),  # uniform
+        (3, " ".join(f"w{i % 8}" for i in range(64)), "en", "s", 256),  # 8 tokens cycled
+    ]
+    d = str(tmp_path / "q122")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in q122_token_entropy(spark, d).collect()}
+    assert out[0].entropy_1e6 == 0 and out[0].low_entropy
+    assert out[1].entropy_1e6 == 0 and out[1].low_entropy
+    # uniform 64-distinct: ln(64) on the grid, never flagged
+    assert abs(out[2].entropy_1e6 - math.floor(math.log(64) * 1e6)) <= 1
+    assert not out[2].low_entropy
+    # same length, 8 distinct cycled: exactly ln(8) (uniform runs of 8)
+    assert abs(out[3].entropy_1e6 - math.floor(math.log(8) * 1e6)) <= 1
+    assert out[3].entropy_1e6 < out[2].entropy_1e6
+    assert (out[3].entropy_1e6 < ENTROPY_MIN_1E6) == out[3].low_entropy
+
+
+def test_hybrid_rrf_matches_independent_python(spark, sf_dir):
+    """q124 against a from-scratch python implementation of BOTH legs
+    and the fusion: Counter tf/df/cf, the Okapi and Dirichlet-QL
+    formulas on the 1e-6 floor grid, per-leg (score, doc_id) pools of
+    RRF_POOL, and integer 1e9//(K+rank) fusion — the whole pipeline
+    re-derived independently."""
+    import math
+    import re
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+        QL_MU,
+        RRF_K,
+        RRF_POOL,
+        q124_hybrid_rrf,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: re.split(" +", r.text.strip().lower()) for r in docs}
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks.values())
+    all_terms = {t for ts in BM25_QUERY_TERMS.values() for t in ts}
+    tf = {d: Counter(t for t in ts if t in all_terms) for d, ts in toks.items()}
+    df = Counter(t for d in tf.values() for t in d)
+    cf = Counter()
+    for d in tf.values():
+        cf.update(d)
+
+    def bm25_leg(qid, terms):
+        scored = []
+        for d, ts in toks.items():
+            s = 0
+            hit = False
+            for t in terms:
+                f = tf[d].get(t, 0)
+                if not f:
+                    continue
+                hit = True
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                norm = (f * (BM25_K1 + 1.0)) / (
+                    f + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(ts) * n_docs / total))
+                )
+                s += math.floor(idf * norm * 1e6)
+            if hit:
+                scored.append((-s, d))
+        scored.sort()
+        return [d for _, d in scored[:RRF_POOL]]
+
+    def ql_leg(qid, terms):
+        scored = []
+        for d, ts in toks.items():
+            s = 0
+            hit = False
+            for t in terms:
+                f = tf[d].get(t, 0)
+                if not f:
+                    continue
+                hit = True
+                s += math.floor(math.log(1.0 + f / (QL_MU * cf[t] / total)) * 1e6)
+            if hit:
+                s += len(terms) * math.floor(math.log(QL_MU / (len(ts) + QL_MU)) * 1e6)
+                scored.append((-s, d))
+        scored.sort()
+        return [d for _, d in scored[:RRF_POOL]]
+
+    expected = []
+    for qid, terms in sorted(BM25_QUERY_TERMS.items()):
+        legs = {"bm25": bm25_leg(qid, terms), "ql": ql_leg(qid, terms)}
+        fused: dict = {}
+        for leg, pool in legs.items():
+            for r, d in enumerate(pool, 1):
+                e = fused.setdefault(d, {"score": 0, "legs": 0, "bm25": None, "ql": None})
+                e["score"] += 1_000_000_000 // (RRF_K + r)
+                e["legs"] += 1
+                e[leg] = r
+        ranked = sorted(fused.items(), key=lambda kv: (-kv[1]["score"], kv[0]))
+        for rank, (d, e) in enumerate(ranked[:BM25_TOPK], 1):
+            expected.append((qid, rank, d, e["score"], e["legs"], e["bm25"], e["ql"]))
+
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.rrf_score, r.n_legs, r.bm25_rank, r.ql_rank)
+        for r in q124_hybrid_rrf(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_hybrid_rrf_bm25_leg_consistent_with_q116(spark, sf_dir):
+    """The fused frame's bm25_rank must agree with q116's own ranking
+    wherever both emit a row — the factored _retrieval_frames helper
+    did not fork the leg's semantics."""
+    from engine.text import q116_bm25_topk, q124_hybrid_rrf
+
+    q116_ranks = {
+        (r.query_id, r.doc_id): r.rank for r in q116_bm25_topk(spark, sf_dir).collect()
+    }
+    for r in q124_hybrid_rrf(spark, sf_dir).collect():
+        if (r.query_id, r.doc_id) in q116_ranks:
+            assert r.bm25_rank == q116_ranks[(r.query_id, r.doc_id)], r
+        assert r.n_legs in (1, 2)
+        assert (r.bm25_rank is not None) + (r.ql_rank is not None) == r.n_legs
