@@ -148,6 +148,7 @@ HEADLINE = [
     "q122_token_entropy",
     "q123_hard_negatives",
     "q124_hybrid_rrf",
+    "q125_length_outliers",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

@@ -4206,3 +4206,152 @@ ORACLE["q124_hybrid_rrf"] = f"""
     FROM ranked WHERE rank <= {BM25_TOPK}
     ORDER BY query_id, rank
 """
+
+
+# ---------------------------------- robust length-outlier report (MAD)
+
+MAD_K = 3  # flag |len - median| > MAD_K * MAD (the textbook robust gate)
+
+
+def _med2_of(cen: DataFrame, val_col: str) -> DataFrame:
+    """Exact per-lang DOUBLED median off a (lang, value, cnt) census:
+    med2 = lower-middle + upper-middle order statistics (so an even
+    count's half-integer median stays a bigint — all downstream
+    arithmetic compares doubled units against doubled units and no
+    float ever appears). cum/n ride one census-sized window pair;
+    the middles fall out of two conditional mins in one agg."""
+    w = Window.partitionBy("lang").orderBy(val_col)
+    wall = Window.partitionBy("lang")
+    c = cen.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("cum") >= lo, F.col(val_col))).alias("m_lo"),
+            F.min(F.when(F.col("cum") >= hi, F.col(val_col))).alias("m_hi"),
+            F.first("n").alias("n_docs"),
+        )
+        .select("lang", (F.col("m_lo") + F.col("m_hi")).alias("med2"), "n_docs")
+    )
+
+
+def q125_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust length-outlier report — median / MAD
+    (median absolute deviation) of the token count with a
+    |len − median| > MAD_K·MAD outlier census: the robust twin of
+    mean/std length gates (one 10⁶-token pathological doc moves a
+    mean, it cannot move a median), the standard screen for truncated
+    crawls and concatenation bugs before training. The fixture corpus
+    is honestly outlier-free at K=3 (uniform 10–100-token docs);
+    planted tests prove the flag fires.
+
+    Integer-exact throughout: medians are computed in DOUBLED units
+    (med2 = low + high middle order statistics, so even-count
+    half-integer medians stay bigint), deviations d = |2·len − med2|
+    live in the same doubled units, the MAD is the census median of d
+    (mad2 = 2·MAD), and the outlier rule |len−med| > K·MAD is
+    EXACTLY d > K·mad2 — pure bigint comparisons, no float anywhere
+    (the q121 discipline applied to order statistics).
+
+    Scale shape (the q120 grid-census trick applied to medians): the
+    (lang, len) census — map-side combining, ≤ langs × max-doc-length
+    rows at ANY corpus size — is the only corpus-derived frame; every
+    subsequent step (cum windows, the deviation census, the outlier
+    count) is census-sized. An exact percentile over raw rows would
+    collect per-group value buffers (corpus-bounded memory); the
+    census form is grid-bounded. The census subtree plans FOUR times
+    at fixture scale (median leg, deviation leg, final leg — Catalyst
+    does not dedupe shared subplans; PLANS.json pins all four narrow
+    2-column scans); at 100 TB checkpoint the census once
+    (io.checkpoint, census-sized, tiny) and every leg reads it back —
+    the corpus itself is then scanned exactly once. Output is
+    ≤|langs| rows: (lang, n_docs, med2_tokens, mad2_tokens, max_dev2,
+    n_outliers, outlier_ppm)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("v"),
+    )
+    census = base.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _med2_of(census, "v")
+    dev = (
+        census.join(F.broadcast(med), "lang")
+        .select("lang", F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("d"), "cnt")
+        .groupBy("lang", "d")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _med2_of(dev, "d").select("lang", F.col("med2").alias("mad2"))
+    return (
+        census.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .withColumn("d", F.abs(F.lit(2) * F.col("v") - F.col("med2")))
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("med2").alias("med2_tokens"),
+            F.first("mad2").alias("mad2_tokens"),
+            F.max("d").alias("max_dev2"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad2"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_outliers"),
+        )
+        .withColumn("outlier_ppm", F.expr("n_outliers * 1000000 div n_docs"))
+        .select(
+            "lang",
+            "n_docs",
+            "med2_tokens",
+            "mad2_tokens",
+            "max_dev2",
+            "n_outliers",
+            "outlier_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q125_length_outliers"] = q125_length_outliers
+
+ORACLE["q125_length_outliers"] = f"""
+    WITH base AS (
+        SELECT lang, len(string_split_regex(trim(text), ' +'))::bigint AS v
+        FROM documents),
+    census AS (SELECT lang, v, count(*)::bigint AS cnt FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, v, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY v)::bigint AS cum,
+               sum(cnt) OVER (PARTITION BY lang)::bigint AS n
+        FROM census),
+    med AS (
+        SELECT lang,
+               (min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                + min(CASE WHEN cum >= n // 2 + 1 THEN v END))::bigint AS med2,
+               min(n)::bigint AS n_docs
+        FROM cum GROUP BY lang),
+    dev AS (
+        SELECT c.lang, abs(2 * c.v - m.med2)::bigint AS d, sum(c.cnt)::bigint AS cnt
+        FROM census c JOIN med m USING (lang) GROUP BY 1, 2),
+    dcum AS (
+        SELECT lang, d, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY d)::bigint AS cum,
+               sum(cnt) OVER (PARTITION BY lang)::bigint AS n
+        FROM dev),
+    mad AS (
+        SELECT lang,
+               (min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+                + min(CASE WHEN cum >= n // 2 + 1 THEN d END))::bigint AS mad2
+        FROM dcum GROUP BY lang)
+    SELECT c.lang, m.n_docs, m.med2 AS med2_tokens, a.mad2 AS mad2_tokens,
+           max(abs(2 * c.v - m.med2))::bigint AS max_dev2,
+           sum(CASE WHEN abs(2 * c.v - m.med2) > {MAD_K} * a.mad2
+               THEN c.cnt ELSE 0 END)::bigint AS n_outliers,
+           ((sum(CASE WHEN abs(2 * c.v - m.med2) > {MAD_K} * a.mad2
+                 THEN c.cnt ELSE 0 END) * 1000000) // m.n_docs)::bigint AS outlier_ppm
+    FROM census c JOIN med m USING (lang) JOIN mad a USING (lang)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY lang
+"""

@@ -65,6 +65,7 @@ FUZZ_QUERIES = [
     "q121_source_diversity_report", # concentration arithmetic on tiny corpora
     "q122_token_entropy",           # grid entropy on empty/constant/giant docs
     "q124_hybrid_rrf",              # two-leg fusion when terms (don't) match
+    "q125_length_outliers",         # doubled-unit medians on tiny/constant langs
 ]
 
 _WORD = st.text(

@@ -1690,3 +1690,70 @@ def test_hybrid_rrf_bm25_leg_consistent_with_q116(spark, sf_dir):
             assert r.bm25_rank == q116_ranks[(r.query_id, r.doc_id)], r
         assert r.n_legs in (1, 2)
         assert (r.bm25_rank is not None) + (r.ql_rank is not None) == r.n_legs
+
+
+def test_q125_mad_matches_independent_python(spark, sf_dir):
+    """q125's census-based doubled-unit medians and outlier census
+    must equal a from-scratch python recount (statistics-free: sorted
+    lists, explicit low/high middles) per language."""
+    from collections import defaultdict
+
+    from engine.session import table
+    from engine.text import MAD_K, q125_length_outliers
+
+    by_lang = defaultdict(list)
+    for r in table(spark, sf_dir, "documents").select("lang", "text").collect():
+        toks = r.text.strip().split()
+        by_lang[r.lang].append(len(toks) if toks else 1)
+
+    def med2(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n + 1) // 2 - 1] + s[n // 2]
+
+    expected = []
+    for lang in sorted(by_lang):
+        vs = by_lang[lang]
+        m2 = med2(vs)
+        devs = [abs(2 * v - m2) for v in vs]
+        mad2 = med2(devs)
+        n_out = sum(1 for d in devs if d > MAD_K * mad2)
+        expected.append(
+            (lang, len(vs), m2, mad2, max(devs), n_out, n_out * 1_000_000 // len(vs))
+        )
+    got = [
+        (r.lang, r.n_docs, r.med2_tokens, r.mad2_tokens, r.max_dev2, r.n_outliers,
+         r.outlier_ppm)
+        for r in q125_length_outliers(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_q125_planted_outliers_fire(spark, tmp_path):
+    """A planted 10000-token doc in a tight 50-token population must
+    be the language's single outlier; a single-doc language and an
+    all-identical-length language (MAD 0: every deviation > 0 flags)
+    exercise the degenerate medians."""
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(["w"] * (50 + (i % 5))), "en", "s", 100))
+    rows.append((20, " ".join(["w"] * 10000), "en", "s", 20000))  # the outlier
+    rows.append((21, " ".join(["w"] * 7), "solo", "s", 14))       # 1-doc lang
+    for i in range(22, 26):
+        rows.append((i, " ".join(["w"] * 30), "const", "s", 60))  # MAD 0
+    rows.append((26, " ".join(["w"] * 31), "const", "s", 62))     # dev 2 > 3*0
+
+    from engine.text import q125_length_outliers
+
+    d = str(tmp_path / "q125")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.lang: r for r in q125_length_outliers(spark, d).collect()}
+    en = out["en"]
+    assert en.n_outliers == 1 and en.n_docs == 21
+    assert en.max_dev2 == abs(2 * 10000 - en.med2_tokens)
+    solo = out["solo"]
+    assert (solo.n_docs, solo.med2_tokens, solo.mad2_tokens, solo.n_outliers) == (1, 14, 0, 0)
+    const = out["const"]  # median 30, MAD 0 -> the 31-token doc flags
+    assert const.mad2_tokens == 0 and const.n_outliers == 1
