@@ -149,6 +149,8 @@ HEADLINE = [
     "q123_hard_negatives",
     "q124_hybrid_rrf",
     "q125_length_outliers",
+    "q126_vocab_drift",
+    "q127_stratified_sample",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

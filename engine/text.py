@@ -4355,3 +4355,188 @@ ORACLE["q125_length_outliers"] = f"""
     GROUP BY 1, 2, 3, 4
     ORDER BY lang
 """
+
+
+# ---------------------------------- vocabulary drift between snapshots
+
+VOCAB_SNAP_MOD = 3   # doc_id % 3 == 0 → snapshot B (q110's split rule)
+VOCAB_TOPK = 25
+
+
+def q126_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift between two corpus snapshots — the vocabulary
+    twin of q110's embedding drift and q107's content diff: per token
+    type, relative frequency in each snapshot (ppm of snapshot
+    tokens) and the shift between them, top-K by |shift|; plus the
+    new-vocabulary summary (types in B never seen in A) every row
+    carries. A crawler picking up a new spam campaign, a template
+    change, or a genre shift shows up here before it shows up in any
+    aggregate quality score. Novel tokens are the a_count = 0 rows
+    (is_novel); the fixture's snapshots share their vocabulary, so
+    fixture novelty is honestly zero while the shift ranking still
+    produces a full frame — planted tests prove the novelty columns.
+
+    Integer-exact: ppm values are count·1e6 div snapshot-total
+    (bigint), the shift is their difference, and the ranking key
+    (|shift| desc, token) is total — no float anywhere.
+
+    Scale shape: one corpus scan explodes tokens with the snapshot
+    tag; the census agg map-side combines to vocab-sized output
+    (conditional sums, one shuffle keyed on the token); totals are a
+    1-row aggregate broadcast back; top-K is orderBy+limit
+    (TakeOrdered — per-partition heaps, never a global sort). The
+    final rank window runs on ≤VOCAB_TOPK rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % VOCAB_SNAP_MOD == 0).alias("is_b"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    )
+    census = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("b_count"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).alias("a_count"),
+    )
+    tot = census.agg(
+        F.sum("a_count").alias("a_toks"),
+        F.sum("b_count").alias("b_toks"),
+        F.sum(F.when(F.col("b_count") > 0, 1).otherwise(0)).alias("n_types_b"),
+        F.sum(
+            F.when((F.col("b_count") > 0) & (F.col("a_count") == 0), 1).otherwise(0)
+        ).alias("n_novel_types"),
+    ).withColumn(
+        # empty-side guards: a corpus wholly inside ONE snapshot (a
+        # 1-doc corpus lands all in B under the mod rule) must define
+        # ppm-vs-empty as 0, not divide by zero (ANSI throws, DuckDB
+        # NULLs — both wrong for a report row)
+        "novel_ppm",
+        F.expr("coalesce(n_novel_types * 1000000 div nullif(n_types_b, 0), 0L)"),
+    )
+    shifted = (
+        census.join(F.broadcast(tot))
+        .withColumn("a_ppm", F.expr("coalesce(a_count * 1000000 div nullif(a_toks, 0), 0L)"))
+        .withColumn("b_ppm", F.expr("coalesce(b_count * 1000000 div nullif(b_toks, 0), 0L)"))
+        .withColumn("shift_ppm", F.col("b_ppm") - F.col("a_ppm"))
+    )
+    w = Window.orderBy(F.abs("shift_ppm").desc(), F.col("tok"))
+    return (
+        shifted.orderBy(F.abs("shift_ppm").desc(), F.col("tok"))
+        .limit(VOCAB_TOPK)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "tok",
+            "a_count",
+            "b_count",
+            "a_ppm",
+            "b_ppm",
+            "shift_ppm",
+            (F.col("a_count") == 0).alias("is_novel"),
+            "n_novel_types",
+            "novel_ppm",
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["q126_vocab_drift"] = q126_vocab_drift
+
+ORACLE["q126_vocab_drift"] = f"""
+    WITH toks AS (
+        SELECT doc_id % {VOCAB_SNAP_MOD} = 0 AS is_b,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        FROM documents),
+    census AS (
+        SELECT tok,
+               sum(CASE WHEN is_b THEN 1 ELSE 0 END)::bigint AS b_count,
+               sum(CASE WHEN is_b THEN 0 ELSE 1 END)::bigint AS a_count
+        FROM toks GROUP BY tok),
+    tot AS (
+        SELECT sum(a_count)::bigint AS a_toks, sum(b_count)::bigint AS b_toks,
+               sum(CASE WHEN b_count > 0 THEN 1 ELSE 0 END)::bigint AS n_types_b,
+               sum(CASE WHEN b_count > 0 AND a_count = 0
+                   THEN 1 ELSE 0 END)::bigint AS n_novel_types
+        FROM census),
+    shifted AS (
+        SELECT tok, a_count, b_count,
+               coalesce(a_count * 1000000 // nullif(a_toks, 0), 0)::bigint AS a_ppm,
+               coalesce(b_count * 1000000 // nullif(b_toks, 0), 0)::bigint AS b_ppm,
+               (coalesce(b_count * 1000000 // nullif(b_toks, 0), 0)
+                - coalesce(a_count * 1000000 // nullif(a_toks, 0), 0))::bigint AS shift_ppm,
+               a_count = 0 AS is_novel,
+               n_novel_types,
+               coalesce(n_novel_types * 1000000 // nullif(n_types_b, 0), 0)::bigint AS novel_ppm
+        FROM census, tot),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY abs(shift_ppm) DESC, tok)::int AS rank
+        FROM shifted)
+    SELECT rank, tok, a_count, b_count, a_ppm, b_ppm, shift_ppm, is_novel,
+           n_novel_types, novel_ppm
+    FROM ranked WHERE rank <= {VOCAB_TOPK}
+    ORDER BY rank
+"""
+
+
+# ---------------------------------- stratified weighted sampling
+
+STRAT_SAMPLE_K = 20  # docs kept per language
+
+
+def q127_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-weighted sampling without replacement —
+    q117's Efraimidis–Spirakis keys with a FIXED quota per language
+    instead of one global cut, so low-resource languages cannot be
+    squeezed out by a high-resource language's weight mass (the
+    multilingual-corpus construction rule q79/q104 set shares for,
+    applied at the document level).
+
+    Same exact-bigint A-ES key as q117 (content-addressed md5
+    uniform, floor(ln(u)/quality·1e6)); the per-language top-K runs
+    through the skew-safe two-phase grouped top-K (engine.skew
+    .grouped_topk, q115's machinery — semantics-preserving by the
+    property-tested containment law, so the oracle is the plain
+    one-window SQL): a billion-doc language never funnels one window
+    task. Scale: one narrow corpus projection, the salted two-window
+    pair, output |langs|·K rows."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat('wsample:', doc_id)), 1, 15), 16, 10) as bigint)"
+        )
+        % 1000000
+        + 1
+    ) / 1000001.0
+    keyed = d.select("doc_id", "lang", _quality_col().alias("quality")).withColumn(
+        "key_1e6", F.floor(F.log(u) / F.col("quality") * F.lit(1e6))
+    )
+    from .skew import grouped_topk
+
+    top = grouped_topk(
+        keyed,
+        ["lang"],
+        [F.col("key_1e6").desc(), F.col("doc_id")],
+        F.xxhash64("doc_id"),
+        STRAT_SAMPLE_K,
+    )
+    return top.select(
+        "lang", F.col("grp_rank").alias("rank"), "doc_id", "quality", "key_1e6"
+    ).orderBy("lang", "rank")
+
+
+QUERIES["q127_stratified_sample"] = q127_stratified_sample
+
+ORACLE["q127_stratified_sample"] = f"""
+    WITH q AS ({_DUCK_QUALITY}),
+    keyed AS (
+        SELECT d.doc_id, d.lang, q.quality,
+               floor(
+                   ln((('0x' || substr(md5('wsample:' || d.doc_id), 1, 15))::bigint
+                        % 1000000 + 1) / 1000001.0)
+                   / q.quality * 1e6)::bigint AS key_1e6
+        FROM documents d JOIN q USING (doc_id)),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY key_1e6 DESC, doc_id)::int AS rank
+        FROM keyed)
+    SELECT lang, rank, doc_id, quality, key_1e6
+    FROM ranked WHERE rank <= {STRAT_SAMPLE_K}
+    ORDER BY lang, rank
+"""

@@ -66,6 +66,8 @@ FUZZ_QUERIES = [
     "q122_token_entropy",           # grid entropy on empty/constant/giant docs
     "q124_hybrid_rrf",              # two-leg fusion when terms (don't) match
     "q125_length_outliers",         # doubled-unit medians on tiny/constant langs
+    "q126_vocab_drift",             # one-sided snapshots, empty-side ppm
+    "q127_stratified_sample",       # per-lang A-ES quota on tiny langs
 ]
 
 _WORD = st.text(

@@ -1757,3 +1757,121 @@ def test_q125_planted_outliers_fire(spark, tmp_path):
     assert (solo.n_docs, solo.med2_tokens, solo.mad2_tokens, solo.n_outliers) == (1, 14, 0, 0)
     const = out["const"]  # median 30, MAD 0 -> the 31-token doc flags
     assert const.mad2_tokens == 0 and const.n_outliers == 1
+
+
+def test_q126_vocab_drift_matches_independent_python(spark, sf_dir):
+    """q126 against a from-scratch python recount: both snapshot
+    censuses, ppm arithmetic, the |shift| ranking, and the novelty
+    summary columns."""
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import VOCAB_SNAP_MOD, VOCAB_TOPK, q126_vocab_drift
+
+    a, b = Counter(), Counter()
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = r.text.strip().lower().split()
+        toks = toks if toks else [""]
+        (b if r.doc_id % VOCAB_SNAP_MOD == 0 else a).update(toks)
+    a_toks, b_toks = sum(a.values()), sum(b.values())
+    vocab = set(a) | set(b)
+    novel = {t for t in b if t not in a}
+    novel_ppm = len(novel) * 1_000_000 // len(set(b)) if b else 0
+    rows = []
+    for t in vocab:
+        ap = a[t] * 1_000_000 // a_toks if a_toks else 0
+        bp = b[t] * 1_000_000 // b_toks if b_toks else 0
+        rows.append((t, a[t], b[t], ap, bp, bp - ap))
+    rows.sort(key=lambda r: (-abs(r[5]), r[0]))
+    expected = [
+        (i + 1, t, ac, bc, ap, bp, sh, ac == 0, len(novel), novel_ppm)
+        for i, (t, ac, bc, ap, bp, sh) in enumerate(rows[:VOCAB_TOPK])
+    ]
+    got = [
+        (r.rank, r.tok, r.a_count, r.b_count, r.a_ppm, r.b_ppm, r.shift_ppm,
+         r.is_novel, r.n_novel_types, r.novel_ppm)
+        for r in q126_vocab_drift(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_q126_planted_novelty_and_empty_snapshot(spark, tmp_path):
+    """A token appearing ONLY in snapshot B must rank with is_novel
+    and be counted in the novelty summary; a corpus that lands
+    entirely in one snapshot must report (not crash on) the empty
+    other side — ppm against an empty snapshot is defined 0."""
+    from engine.text import q126_vocab_drift
+
+    rows = [
+        (0, "spamcoin spamcoin spamcoin", "en", "s", 26),  # doc 0 -> B
+        (1, "alpha beta gamma", "en", "s", 16),            # A
+        (2, "alpha beta delta", "en", "s", 16),            # A
+        (3, "alpha spamcoin", "en", "s", 14),              # B
+    ]
+    d = str(tmp_path / "q126")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.tok: r for r in q126_vocab_drift(spark, d).collect()}
+    assert out["spamcoin"].is_novel and out["spamcoin"].b_count == 4
+    assert out["spamcoin"].a_ppm == 0
+    assert all(r.n_novel_types == 1 for r in out.values())
+    assert not out["alpha"].is_novel
+
+    # all docs in snapshot B (single doc_id 0): A side empty
+    d2 = str(tmp_path / "q126b")
+    spark.createDataFrame(
+        [(0, "x y z", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(d2 + "/documents.parquet")
+    out2 = q126_vocab_drift(spark, d2).collect()
+    assert len(out2) == 3
+    assert all(r.a_ppm == 0 and r.is_novel for r in out2)
+    assert all(r.novel_ppm == 1_000_000 for r in out2)
+
+
+def test_q127_stratified_sample_matches_python_and_q117_keys(spark, sf_dir):
+    """q127's per-language top-K must equal the python A-ES recount
+    per language (same md5 uniform, same grid key), and its keys must
+    agree with q117's global keys on shared docs (one key law, two
+    cuts)."""
+    import hashlib
+    import math
+
+    from engine.session import table
+    from engine.text import STRAT_SAMPLE_K, q117_weighted_sample, q127_stratified_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+
+    def quality(text):
+        toks = text.strip().split()
+        toks = toks if toks else [""]
+        n = len(toks)
+        mean_len = len("".join(toks)) / n
+        raw = (0.4 * min(n / 100.0, 1.0) + 0.3 * (len(set(toks)) / n)
+               + 0.3 * min(mean_len / 10.0, 1.0))
+        return math.floor(raw * 1e6) / 1e6
+
+    def key(doc_id, q):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 1) / 1000001.0
+        return math.floor(math.log(u) / q * 1e6)
+
+    by_lang: dict = {}
+    keys = {}
+    for r in docs:
+        k = key(r.doc_id, quality(r.text))
+        keys[r.doc_id] = k
+        by_lang.setdefault(r.lang, []).append((-k, r.doc_id))
+    expected = []
+    for lang in sorted(by_lang):
+        for i, (nk, did) in enumerate(sorted(by_lang[lang])[:STRAT_SAMPLE_K], 1):
+            expected.append((lang, i, did, -nk))
+    got = [
+        (r.lang, r.rank, r.doc_id, r.key_1e6)
+        for r in q127_stratified_sample(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # key law shared with q117: same doc -> same key
+    for r in q117_weighted_sample(spark, sf_dir).collect():
+        assert keys[r.doc_id] == r.key_1e6
