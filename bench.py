@@ -151,6 +151,7 @@ HEADLINE = [
     "q125_length_outliers",
     "q126_vocab_drift",
     "q127_stratified_sample",
+    "q128_bigram_logprob",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

@@ -4540,3 +4540,138 @@ ORACLE["q127_stratified_sample"] = f"""
     FROM ranked WHERE rank <= {STRAT_SAMPLE_K}
     ORDER BY lang, rank
 """
+
+
+# ---------------------------------- interpolated bigram-LM scoring
+
+LM_LAMBDA = 0.7  # bigram weight in the interpolation (1-λ on the unigram)
+
+
+def q128_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, one order up from q57c: each
+    document's mean negative log-probability under an INTERPOLATED
+    BIGRAM language model trained on the corpus itself —
+    p(w2|w1) = λ·c(w1,w2)/c_ctx(w1) + (1−λ)·c(w2)/T. Context
+    modeling separates scrambled-but-common-vocabulary spam from real
+    prose, which no unigram LM can (the production pipelines run a
+    5-gram KenLM here; the bigram keeps the model SQL-mirrorable
+    while exercising the same apply shape). Sub-bigram docs
+    (n_tokens < 2) are flagged too_short with score 0.
+
+    The structural difference from q57c is the APPLY join: a unigram
+    LM is vocab-sized and broadcasts, but a bigram table is
+    vocab-pair-sized — model-scale, not broadcast-scale — so the
+    apply pass is a hash EQUI-join of the document bigram stream
+    against the LM on (w1, w2). That join is THE scale shape of
+    n-gram LM scoring at 100 TB: shuffle keyed on the gram pair,
+    volume O(corpus bigram positions), LM side O(bigram types) — and
+    because the model is trained on the same corpus, every stream row
+    inner-joins (no smoothing-miss branch needed; scoring a FOREIGN
+    corpus would left-join with the (1−λ)-unigram fallback term).
+
+    Exactness: each position's term is floor(−ln(λ·c_bi/c_ctx +
+    (1−λ)·c_uni/T)·1e6) — ln of identically-associated exact-count
+    quotients (the q57c/q109 portable op), floor-gridded BEFORE the
+    bigint sum; the mean is integer division.
+
+    Plan: bigram stream via zip_with(slice, slice) — JVM-side, no
+    Python; censuses map-side combine (bigram census shuffles
+    gram-pair-keyed once, vocab-sized after combine); c_ctx derives
+    from the bigram census (vocab-sized), NOT a third corpus pass;
+    T is a 1-row broadcast. Corpus scans: stream leg + unigram leg +
+    doc-length leg (the bigram census reuses the stream subtree —
+    Catalyst plans it per use; at 100 TB checkpoint the tokenized
+    projection once)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("toks")
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    docs_tok = base.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    tot = uni.agg(F.sum("c_uni").alias("t_toks"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    lm = (
+        bi.join(ctx, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "term_1e6",
+            F.floor(
+                -F.log(
+                    F.lit(LM_LAMBDA) * (F.col("c_bi") / F.col("c_ctx"))
+                    + F.lit(1.0 - LM_LAMBDA) * (F.col("c_uni") / F.col("t_toks"))
+                )
+                * F.lit(1e6)
+            ),
+        )
+        .select("w1", "w2", "term_1e6")
+    )
+    scored = (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("term_1e6").alias("s"))
+        .withColumn("nll_mean_1e6", F.expr("s div n_bigrams"))
+    )
+    return (
+        docs_tok.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll_mean_1e6", F.lit(0)).alias("nll_mean_1e6"),
+            (F.col("n_tokens") < 2).alias("too_short"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q128_bigram_logprob"] = q128_bigram_logprob
+
+ORACLE["q128_bigram_logprob"] = f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+        FROM documents),
+    docs_tok AS (SELECT doc_id, len(toks)::bigint AS n_tokens FROM base),
+    bigrams AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM base, unnest(range(1, len(toks))) AS r(i)),
+    uni AS (
+        SELECT w, count(*)::bigint AS c_uni
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+    tot AS (SELECT sum(c_uni)::bigint AS t_toks FROM uni),
+    bi AS (SELECT w1, w2, count(*)::bigint AS c_bi FROM bigrams GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c_bi)::bigint AS c_ctx FROM bi GROUP BY 1),
+    lm AS (
+        SELECT b.w1, b.w2,
+               floor(-ln({LM_LAMBDA} * (b.c_bi / c.c_ctx)
+                         + {1.0 - LM_LAMBDA} * (u.c_uni / t.t_toks)) * 1e6)::bigint AS term_1e6
+        FROM bi b
+        JOIN ctx c USING (w1)
+        JOIN uni u ON u.w = b.w2
+        CROSS JOIN tot t),
+    scored AS (
+        SELECT g.doc_id, count(*)::bigint AS n_bigrams,
+               (sum(l.term_1e6) // count(*))::bigint AS nll_mean_1e6
+        FROM bigrams g JOIN lm l USING (w1, w2)
+        GROUP BY g.doc_id)
+    SELECT d.doc_id, d.n_tokens,
+           coalesce(s.n_bigrams, 0)::bigint AS n_bigrams,
+           coalesce(s.nll_mean_1e6, 0)::bigint AS nll_mean_1e6,
+           d.n_tokens < 2 AS too_short
+    FROM docs_tok d LEFT JOIN scored s USING (doc_id)
+    ORDER BY doc_id
+"""

@@ -68,6 +68,7 @@ FUZZ_QUERIES = [
     "q125_length_outliers",         # doubled-unit medians on tiny/constant langs
     "q126_vocab_drift",             # one-sided snapshots, empty-side ppm
     "q127_stratified_sample",       # per-lang A-ES quota on tiny langs
+    "q128_bigram_logprob",          # bigram LM on sub-bigram/degenerate docs
 ]
 
 _WORD = st.text(

@@ -1875,3 +1875,67 @@ def test_q127_stratified_sample_matches_python_and_q117_keys(spark, sf_dir):
     # key law shared with q117: same doc -> same key
     for r in q117_weighted_sample(spark, sf_dir).collect():
         assert keys[r.doc_id] == r.key_1e6
+
+
+def test_q128_bigram_lm_matches_independent_python(spark, sf_dir):
+    """q128 against a from-scratch python bigram LM: censuses via
+    Counters, the interpolated probability, the per-position 1e-6
+    floor grid, and the integer mean — the whole train+apply pipeline
+    re-derived."""
+    import math
+    from collections import Counter
+
+    from engine.session import table
+    from engine.text import LM_LAMBDA, q128_bigram_logprob
+
+    docs = {}
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = r.text.strip().lower().split()
+        docs[r.doc_id] = toks if toks else [""]
+    uni, bi = Counter(), Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    ctx = Counter()
+    for (w1, _), c in bi.items():
+        ctx[w1] += c
+    got = {r.doc_id: r for r in q128_bigram_logprob(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        s = sum(
+            math.floor(
+                -math.log(
+                    LM_LAMBDA * (bi[p] / ctx[p[0]])
+                    + (1.0 - LM_LAMBDA) * (uni[p[1]] / total)
+                )
+                * 1e6
+            )
+            for p in pairs
+        )
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_bigrams == len(pairs)
+        assert r.too_short == (len(toks) < 2)
+        assert r.nll_mean_1e6 == (s // len(pairs) if pairs else 0), doc_id
+
+
+def test_q128_context_separates_scrambled_from_real(spark, tmp_path):
+    """The bigram signal q57c cannot produce: two docs with IDENTICAL
+    unigram distributions — one in the corpus's dominant word order,
+    one scrambled — must score differently, the in-order doc better
+    (lower mean NLL). A 1-token doc is too_short with score 0."""
+    from engine.text import q128_bigram_logprob
+
+    ordered = "the cat sat on the mat " * 10
+    rows = [(i, ordered.strip(), "en", "s", len(ordered)) for i in range(8)]
+    rows.append((8, ("cat the on sat mat the " * 10).strip(), "en", "s", 120))
+    rows.append((9, "solo", "en", "s", 4))
+    d = str(tmp_path / "q128")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in q128_bigram_logprob(spark, d).collect()}
+    assert out[0].nll_mean_1e6 < out[8].nll_mean_1e6  # order matters
+    assert out[9].too_short and out[9].nll_mean_1e6 == 0
