@@ -152,6 +152,7 @@ HEADLINE = [
     "q126_vocab_drift",
     "q127_stratified_sample",
     "q128_bigram_logprob",
+    "q129_decontamination_defense",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

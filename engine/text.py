@@ -4675,3 +4675,96 @@ ORACLE["q128_bigram_logprob"] = f"""
     FROM docs_tok d LEFT JOIN scored s USING (doc_id)
     ORDER BY doc_id
 """
+
+
+# ---------------------------------- defense-in-depth decontamination
+
+
+def q129_decontamination_defense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defense-in-depth benchmark decontamination: ONE per-document
+    verdict frame joining the two independent detectors a serious
+    pipeline runs together — q48's n-gram shingle overlap (catches
+    verbatim/near-verbatim leaks) and q105's embedding-space scan
+    (catches paraphrased/translated leaks sharing no n-grams) — with
+    ``contaminated_any`` as the union verdict the scrub acts on.
+    Composition, not duplication: this query CALLS q48 and q105 and
+    joins their outputs on doc_id = vec_id (the fixture's embedding
+    table is keyed by document id); its oracle embeds both member
+    oracles verbatim (the rotation-composite discipline).
+
+    Edges defined, not dropped: docs with <3 tokens have no shingles
+    (q48 omits them) → ngram side coalesces to clean; docs without an
+    embedding — or whose vector is an eval vector or degenerate —
+    aren't semantically scorable → ``semantic_scored`` false, clean;
+    ``max_eval_sim`` stays NULL where unscored or eval-side-empty
+    (q105's own semantics).
+
+    Scale shape: both members keep their documented plans (broadcast
+    eval shingles; one-row broadcast eval-vector array) — this adds
+    two doc-keyed left joins, the second against an embeddings-sized
+    frame. At 100 TB the embeddings table is bucketed by id (the
+    q102/q118 store argument) so the verdict join co-locates."""
+    from .similarity import q105_semantic_decontamination
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    ng = q48_decontaminate(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_hits").alias("ngram_hits"),
+        F.col("contaminated").alias("ngram_contaminated"),
+    )
+    sem = q105_semantic_decontamination(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        "max_eval_sim",
+        F.col("n_hits").alias("semantic_hits"),
+        F.col("contaminated").alias("semantic_contaminated"),
+    )
+    return (
+        d.join(ng, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
+            F.coalesce("ngram_contaminated", F.lit(False)).alias("ngram_contaminated"),
+            F.col("semantic_contaminated").isNotNull().alias("semantic_scored"),
+            "max_eval_sim",
+            F.coalesce("semantic_hits", F.lit(0)).alias("semantic_hits"),
+            F.coalesce("semantic_contaminated", F.lit(False)).alias(
+                "semantic_contaminated"
+            ),
+            (
+                F.coalesce("ngram_contaminated", F.lit(False))
+                | F.coalesce("semantic_contaminated", F.lit(False))
+            ).alias("contaminated_any"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q129_decontamination_defense"] = q129_decontamination_defense
+
+from .similarity import ORACLE as _SIM_ORACLE  # noqa: E402 (composed oracle below)
+
+# the composed oracle embeds both member oracles VERBATIM (the
+# rotation-composite discipline) — plain concatenation, never .format,
+# so member SQL containing braces can't break the template
+ORACLE["q129_decontamination_defense"] = (
+    "WITH ngram AS ("
+    + ORACLE["q48_decontaminate"]
+    + "), sem AS ("
+    + _SIM_ORACLE["q105_semantic_decontamination"]
+    + """)
+    SELECT d.doc_id,
+           coalesce(n.n_hits, 0)::bigint AS ngram_hits,
+           coalesce(n.contaminated, false) AS ngram_contaminated,
+           s.vec_id IS NOT NULL AS semantic_scored,
+           s.max_eval_sim,
+           coalesce(s.n_hits, 0)::int AS semantic_hits,
+           coalesce(s.contaminated, false) AS semantic_contaminated,
+           (coalesce(n.contaminated, false) OR coalesce(s.contaminated, false))
+               AS contaminated_any
+    FROM documents d
+    LEFT JOIN ngram n USING (doc_id)
+    LEFT JOIN sem s ON s.vec_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+)

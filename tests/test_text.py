@@ -1939,3 +1939,70 @@ def test_q128_context_separates_scrambled_from_real(spark, tmp_path):
     out = {r.doc_id: r for r in q128_bigram_logprob(spark, d).collect()}
     assert out[0].nll_mean_1e6 < out[8].nll_mean_1e6  # order matters
     assert out[9].too_short and out[9].nll_mean_1e6 == 0
+
+
+def test_q129_defense_verdicts_consistent_with_members(spark, sf_dir):
+    """q129 must agree row-by-row with its members: q48's verdict on
+    every shingled doc, q105's on every scored vector, clean defaults
+    elsewhere, and contaminated_any = the OR."""
+    from engine.session import table
+    from engine.similarity import q105_semantic_decontamination
+    from engine.text import q48_decontaminate, q129_decontamination_defense
+
+    ng = {r.doc_id: r for r in q48_decontaminate(spark, sf_dir).collect()}
+    sem = {r.vec_id: r for r in q105_semantic_decontamination(spark, sf_dir).collect()}
+    all_ids = {
+        r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    out = {r.doc_id: r for r in q129_decontamination_defense(spark, sf_dir).collect()}
+    assert set(out) == all_ids
+    for doc_id, r in out.items():
+        n = ng.get(doc_id)
+        s = sem.get(doc_id)
+        assert r.ngram_hits == (n.n_hits if n else 0)
+        assert r.ngram_contaminated == (n.contaminated if n else False)
+        assert r.semantic_scored == (s is not None)
+        assert r.semantic_hits == (s.n_hits if s else 0)
+        assert r.semantic_contaminated == (s.contaminated if s else False)
+        assert r.contaminated_any == (r.ngram_contaminated or r.semantic_contaminated)
+    # both detectors actually contribute on the fixture
+    assert any(r.ngram_contaminated for r in out.values())
+    assert any(r.semantic_contaminated for r in out.values())
+
+
+def test_q129_catches_paraphrase_only_and_verbatim_only(spark, tmp_path):
+    """The reason defense-in-depth exists: a doc can be flagged by
+    exactly one detector. Planted: an eval-vector twin with disjoint
+    TEXT (semantic-only hit) and a doc sharing eval shingles whose
+    vector is orthogonal to every eval vector (ngram-only hit)."""
+    from engine.similarity import SEM_DECON_MOD
+    from engine.text import DECON_HOLDOUT_MOD, q129_decontamination_defense
+
+    # eval docs are doc_id % DECON_HOLDOUT_MOD == 0 (q48); eval vectors are
+    # vec_id % SEM_DECON_MOD == 0 (q105)
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (0, eval_text, "en", "s", len(eval_text)),                    # eval doc + eval vec
+        (1, "totally different words here nothing shared at all", "en", "s", 48),
+        (2, eval_text + " and more trailing context words", "en", "s", 70),
+    ]
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # eval vector
+        (1, [0.999, 0.02, 0.0, 0.0], 1),  # paraphrase: near the eval vector
+        (2, [0.0, 0.0, 1.0, 0.0], 2),   # orthogonal: semantically clean
+    ]
+    assert 0 % DECON_HOLDOUT_MOD == 0 and 0 % SEM_DECON_MOD == 0
+    d = str(tmp_path / "q129")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {r.doc_id: r for r in q129_decontamination_defense(spark, d).collect()}
+    # doc 1: no shared shingles, but its vector sits on the eval vector
+    assert not out[1].ngram_contaminated and out[1].semantic_contaminated
+    assert out[1].contaminated_any
+    # doc 2: shares the full eval shingle run, orthogonal vector
+    assert out[2].ngram_contaminated and not out[2].semantic_contaminated
+    assert out[2].contaminated_any
