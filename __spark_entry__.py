@@ -7,8 +7,8 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 173 (154 after the r6 freeze + the 9
-r7 family composites + the 10 post-freeze additions q120-q129).
+entries; the full inventory is 174 (154 after the r6 freeze + the 9
+r7 family composites + the 11 post-freeze additions q120-q130).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
@@ -74,11 +74,12 @@ canonicalizer — fixed this round by emitting the canonical string).
     the freeze), q61/q66 (get()-safe bucket planes + -0.0), q105
     (-0.0), q63/q64/q64b (encode() oracle byte-length + zero-byte
     decode). Their direct rows follow with the normal rotation.
-  - ``_POST_FREEZE_ADDITIONS`` (10): q120_budget_selection,
+  - ``_POST_FREEZE_ADDITIONS`` (11): q120_budget_selection,
     q121_source_diversity_report, q122_token_entropy,
     q123_hard_negatives, q124_hybrid_rrf, q125_length_outliers,
     q126_vocab_drift, q127_stratified_sample, q128_bigram_logprob, and
-    q129_decontamination_defense — added after the
+    q129_decontamination_defense, and q130_source_quality_report —
+    added after the
     freeze, the sanctioned sit-out-one-round class; each strict-green
     at all three SFs in engine AND vanilla sessions, recount-tested
     against independent python implementations, and they LEAD r8.
@@ -228,6 +229,7 @@ _POST_FREEZE_ADDITIONS: list[str] = [
     "q127_stratified_sample",       # per-lang A-ES quota (skew-safe top-K)
     "q128_bigram_logprob",          # interpolated bigram-LM scoring (LM join)
     "q129_decontamination_defense", # n-gram OR embedding union verdict
+    "q130_source_quality_report",   # per-source exact quality quartiles
 ]
 
 # Frozen hash-green singletons with no direct slot this round, EVERY

@@ -153,6 +153,7 @@ HEADLINE = [
     "q127_stratified_sample",
     "q128_bigram_logprob",
     "q129_decontamination_defense",
+    "q130_source_quality_report",
     "rot_scalar_shapes",
     "rot_agg_shapes",
     "rot_window_shapes",

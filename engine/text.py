@@ -4677,6 +4677,121 @@ ORACLE["q128_bigram_logprob"] = f"""
 """
 
 
+# ---------------------------------- per-source quality league table
+
+
+def q130_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality league table: exact q57-quality quartiles
+    per source plus a below-corpus-median flag — the frame a curation
+    team reads before blocklisting or down-weighting a domain (q115
+    caps a source's VOLUME; this ranks its QUALITY; q121 measures
+    concentration — the three axes of source governance).
+
+    Quartiles are type-1 order statistics (value at rank ⌈f·n⌉) on
+    the quality score's 1e-6 bigint grid, so every emitted number is
+    a bigint and the report cannot drift on a float — same convention
+    on both engines by construction.
+
+    Scale shape (q125's grid-census machinery on the quality axis):
+    the (source, quality_1e6) census is grid-bounded (≤ sources ×
+    ~1.1e6 rows at ANY corpus size), quartiles come from per-source
+    cum windows over the census, the corpus-wide median reuses the
+    same census re-aggregated (never a second corpus scan), and the
+    1-row corpus median broadcasts into the ≤|sources| output. One
+    2-column corpus scan per census planning (PLANS.json pins the
+    counts); a billion-doc source costs a bigger census slice, never
+    a bigger window task than its distinct quality levels."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("source", _quality_1e6_col().alias("q"))
+    census = base.groupBy("source", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy("q")
+    wall = Window.partitionBy("source")
+    c = census.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def at(num: int, den: int, name: str):
+        # type-1 order statistic: smallest value whose cum reaches
+        # ceil(num/den · n)
+        rank = F.expr(f"(n * {num} + {den} - 1) div {den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("q"))).alias(name)
+
+    per_src = c.groupBy("source").agg(
+        F.first("n").alias("n_docs"),
+        at(1, 4, "q25_1e6"),
+        at(1, 2, "median_1e6"),
+        at(3, 4, "q75_1e6"),
+    )
+    gc = census.groupBy("q").agg(F.sum("cnt").alias("cnt"))
+    g = gc.withColumn("cum", F.sum("cnt").over(Window.orderBy("q"))).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    corpus_med = g.groupBy().agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("q"))).alias(
+            "corpus_median_1e6"
+        )
+    )
+    return (
+        per_src.join(F.broadcast(corpus_med))
+        .withColumn(
+            "below_corpus_median", F.col("median_1e6") < F.col("corpus_median_1e6")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "q25_1e6",
+            "median_1e6",
+            "q75_1e6",
+            "corpus_median_1e6",
+            "below_corpus_median",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q130_source_quality_report"] = q130_source_quality_report
+
+_DUCK_Q1E6 = """
+    SELECT doc_id, source,
+           floor((0.4 * least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+                 + 0.3 * (len(list_distinct(string_split_regex(trim(text), ' +')))::double
+                          / len(string_split_regex(trim(text), ' +')))
+                 + 0.3 * least((length(regexp_replace(trim(text), ' +', '', 'g'))::double
+                                / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0))
+                 * 1e6)::bigint AS q
+    FROM documents
+"""
+
+ORACLE["q130_source_quality_report"] = f"""
+    WITH base AS ({_DUCK_Q1E6}),
+    census AS (SELECT source, q, count(*)::bigint AS cnt FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT source, q, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY q)::bigint AS cum,
+               sum(cnt) OVER (PARTITION BY source)::bigint AS n
+        FROM census),
+    per_src AS (
+        SELECT source, min(n)::bigint AS n_docs,
+               min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN q END)::bigint AS q25_1e6,
+               min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN q END)::bigint AS median_1e6,
+               min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN q END)::bigint AS q75_1e6
+        FROM cum GROUP BY source),
+    gcensus AS (SELECT q, sum(cnt)::bigint AS cnt FROM census GROUP BY q),
+    gcum AS (
+        SELECT q, sum(cnt) OVER (ORDER BY q)::bigint AS cum,
+               sum(cnt) OVER ()::bigint AS n
+        FROM gcensus),
+    gmed AS (
+        SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN q END)::bigint AS corpus_median_1e6
+        FROM gcum)
+    SELECT p.source, p.n_docs, p.q25_1e6, p.median_1e6, p.q75_1e6,
+           g.corpus_median_1e6,
+           p.median_1e6 < g.corpus_median_1e6 AS below_corpus_median
+    FROM per_src p CROSS JOIN gmed g
+    ORDER BY p.source
+"""
+
+
 # ---------------------------------- defense-in-depth decontamination
 
 

@@ -69,6 +69,7 @@ FUZZ_QUERIES = [
     "q126_vocab_drift",             # one-sided snapshots, empty-side ppm
     "q127_stratified_sample",       # per-lang A-ES quota on tiny langs
     "q128_bigram_logprob",          # bigram LM on sub-bigram/degenerate docs
+    "q130_source_quality_report",   # order statistics on tiny/uniform sources
 ]
 
 _WORD = st.text(

@@ -2006,3 +2006,71 @@ def test_q129_catches_paraphrase_only_and_verbatim_only(spark, tmp_path):
     # doc 2: shares the full eval shingle run, orthogonal vector
     assert out[2].ngram_contaminated and not out[2].semantic_contaminated
     assert out[2].contaminated_any
+
+
+def test_q130_source_quality_matches_independent_python(spark, sf_dir):
+    """q130's type-1 order statistics and the corpus median must equal
+    a from-scratch python recount (sorted lists, ceil-rank indexing)
+    for every source."""
+    import math
+    from collections import defaultdict
+
+    from engine.session import table
+    from engine.text import q130_source_quality_report
+
+    def q1e6(text):
+        toks = text.strip().split()
+        toks = toks if toks else [""]
+        n = len(toks)
+        mean_len = len("".join(toks)) / n
+        raw = (0.4 * min(n / 100.0, 1.0) + 0.3 * (len(set(toks)) / n)
+               + 0.3 * min(mean_len / 10.0, 1.0))
+        return math.floor(raw * 1e6)
+
+    by_src = defaultdict(list)
+    allq = []
+    for r in table(spark, sf_dir, "documents").select("source", "text").collect():
+        v = q1e6(r.text)
+        by_src[r.source].append(v)
+        allq.append(v)
+
+    def at(vals, num, den):
+        s = sorted(vals)
+        rank = -(-len(s) * num // den)  # ceil
+        return s[rank - 1]
+
+    corpus_med = at(allq, 1, 2)
+    expected = sorted(
+        (src, len(vs), at(vs, 1, 4), at(vs, 1, 2), at(vs, 3, 4), corpus_med,
+         at(vs, 1, 2) < corpus_med)
+        for src, vs in by_src.items()
+    )
+    got = [
+        (r.source, r.n_docs, r.q25_1e6, r.median_1e6, r.q75_1e6,
+         r.corpus_median_1e6, r.below_corpus_median)
+        for r in q130_source_quality_report(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_q130_planted_low_quality_source_flags(spark, tmp_path):
+    """A source of repetitive junk must sit below the corpus median
+    with its whole IQR under the good source's; a single-doc source
+    gets all three quartiles equal to its one score."""
+    from engine.text import q130_source_quality_report
+
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(f"w{j}-{i}" for j in range(60)), "en", "good", 300))
+    for i in range(10, 20):
+        rows.append((i, " ".join(["spam"] * 60), "en", "junk", 300))
+    rows.append((20, "just one modest doc here", "en", "solo", 24))
+    d = str(tmp_path / "q130")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.source: r for r in q130_source_quality_report(spark, d).collect()}
+    assert out["junk"].below_corpus_median and not out["good"].below_corpus_median
+    assert out["junk"].q75_1e6 < out["good"].q25_1e6
+    solo = out["solo"]
+    assert solo.n_docs == 1 and solo.q25_1e6 == solo.median_1e6 == solo.q75_1e6
