@@ -58,6 +58,41 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def materialize(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Pin a SMALL shared frame so Catalyst's per-use subplan
+    duplication cannot multiply corpus scans.
+
+    Catalyst plans a shared subtree once PER USE: a census fed to a
+    median leg, a deviation leg, and a final leg re-scans the corpus
+    three extra times (q125's PLANS.json pins scans=4 on the default
+    path; q124's matched/totals frames plan twice each). At fixture
+    scale that is noise; at 100 TB it is 2-4 redundant scans of the
+    most expensive read in the plan. The fix is to MATERIALIZE the
+    narrow derived frame once — it is census-sized (≤ langs × max
+    doc length rows for q125, O(matching tokens) for q124), so the
+    pin is tiny while the savings are corpus-sized.
+
+    Two mechanisms, chosen by ``path``:
+
+    * ``path=None`` → ``localCheckpoint(eager=True)``: executes the
+      subtree NOW, pins the result blocks on the executors, and
+      truncates lineage — every later use plans as ``Scan
+      ExistingRDD`` with ZERO file scans. The right call inside one
+      job on a healthy cluster (no disk round-trip).
+    * ``path=...`` → parquet write + read-back (the S7/S8 checkpoint
+      pair): survives executor loss and is shareable across jobs —
+      the right call when the frame feeds SEVERAL downstream jobs
+      (the 100 TB census a whole pipeline reads).
+
+    Plan-pinned by tests/test_plans.py::test_checkpoint_collapses_scans:
+    the checkpointed q124/q125/q129 paths drop to zero (resp. one)
+    corpus FileScans with byte-identical output."""
+    if path is None:
+        return df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """S3/S4 plumbing: binary-file source (path, modificationTime,
     length, content) — partition discovery replaces the reference's

@@ -4031,7 +4031,9 @@ RRF_K = 60       # the canonical RRF constant (Cormack et al. 2009)
 RRF_POOL = 20    # per-leg candidate pool fused per query
 
 
-def q124_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_hybrid_rrf(
+    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion: two independent
     rankers over the same fixed query workload — q116's Okapi BM25 and
     a Dirichlet-smoothed query-likelihood LM (Zhai & Lafferty 2001) —
@@ -4057,10 +4059,21 @@ def q124_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     term filter bounds every shuffle at O(matching tokens); cf and df
     are count/sum windows over the candidate frame (no corpus
     re-scan); the fusion union/agg is O(queries × 2·RRF_POOL) rows.
-    Three corpus scans total (the matched frame plans twice — once per
-    leg — plus the totals leg); at 100 TB the matched frame would be
-    checkpointed once instead."""
+    Four corpus scans total (Catalyst plans shared subtrees per use:
+    the matched frame twice — once per leg — and the 1-column totals
+    frame twice, PLANS.json scan_cols [2,1,2,1]); ``checkpointed=True``
+    is the 100 TB path: ``io.materialize`` pins the matched frame
+    (O(matching tokens)) and the 1-row totals once, both legs read the
+    pins, and the corpus is scanned exactly TWICE — q116's inherent
+    floor — with ZERO corpus FileScans left in the returned plan
+    (tests/test_plans.py::test_checkpoint_collapses_scans pins shape
+    and byte-identical output; the default stays un-pinned so the
+    driver exercises the pure-Catalyst plan)."""
     qterms, tot, tfd = _retrieval_frames(spark, sf_dir)
+    if checkpointed:
+        from . import io as _io
+
+        tot, tfd = _io.materialize(tot), _io.materialize(tfd)
 
     # --- BM25 leg: q116's scoring expression verbatim
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -4238,7 +4251,9 @@ def _med2_of(cen: DataFrame, val_col: str) -> DataFrame:
     )
 
 
-def q125_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_length_outliers(
+    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+) -> DataFrame:
     """Per-language robust length-outlier report — median / MAD
     (median absolute deviation) of the token count with a
     |len − median| > MAD_K·MAD outlier census: the robust twin of
@@ -4265,9 +4280,13 @@ def q125_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     census form is grid-bounded. The census subtree plans FOUR times
     at fixture scale (median leg, deviation leg, final leg — Catalyst
     does not dedupe shared subplans; PLANS.json pins all four narrow
-    2-column scans); at 100 TB checkpoint the census once
-    (io.checkpoint, census-sized, tiny) and every leg reads it back —
-    the corpus itself is then scanned exactly once. Output is
+    2-column scans); ``checkpointed=True`` is the 100 TB path: the
+    census is pinned once via ``io.materialize`` (census-sized, tiny)
+    and every leg reads the pin — the corpus is then scanned exactly
+    ONCE, and the returned plan has ZERO corpus FileScans
+    (tests/test_plans.py::test_checkpoint_collapses_scans proves the
+    shape AND byte-identical output; the default stays un-pinned so
+    the driver exercises the pure-Catalyst plan). Output is
     ≤|langs| rows: (lang, n_docs, med2_tokens, mad2_tokens, max_dev2,
     n_outliers, outlier_ppm)."""
     d = table(spark, sf_dir, "documents")
@@ -4276,6 +4295,10 @@ def q125_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("v"),
     )
     census = base.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    if checkpointed:
+        from . import io as _io
+
+        census = _io.materialize(census)
     med = _med2_of(census, "v")
     dev = (
         census.join(F.broadcast(med), "lang")
@@ -4795,7 +4818,9 @@ ORACLE["q130_source_quality_report"] = f"""
 # ---------------------------------- defense-in-depth decontamination
 
 
-def q129_decontamination_defense(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q129_decontamination_defense(
+    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+) -> DataFrame:
     """Defense-in-depth benchmark decontamination: ONE per-document
     verdict frame joining the two independent detectors a serious
     pipeline runs together — q48's n-gram shingle overlap (catches
@@ -4818,7 +4843,12 @@ def q129_decontamination_defense(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval shingles; one-row broadcast eval-vector array) — this adds
     two doc-keyed left joins, the second against an embeddings-sized
     frame. At 100 TB the embeddings table is bucketed by id (the
-    q102/q118 store argument) so the verdict join co-locates."""
+    q102/q118 store argument) so the verdict join co-locates, and
+    ``checkpointed=True`` pins both members' per-doc verdict frames
+    via ``io.materialize`` (each ≤ one row per doc, narrow) so the
+    composition can never re-plan a member's corpus subtree — the
+    returned plan keeps exactly ONE corpus FileScan (the doc_id
+    spine; tests/test_plans.py::test_checkpoint_collapses_scans)."""
     from .similarity import q105_semantic_decontamination
 
     d = table(spark, sf_dir, "documents").select("doc_id")
@@ -4833,6 +4863,10 @@ def q129_decontamination_defense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").alias("semantic_hits"),
         F.col("contaminated").alias("semantic_contaminated"),
     )
+    if checkpointed:
+        from . import io as _io
+
+        ng, sem = _io.materialize(ng), _io.materialize(sem)
     return (
         d.join(ng, "doc_id", "left")
         .join(sem, "doc_id", "left")

@@ -164,3 +164,19 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert a == b
     n_rows = spark.read.parquet(dst).count()
     assert n_rows == 10_000
+
+
+def test_materialize_parquet_mode_pins_and_round_trips(spark, tmp_path):
+    """io.materialize with a path is the durable (S7/S8) flavor of the
+    shared-subtree pin: data round-trips exactly and the returned
+    frame's plan reads ONLY the checkpoint parquet — no trace of the
+    source subtree (so downstream uses cannot re-scan the corpus)."""
+    from engine.io import materialize
+
+    src = str(tmp_path / "src")
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    census = spark.read.parquet(src).groupBy("k").count()
+    pin = materialize(census, str(tmp_path / "pin"))
+    assert sorted(map(tuple, pin.collect())) == sorted(map(tuple, census.collect()))
+    plan = pin._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1 and "pin" in plan and "src" not in plan

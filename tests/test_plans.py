@@ -175,3 +175,31 @@ def test_q122_entropy_is_shuffle_free(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_checkpoint_collapses_scans(spark, sf_dir):
+    """The 100 TB shared-subtree fix, pinned as a plan shape (r7
+    verdict item 2): Catalyst plans a shared subtree once PER USE, so
+    q125's census scans the corpus 4x, q124's matched/totals frames
+    2x each, and q129's composition re-plans its members. The
+    ``checkpointed=True`` paths pin the narrow derived frames via
+    io.materialize — the corpus FileScan count in the returned plan
+    must drop to 0 (q125/q124: every leg reads the pin) resp. 1
+    (q129: only the doc_id spine), with byte-identical output."""
+    # default plans really do multiply the corpus subtree — the fact
+    # that makes the fix worth pinning
+    assert _plan(text.q125_length_outliers(spark, sf_dir)).count("FileScan") == 4
+    assert _plan(text.q124_hybrid_rrf(spark, sf_dir)).count("FileScan") == 4
+
+    for fn, n_scans in (
+        (text.q125_length_outliers, 0),
+        (text.q124_hybrid_rrf, 0),
+        (text.q129_decontamination_defense, 1),
+    ):
+        ck = fn(spark, sf_dir, checkpointed=True)
+        plan = _plan(ck)
+        assert plan.count("FileScan") == n_scans, fn.__name__
+        assert "ExistingRDD" in plan, fn.__name__  # the pinned frames
+        default = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        pinned = [tuple(r) for r in ck.collect()]
+        assert pinned == default, fn.__name__
