@@ -191,13 +191,21 @@ HEADLINE = [
     "q73_stream_dedup_count",
     "q74_stream_join",
     "sketch_error_report",
-    # NOT benched: stream_equivalence_report. It runs four REAL
-    # readStream pipelines (state stores, per-query checkpoint dirs,
-    # staged file sources) — measured 47.9 s at sf0.1, ~36% of the
-    # whole headline wall, nearly all of it streaming-runtime fixed
-    # overhead rather than engine throughput. It stays a contract
-    # query (driver correctness window at sf0.01) and is covered by
-    # tests/test_streaming.py at every SF.
+    # r8 (the r7 verdict's item 3): the four previously unwatched
+    # perf surfaces join the headline so BENCH_COMPARE covers every
+    # contract query directly or via an exact-twin report. The first
+    # three are cheap MLlib-tier plans; stream_equivalence_report is
+    # DOMINATED by streaming-runtime fixed overhead (state stores,
+    # per-query checkpoint dirs, staged file sources — measured
+    # ~48 s at sf0.1, by far the most expensive headline row), but an
+    # invisible regression in the stateful-streaming twins is worse
+    # than an ugly row; read its timing as runtime overhead, not
+    # engine throughput (q74b stays unbenched: its machinery is this
+    # report's q74b twin plus rot_text_pipeline's batch leg).
+    "q62_brp_lsh_join",
+    "q65_knn_ivf",
+    "ann_recall_report",
+    "stream_equivalence_report",
 ]
 
 
