@@ -206,6 +206,8 @@ HEADLINE = [
     "q65_knn_ivf",
     "ann_recall_report",
     "stream_equivalence_report",
+    # r8 additions
+    "q131_phash_neardup",
 ]
 
 

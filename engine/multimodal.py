@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .session import table
 
@@ -333,10 +334,149 @@ def q64b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------- perceptual-hash media near-dup (q131)
+
+PHASH_SIDE = 8           # aHash grid: 8x8 = 64 bits
+PHASH_N_BANDS = 4        # 4 bands x 16 bits (q55's SimHash banding shape)
+PHASH_MAX_HAMMING = 8    # verified near-dup: <= 8 of 64 bits differ
+PHASH_BAND_CAP = 64      # hot-band cap (q118's NEARDUP_BAND_CAP pattern)
+
+
+def average_hash_bands(img: np.ndarray, n_bands: int = PHASH_N_BANDS) -> list[int]:
+    """Classic average-hash (aHash) of a decoded tile, emitted as
+    ``n_bands`` 16-bit ints — the per-band words double as the LSH
+    band keys, so no 64-bit value (and no signed shiftleft(1,63)
+    overflow) ever exists. Integer-exact end to end: the 32→8 block
+    mean is an exact ``sum // 16`` (a /16 is a binary-exact float op,
+    truncated by the uint8 cast), and bit i is the strict comparison
+    ``64·block_i > Σ blocks`` — no float mean, so the DuckDB oracle
+    reproduces every bit from the raw payload bytes."""
+    small = resize_image(np.asarray(img, dtype=np.uint8), PHASH_SIDE)
+    vals = small.ravel().astype(np.int64)
+    total = int(vals.sum())
+    per = vals.size // n_bands
+    out = []
+    for b in range(n_bands):
+        h = 0
+        for i in range(per):
+            if 64 * int(vals[b * per + i]) > total:
+                h |= 1 << i
+        out.append(h)
+    return out
+
+
+def phash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3) — payload → decode → aHash, one Arrow-batched
+    mapInPandas pass (the q64 decode plumbing feeding q55's banding
+    shape)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), *average_hash_bands(fake_decode(bytes(payload), 32)))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "h0", "h1", "h2", "h3"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _hash, "doc_id bigint, h0 int, h1 int, h2 int, h3 int"
+    )
+
+
+def q131_phash_neardup(
+    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+) -> DataFrame:
+    """Perceptual-hash near-dup detection for MEDIA payloads — the
+    dedup leg that exact hashing (q50: one byte flipped ⇒ different
+    md5) and embedding near-dup (q66: needs an embedding; media
+    mostly has none) both miss. Classic aHash over the decoded tile
+    (the q64 mapInPandas decode path; a real codec slots into the
+    same contract) → q55's Hamming-banding shape: the 64-bit hash
+    splits into 4×16-bit band words, docs sharing any band word are
+    candidates, and a candidate pair is a near-dup iff its verified
+    Hamming distance ≤ PHASH_MAX_HAMMING. Reference anchor: the
+    reference deduplicates nothing (main.py:79-458 loads EMNIST
+    as-is); this is the §2.6 scope extension's media-dedup row.
+
+    Banding recall is the standard LSH trade: any pair within ≤3
+    differing bits shares a band by pigeonhole; beyond that recall is
+    probabilistic (the q54/q66 geometry). Both engines run the SAME
+    candidate rule, so the oracle is exact, not a recall bound.
+
+    Scale shape: one corpus scan → Python hash workers (Arrow
+    batches) → the self-join shuffles 5-int signature rows, never
+    payloads; the b-side of each band bucket is capped at the
+    PHASH_BAND_CAP earliest doc ids (q118's hot-band bound, mirrored
+    in the oracle's QUALIFY) so an all-black-thumbnail band cannot go
+    quadratic; verification is 4 xor/bit_count ops per candidate.
+    The signature frame feeds BOTH join sides, so Catalyst plans the
+    decode+hash subtree twice (PLANS.json scans=2); ``checkpointed=
+    True`` is the 100 TB path — ``io.materialize`` pins the 5-int
+    signature rows once, so payloads are decoded exactly ONCE (the
+    q124/q125 discipline, pinned by the same plan test).
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b."""
+    d = with_payload(table(spark, sf_dir, "documents"))
+    sigs = phash_signatures(d)
+    if checkpointed:
+        from . import io as _io
+
+        sigs = _io.materialize(sigs)
+    bands = sigs.select(
+        "doc_id",
+        "h0",
+        "h1",
+        "h2",
+        "h3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"h{b}").alias("h")
+                    )
+                    for b in range(PHASH_N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "h0", "h1", "h2", "h3", "bh.band", "bh.h")
+    wb = Window.partitionBy("band", "h").orderBy("doc_id")
+    b_side = (
+        bands.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= PHASH_BAND_CAP)
+        .drop("rn")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            b_side.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
+            *[F.col(f"b.h{i}").alias(f"a{i}") for i in range(PHASH_N_BANDS)],
+            *[F.col(f"a.h{i}").alias(f"b{i}") for i in range(PHASH_N_BANDS)],
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(PHASH_N_BANDS)
+    ).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "q63_multimodal_meta": q63_multimodal_meta,
     "q64_media_features": q64_media_features,
     "q64b_frame_sample": q64b_frame_sample,
+    "q131_phash_neardup": q131_phash_neardup,
 }
 
 ORACLE = {
@@ -407,5 +547,69 @@ ORACLE = {
                    k -> ascii(substr(text, src_frame * 256 + k, 1))
                )), 0)::bigint AS byte_sum
         FROM ordered
+    """,
+    # aHash in SQL, bit for bit: fake_decode's tiled raster pixel
+    # (r, c) = payload byte ((r*32 + c) mod n)  (q64's ASCII-fixture
+    # byte identity, zero-payload guard included); the 32→8 block mean
+    # is the exact sum//16; bit i of band b is 64·block > Σ blocks.
+    # Candidates/cap/verify mirror the Spark plan exactly (same LSH
+    # rule both sides ⇒ exact oracle, not a recall bound).
+    "q131_phash_neardup": f"""
+        WITH raw AS (
+            SELECT doc_id, text, octet_length(encode(text))::int AS n
+            FROM documents),
+        sigs AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 63), blk ->
+                       (list_sum(list_transform(generate_series(0, 15), p ->
+                           CASE WHEN n = 0 THEN 0 ELSE
+                             ascii(substr(text,
+                                 ((((blk // 8) * 4 + p // 4) * 32
+                                   + (blk % 8) * 4 + p % 4) % n) + 1, 1))
+                           END)) // 16)::bigint
+                   ) AS bvals
+            FROM raw),
+        words AS (
+            SELECT doc_id, bvals, list_sum(bvals)::bigint AS total FROM sigs),
+        hw AS (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 15), i ->
+                       CASE WHEN 64 * bvals[i + 1] > total
+                            THEN (1 << i) ELSE 0 END))::int AS h0,
+                   list_sum(list_transform(generate_series(0, 15), i ->
+                       CASE WHEN 64 * bvals[i + 17] > total
+                            THEN (1 << i) ELSE 0 END))::int AS h1,
+                   list_sum(list_transform(generate_series(0, 15), i ->
+                       CASE WHEN 64 * bvals[i + 33] > total
+                            THEN (1 << i) ELSE 0 END))::int AS h2,
+                   list_sum(list_transform(generate_series(0, 15), i ->
+                       CASE WHEN 64 * bvals[i + 49] > total
+                            THEN (1 << i) ELSE 0 END))::int AS h3
+            FROM words),
+        bands AS (
+            SELECT doc_id, h0, h1, h2, h3, band,
+                   CASE band WHEN 0 THEN h0 WHEN 1 THEN h1
+                             WHEN 2 THEN h2 ELSE h3 END AS h
+            FROM hw, (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+        b_side AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, h
+                                             ORDER BY doc_id) AS rn
+                FROM bands)
+            WHERE rn <= {PHASH_BAND_CAP}),
+        pairs AS (
+            SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b,
+                   b.h0 AS a0, b.h1 AS a1, b.h2 AS a2, b.h3 AS a3,
+                   a.h0 AS b0, a.h1 AS b1, a.h2 AS b2, a.h3 AS b3
+            FROM bands a JOIN b_side b
+              ON a.band = b.band AND a.h = b.h AND a.doc_id > b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b,
+                   (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                    + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::int
+                       AS hamming
+            FROM pairs)
+        WHERE hamming <= {PHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
     """,
 }

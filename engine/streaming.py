@@ -593,6 +593,154 @@ def run_doc_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
     return spark.table(name)
 
 
+def streaming_neardup_state(stream: DataFrame, cap: int | None = None) -> DataFrame:
+    """Streaming within-batch near-dup probe — the stateful leg of
+    q118's streaming twin (the r7 verdict's item 5: the one ingest
+    shape that had no stream leg). State per band key is the ≤``cap``
+    EARLIEST batch docs of that band — exactly the hot-band-capped
+    b-side of ``text._batch_band_candidates`` — kept as two flat
+    arrays (ids + flattened signatures, O(cap·N_MINHASH) bigints per
+    band forever). Each arriving doc is verified (≥ NEARDUP_MATCH_MIN
+    of N_MINHASH positions agree) against the stored earlier docs of
+    its band and every verified (doc_id, match_id) pair is emitted;
+    the sink-side min-agg picks the keep-first evidence (the
+    run_hh_stream_demo pattern: emission is mergeable, the final
+    reduction happens once on the sink).
+
+    Equality with the batch leg requires doc_id-ordered arrival
+    (batch "first" = smallest id; a real ingest's "first" = arrival
+    order, which IS its id order when ids are assigned at ingest) —
+    run_neardup_stream_demo stages the replay files accordingly and
+    the kernel sorts within each micro-batch group."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .text import N_MINHASH, NEARDUP_BAND_CAP, NEARDUP_MATCH_MIN
+
+    cap = cap or NEARDUP_BAND_CAP
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids, flat = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            for row in pdf.sort_values("doc_id").itertuples(index=False):
+                # state round-trips through the JVM pickler: plain ints
+                # only (numpy scalars are not constructible JVM-side)
+                doc, sig = int(row.doc_id), [int(x) for x in row.sig]
+                for j, mid in enumerate(ids):
+                    stored = flat[j * N_MINHASH : (j + 1) * N_MINHASH]
+                    if sum(a == b for a, b in zip(sig, stored)) >= NEARDUP_MATCH_MIN:
+                        out_a.append(doc)
+                        out_b.append(mid)
+                if len(ids) < cap:
+                    ids.append(doc)
+                    flat.extend(sig)
+        state.update((ids, flat))
+        yield pd.DataFrame({"doc_id": out_a, "match_id": out_b})
+
+    return stream.groupBy("band_key").applyInPandasWithState(
+        _update,
+        outputStructType="doc_id bigint, match_id bigint",
+        stateStructType="ids array<bigint>, flat array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_neardup_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """q118's streaming twin as a REAL two-query readStream run — the
+    continuous-crawl ingest probing near-dups against the standing
+    corpus AND itself as documents arrive:
+
+    * history leg — STATELESS stream-static equi-join of arriving
+      band rows against the standing band store (at 100 TB: the
+      bucketed store q118 probes; per micro-batch a map-side probe),
+      signature-verified in-stream, verified pairs appended to the
+      sink. No state at all: the store is static within a batch run.
+    * within-batch leg — ``streaming_neardup_state``: band-keyed
+      state of the ≤cap earliest docs (the batch leg's exact hot-band
+      cap), verified pairs appended across micro-batches.
+
+    The batch band rows are staged as TWO doc_id-range files written
+    low-half first and replayed one file per micro-batch, so pairs
+    provably form ACROSS batches through state (a doc in file 2
+    matching a doc in file 1 can only come from state) and arrival
+    order equals id order (the batch keep-first tiebreak). The final
+    assembly — min evidence per doc, history-beats-batch status — is
+    ``text._neardup_assemble``, the very function q118 returns
+    through; stream ≡ batch is pinned by stream_equivalence_report's
+    incremental_neardup row and tests/test_streaming.py."""
+    from .session import table
+    from .text import (
+        INCR_BATCH_MOD,
+        N_MINHASH,
+        NEARDUP_MATCH_MIN,
+        _banded_signatures,
+        _neardup_assemble,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bands = _banded_signatures(d)
+    batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+
+    # stage the arriving batch as two id-ranged files, low half first
+    # (sequential writes order the file source's replay by mod time)
+    stage_in = os.path.join(out_dir, "in")
+    mid = batch.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    batch.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(stage_in)
+    batch.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(stage_in)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_in)
+    )
+
+    n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")
+    hist_pairs = (
+        stream.alias("n")
+        .join(hist.alias("h"), "band_key")
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("match_id"),
+            F.col("n.sig").alias("sa"),
+            F.col("h.sig").alias("sb"),
+        )
+        .withColumn("m", n_match)
+        .filter(F.col("m") >= NEARDUP_MATCH_MIN)
+        .select("doc_id", "match_id")
+    )
+    batch_pairs = streaming_neardup_state(stream)
+
+    sinks = {}
+    for name, src in (("nd_hist_pairs", hist_pairs), ("nd_batch_pairs", batch_pairs)):
+        sinks[name] = (
+            src.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt_" + name))
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in sinks.values():
+        q.awaitTermination(120)
+
+    hmatch = (
+        spark.table("nd_hist_pairs")
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("hist_match"))
+    )
+    bmatch = (
+        spark.table("nd_batch_pairs")
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("batch_match"))
+    )
+    base = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select("doc_id")
+    return _neardup_assemble(base, hmatch, bmatch)
+
+
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: the dim side is broadcast, so
     each micro-batch joins map-side with NO shuffle and no streaming
@@ -617,8 +765,10 @@ def stream_equivalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Covered operators: watermarked tumbling aggregation, watermarked
     stream-stream interval join, stateless row-wise decontamination,
-    and the fingerprint-dedup → quality-gate → census ingest pipeline
-    (streaming state: dropDuplicatesWithinWatermark). Equality is
+    the fingerprint-dedup → quality-gate → census ingest pipeline
+    (streaming state: dropDuplicatesWithinWatermark), and the
+    incremental near-dup ingest probe (r8: stream-static band-store
+    join + band-keyed applyInPandasWithState, q118's twin). Equality is
     exact, not approximate: both sides evaluate the same column
     expressions over the same rows, so even the float columns must
     match bit-for-bit. Rows-only by nature (the streaming runtime is
@@ -663,6 +813,13 @@ def stream_equivalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_quality_census",
             run_doc_stream_demo(spark, sf_dir, os.path.join(tmp, "c")),
             doc_pipeline_batch(spark, sf_dir),
+        )
+        from .text import q118_incremental_neardup
+
+        _check(
+            "incremental_neardup",
+            run_neardup_stream_demo(spark, sf_dir, os.path.join(tmp, "n")),
+            q118_incremental_neardup(spark, sf_dir),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

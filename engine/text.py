@@ -3598,6 +3598,18 @@ def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a sub-shingle doc (< 3 tokens) has no signature and is trivially
     # 'new' — it must still get a status row
     base = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select("doc_id")
+    return _neardup_assemble(base, hmatch, bmatch)
+
+
+def _neardup_assemble(
+    base: DataFrame, hmatch: DataFrame, bmatch: DataFrame
+) -> DataFrame:
+    """The shared status-labeling tail of the incremental near-dup
+    ingest: history match wins over within-batch match, smallest
+    matching doc id as evidence, every batch doc gets a row. Factored
+    so the batch probe (q118) and its streaming twin
+    (engine/streaming.py run_neardup_stream_demo) provably share one
+    definition of the verdict."""
     return (
         base.join(hmatch, "doc_id", "left")
         .join(bmatch, "doc_id", "left")

@@ -592,7 +592,12 @@ def test_fuzz_similarity_rowsonly_never_crash(spark, tmp_path, rows):
 # arbitrary garbage must either decode to the fixed side×side contract
 # or raise a CLEAN ValueError/NotImplementedError — never hang, never
 # leak a numpy reshape error from a half-parsed header.
-MULTIMODAL_FUZZ_QUERIES = ["q63_multimodal_meta", "q64_media_features", "q64b_frame_sample"]
+MULTIMODAL_FUZZ_QUERIES = [
+    "q63_multimodal_meta",
+    "q64_media_features",
+    "q64b_frame_sample",
+    "q131_phash_neardup",
+]
 
 
 @given(corpora())

@@ -180,3 +180,102 @@ def test_frame_sample_query_matches_driver_sampler(spark, sf_dir):
         for r, frame in zip(rows, frames):
             assert r.byte_sum == int(frame.astype(np.int64).sum())
             assert 0 <= r.frame_bytes <= FRAME_SIZE
+
+
+def test_q131_planted_phash_semantics(spark, tmp_path):
+    """q131 near-dup semantics on planted payloads: exact media dups
+    are hamming-0 pairs, a lightly-edited payload (few changed bytes
+    in a >=1024-byte text, so each byte owns one raster pixel) is a
+    small-hamming near-dup, and an unrelated payload pairs with
+    nothing. Also pins the pair orientation (doc_a < doc_b)."""
+    import random
+
+    from engine.multimodal import (
+        PHASH_MAX_HAMMING,
+        average_hash_bands,
+        fake_decode,
+        q131_phash_neardup,
+    )
+
+    rng = random.Random(131)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(1200))
+
+    def _ham(x: str, y: str) -> int:
+        hx = average_hash_bands(fake_decode(x.encode(), 32))
+        hy = average_hash_bands(fake_decode(y.encode(), 32))
+        return sum(bin(a ^ b).count("1") for a, b in zip(hx, hy))
+
+    # grow a contiguous 'z'-run edit until the reference aHash moves
+    # but stays within the near-dup bound — aHash is DESIGNED to absorb
+    # tiny edits, so the planted edit must be found, not guessed
+    for k in range(16, 1024, 16):
+        near = "z" * k + base[k:]
+        if 0 < _ham(base, near) <= PHASH_MAX_HAMMING:
+            break
+    else:
+        raise AssertionError("no edit size landed in the near-dup band")
+    expected_ham = _ham(base, near)
+    far = "".join(rng.choice("QRSTUVWX9!") for _ in range(700))
+    rows = [
+        (1, base, "en", "web", 1200),
+        (2, base, "en", "web", 1200),   # exact dup of 1
+        (3, near, "en", "web", 1200),   # near dup of 1/2
+        (4, far, "en", "web", 700),     # unrelated
+    ]
+    d = str(tmp_path / "phash")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    got = {(r.doc_a, r.doc_b): r.hamming for r in q131_phash_neardup(spark, d).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == expected_ham
+    assert got[(1, 3)] == got[(2, 3)]
+    assert all(4 not in pair for pair in got)
+    assert all(a < b for a, b in got)
+
+
+def test_q131_recount_matches_python_bruteforce(spark, sf_dir):
+    """Every q131 decision re-derived independently in plain Python
+    (fake_decode -> average_hash_bands -> band buckets -> cap ->
+    Hamming verify) over the whole fixture: the distributed plan must
+    agree exactly — pairs, orientation, and distances."""
+    from collections import defaultdict
+
+    from engine.multimodal import (
+        PHASH_BAND_CAP,
+        PHASH_MAX_HAMMING,
+        PHASH_N_BANDS,
+        average_hash_bands,
+        fake_decode,
+        q131_phash_neardup,
+    )
+    from engine.session import table
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    sig = {
+        i: average_hash_bands(fake_decode(t.encode("utf-8"), 32))
+        for i, t in docs.items()
+    }
+    buckets: dict = defaultdict(list)
+    for i in sorted(sig):
+        for b in range(PHASH_N_BANDS):
+            buckets[(b, sig[i][b])].append(i)
+    want = {}
+    for ids in buckets.values():
+        b_side = ids[:PHASH_BAND_CAP]
+        for a in ids:
+            for b in b_side:
+                if a > b:
+                    h = sum(
+                        bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b])
+                    )
+                    if h <= PHASH_MAX_HAMMING:
+                        want[(b, a)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q131_phash_neardup(spark, sf_dir).collect()
+    }
+    assert got == want

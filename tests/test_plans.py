@@ -191,10 +191,15 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
     assert _plan(text.q125_length_outliers(spark, sf_dir)).count("FileScan") == 4
     assert _plan(text.q124_hybrid_rrf(spark, sf_dir)).count("FileScan") == 4
 
+    from engine import multimodal
+
     for fn, n_scans in (
         (text.q125_length_outliers, 0),
         (text.q124_hybrid_rrf, 0),
         (text.q129_decontamination_defense, 1),
+        # q131: the pin means payloads are DECODED once, not twice —
+        # no FileScan and no MapInPandas subtree left in the plan
+        (multimodal.q131_phash_neardup, 0),
     ):
         ck = fn(spark, sf_dir, checkpointed=True)
         plan = _plan(ck)

@@ -338,7 +338,67 @@ def test_stream_equivalence_report_all_equal(spark, sf_dir):
         "stream_stream_interval_join",
         "rowwise_decontaminate",
         "dedup_quality_census",
+        "incremental_neardup",
     }
     for r in rows:
         assert r.equal, (r.operator, r.batch_rows, r.stream_rows)
         assert r.batch_rows == r.stream_rows > 0
+
+
+def test_neardup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """q118's streaming twin (r7 verdict item 5): the two-query
+    readStream run — stateless stream-static band-store probe +
+    band-keyed applyInPandasWithState within-batch probe — must equal
+    the batch probe row-for-row, including the keep-first evidence
+    ids and the history-beats-batch status precedence."""
+    from engine.streaming import run_neardup_stream_demo
+    from engine.text import q118_incremental_neardup
+
+    s = [tuple(r) for r in run_neardup_stream_demo(spark, sf_dir, str(tmp_path)).collect()]
+    b = [tuple(r) for r in q118_incremental_neardup(spark, sf_dir).collect()]
+    assert s == b and len(s) > 0
+    assert {r[1] for r in s} >= {"new"}
+
+
+def test_neardup_state_pairs_across_micro_batches(spark, tmp_path):
+    """The within-batch leg must pair ACROSS micro-batches through
+    state, not just within one Arrow group: four planted docs in one
+    band — two per staged file — all near-identical; the last doc's
+    keep-first match is the FIRST doc, which only state can deliver
+    (they never share a micro-batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from engine.streaming import streaming_neardup_state
+    from engine.text import N_MINHASH
+
+    sig = list(range(N_MINHASH))
+    rows = [(i, sig, 42) for i in (10, 11, 20, 21)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, sig array<bigint>, band_key bigint"
+    )
+    stage = str(tmp_path / "in")
+    df.filter("doc_id < 15").coalesce(1).write.mode("overwrite").parquet(stage)
+    df.filter("doc_id >= 15").coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    q = (
+        streaming_neardup_state(stream)
+        .writeStream.format("memory")
+        .queryName("nd_cross_batch")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.doc_id, r.match_id)
+        for r in spark.table("nd_cross_batch").collect()
+    }
+    # every later-vs-earlier pair, including the cross-file ones
+    assert pairs == {(11, 10), (20, 10), (20, 11), (21, 10), (21, 11), (21, 20)}
+    best = {d: min(m for dd, m in pairs if dd == d) for d in (11, 20, 21)}
+    assert best == {11: 10, 20: 10, 21: 10}
