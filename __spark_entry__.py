@@ -7,8 +7,8 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 174 (154 after the r6 freeze + the 9
-r7 family composites + the 11 post-freeze additions q120-q130).
+entries; the full inventory is 177 (174 after r7 + q131_phash_neardup
+and the rot_join/rot_event composites added in r8).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
@@ -74,15 +74,42 @@ canonicalizer — fixed this round by emitting the canonical string).
     the freeze), q61/q66 (get()-safe bucket planes + -0.0), q105
     (-0.0), q63/q64/q64b (encode() oracle byte-length + zero-byte
     decode). Their direct rows follow with the normal rotation.
-  - ``_POST_FREEZE_ADDITIONS`` (11): q120_budget_selection,
-    q121_source_diversity_report, q122_token_entropy,
-    q123_hard_negatives, q124_hybrid_rrf, q125_length_outliers,
-    q126_vocab_drift, q127_stratified_sample, q128_bigram_logprob, and
-    q129_decontamination_defense, and q130_source_quality_report —
-    added after the
+  - ``_POST_FREEZE_ADDITIONS`` (11): q120-q130 — added after the
     freeze, the sanctioned sit-out-one-round class; each strict-green
     at all three SFs in engine AND vanilla sessions, recount-tested
     against independent python implementations, and they LEAD r8.
+  Result: 50/50 clean, second zero-error board.
+
+* r8 window, 50 slots exactly (the r7 promises honored verbatim):
+  - ``_DISPLACED_LEAD_R8`` (4): the declared rows-only displacements
+    (ml_misclassified_inverse / ml_nb_predictions / ml_rf_predictions
+    / ml_tuning_results) LEAD, ending the round's only >1-round
+    staleness.
+  - ``_POST_FREEZE_LEAD_R8`` (11): the r7 post-freeze additions
+    q120-q130 take their first driver rows. q124/q125/q129 also
+    gained the opt-in ``checkpointed=True`` shared-subtree pin this
+    round (default plan and output byte-identical; the pin is
+    plan-tested, not driver-routed).
+  - ``_NEW_IN_R8`` (3): q131_phash_neardup (perceptual-hash media
+    near-dup — aHash over the mapInPandas decode path + q55-style
+    Hamming banding with the q118 hot-band cap) and the
+    rot_join/rot_event composites folding the 15 stalest r6-green
+    relational singletons into 2 slots.
+  - ``_CHANGED_IN_R8`` (2): stream_equivalence_report (grew q118's
+    streaming-twin row — stream-static band-store probe + band-keyed
+    applyInPandasWithState, stream ≡ batch) and q118 itself (assembly
+    tail factored into the shared ``_neardup_assemble``; output
+    byte-identical).
+  - ``_R6_STALE_COMPOSITES`` (4) + ``_R6_STALE_DIRECT`` (19): the
+    stalest class — everything whose latest row is r6 — re-enters,
+    as composites where one exists and directly where none can
+    (reports, sketch/stream singletons, ml_fpgrowth).
+  - ``_R8_PROMISED_DIRECT`` (7): the text-dedup family (q50-q55/q59)
+    graduates from its r7 composite row to direct rows; q81b stays
+    composite-covered. With ``covered-by-last-round-composite``
+    counted (the r6/r7 composites all hold r7 rows), EVERY contract
+    query is now at most one round stale — no displacement list this
+    round (guard-asserted).
 """
 
 from __future__ import annotations
@@ -103,10 +130,109 @@ def _modules():
     return [text, similarity, multimodal, streaming, stats, sampling, sqlapi, udfs, text_ml, tuning, pipeline, relational, rotation]
 
 
-# The r6 post-freeze additions — never driver-checked; they lead the
-# window exactly as the r6 docstring promised. q118 is also this
-# round's one changed never-checked entry (hot-band cap; output
-# fixture-identical, strict-verified, plan-pinned in tests).
+# ---------------------------------------------------------------- r8
+
+# The four rows-only entries displaced from r7 (declared in the r7
+# docstring; the round's only >1-round staleness) — they LEAD exactly
+# as promised.
+_DISPLACED_LEAD_R8 = [
+    "ml_misclassified_inverse",
+    "ml_nb_predictions",
+    "ml_rf_predictions",
+    "ml_tuning_results",
+]
+
+# The 11 r7 post-freeze additions — never driver-checked; they lead
+# right behind the displaced block, exactly as the r7 docstring
+# promised. (q124/q125/q129 also gained an opt-in checkpointed=True
+# shared-subtree pin this round — default path byte-identical,
+# plan-pinned in tests/test_plans.py.)
+_POST_FREEZE_LEAD_R8 = [
+    "q120_budget_selection",
+    "q121_source_diversity_report",
+    "q122_token_entropy",
+    "q123_hard_negatives",
+    "q124_hybrid_rrf",
+    "q125_length_outliers",
+    "q126_vocab_drift",
+    "q127_stratified_sample",
+    "q128_bigram_logprob",
+    "q129_decontamination_defense",
+    "q130_source_quality_report",
+]
+
+# Queries ADDED in round 8 — enter immediately: the perceptual-hash
+# media near-dup operator (r7 verdict item 7) and the two relational
+# family composites that fold the 15 stalest r6-green join/event
+# singletons into 2 slots (the r6/r7 composite arithmetic applied to
+# the last uncompressed families).
+_NEW_IN_R8 = [
+    "q131_phash_neardup",
+    "rot_join_shapes",
+    "rot_event_shapes",
+]
+
+# Changed this round — re-enter immediately: the stream-equivalence
+# surface grew q118's streaming twin row (rows-only by nature), and
+# q118's assembly tail was factored into the shared _neardup_assemble
+# (output byte-identical, but code changed ⇒ it takes a direct slot;
+# no composite carries it).
+_CHANGED_IN_R8 = [
+    "stream_equivalence_report",
+    "q118_incremental_neardup",
+]
+
+# Stalest-first fill. The r6-last class (2 rounds without a row after
+# r7) is: 34 non-composite-member singletons + the 4 relational
+# composites. The 4 composites re-enter (refreshing their 25 members
+# too); 15 of the 34 ride the two NEW composites; the remaining 19
+# take direct rows.
+_R6_STALE_COMPOSITES = [
+    "rot_scalar_shapes",
+    "rot_agg_shapes",
+    "rot_window_shapes",
+    "rot_order_setop_shapes",
+]
+_R6_STALE_DIRECT = [
+    "packing_invariants_report",
+    "q67_token_counting",
+    "dedup_recall_report",
+    "q115_source_quota_cap",
+    "q116_bm25_topk",
+    "q117_weighted_sample",
+    "q72_stream_sessions",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q11_window_rank",
+    "q13_window_running_sum",
+    "q18_distinct_agg",
+    "q26_grouping_sets",
+    "q30_approx_distinct",
+    "q31_window_range_frame",
+    "q39_unpivot",
+    "q83_percentiles",
+    "q96_hll_sketch_union",
+    "ml_fpgrowth_baskets",
+]
+
+# Promised direct rows: the text-dedup family members (direct rows r4,
+# machinery re-proven via rot_text_dedup_shapes in r7 and via the r8
+# fuzz gate) graduate to direct slots with the 7 remaining places —
+# q81b stays composite-covered (its family composite holds an r7 row).
+_R8_PROMISED_DIRECT = [
+    "q50_dedup_exact",
+    "q51_fingerprint",
+    "q52_ngram_jaccard",
+    "q53_minhash_signatures",
+    "q54_minhash_candidates",
+    "q55_simhash",
+    "q59_char_fingerprint",
+]
+
+# ------------------------------------------------- r7 history (kept
+# for the guard test's bookkeeping assertions)
+
+# The r6 post-freeze additions — led the r7 window as promised.
 _R7_NEVER_CHECKED = [
     "q118_incremental_neardup",
     "q119_context_budget_report",
@@ -202,54 +328,42 @@ _CHANGED_VIA_COMPOSITE_R7 = [
     "q64b_frame_sample",         # oracle encode() byte length
 ]
 
-# The four rows-only entries displaced by _CHANGED_IN_R7 (the only
-# staleness > 1 round after r7; see the module docstring for the
-# in-suite coverage justification). They lead the r8 window.
-_DISPLACED_TO_R8_ROWSONLY = [
-    "ml_misclassified_inverse",
-    "ml_nb_predictions",
-    "ml_rf_predictions",
-    "ml_tuning_results",
-]
+# (The r7 _DISPLACED_TO_R8_ROWSONLY and _POST_FREEZE_ADDITIONS lists
+# became this round's _DISPLACED_LEAD_R8 / _POST_FREEZE_LEAD_R8 heads,
+# honoring the r7 promise verbatim.)
 
-# Additions made after THIS round's window froze — the sanctioned
-# exception class (the q115-q117 / q118-q119 pattern): every head
-# slot holds a strictly higher-priority entry, so these sit out one
-# round, oracle-backed (strict-green at all three SFs, engine AND
-# vanilla sessions) and recount/fuzz-tested in-suite, and LEAD the r8
-# window.
-_POST_FREEZE_ADDITIONS: list[str] = [
-    "q120_budget_selection",        # token-budget corpus cut, no global sort
-    "q121_source_diversity_report", # exact inverse-Simpson source diversity
-    "q122_token_entropy",           # shuffle-free grid-entropy quality gate
-    "q123_hard_negatives",          # contrastive-mining top-k + margins
-    "q124_hybrid_rrf",              # BM25 + Dirichlet-QL reciprocal-rank fusion
-    "q125_length_outliers",         # bigint-exact per-lang median/MAD gate
-    "q126_vocab_drift",             # cross-snapshot token-frequency shifts
-    "q127_stratified_sample",       # per-lang A-ES quota (skew-safe top-K)
-    "q128_bigram_logprob",          # interpolated bigram-LM scoring (LM join)
-    "q129_decontamination_defense", # n-gram OR embedding union verdict
-    "q130_source_quality_report",   # per-source exact quality quartiles
-]
+# Additions made after the R8 window froze — the sanctioned exception
+# class: each would displace a strictly higher-priority entry, so they
+# sit out one round (oracle-backed or rows-only with in-suite
+# invariants) and LEAD the r9 window.
+_POST_FREEZE_ADDITIONS_R8: list[str] = []
 
-# Frozen hash-green singletons with no direct slot this round, EVERY
-# one a member of an in-window composite (guard-test-asserted): the 63
-# r4/r5-stale members of the nine new composites plus q60/q98.
-_DEFERRED_VIA_COMPOSITE_R7 = {
-    m for comp in _NEW_IN_R7 for m in rotation.ROTATIONS[comp]
+# Singletons with no direct slot this round whose machinery IS proven
+# in-window: members of the two NEW composites plus the 6 r6-green
+# members of the re-entered relational composites (guard-asserted).
+_DEFERRED_VIA_COMPOSITE_R8 = {
+    m
+    for comp in _NEW_IN_R8 + _R6_STALE_COMPOSITES
+    if comp in rotation.ROTATIONS
+    for m in rotation.ROTATIONS[comp]
 }
 
 
 def _window_head() -> list[str]:
-    """The r7 driver-window head: 2 never-checked + 19 promised direct
-    rows + 9 new composites + 4 changed rows-only + 16 rows-only
-    rotation — exactly 50 entries."""
+    """The r8 driver-window head, in staleness-priority order: the 4
+    displaced rows-only entries + the 11 r7 post-freeze additions
+    (both LEAD per the r7 contract), the 3 r8 additions, the 2
+    changed entries, the 4 stalest composites, the 19 stalest
+    direct singletons, and 7 promised direct rows for the text-dedup
+    family — exactly 50 entries."""
     head = (
-        _R7_NEVER_CHECKED
-        + _R7_DEFERRED_DIRECT
-        + _NEW_IN_R7
-        + _CHANGED_IN_R7
-        + _R7_ROWSONLY_ROTATION
+        _DISPLACED_LEAD_R8
+        + _POST_FREEZE_LEAD_R8
+        + _NEW_IN_R8
+        + _CHANGED_IN_R8
+        + _R6_STALE_COMPOSITES
+        + _R6_STALE_DIRECT
+        + _R8_PROMISED_DIRECT
     )
     assert len(head) == len(set(head)) == 50
     return head

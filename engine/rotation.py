@@ -320,5 +320,51 @@ ROTATIONS.update(
 )
 
 
+# r8 members — the join-shape and event/time-shape families: the 15
+# r6-green relational singletons whose direct rows would otherwise
+# consume 15 of the 50 window slots (the r8 verdict's arithmetic:
+# 34 r6-last non-members + 4 relational composites + the 15-entry
+# promised head exceed the window). Two composites re-prove them all
+# in 2 slots; the singletons keep their own oracles for direct turns.
+_LEGS_R8: dict[str, list[tuple[str, str]]] = {
+    "q04_outer_join_agg": [("c_custkey", "i"), ("n_orders", "i")],
+    "q07_broadcast_join": [("n_nationkey", "i"), ("n_name", "s"), ("r_name", "s")],
+    "q08_semi_join": [("c_custkey", "i"), ("c_name", "s"), ("c_mktsegment", "s")],
+    "q09_anti_join": [("c_custkey", "i"), ("c_name", "s")],
+    "q10_theta_join": [("s_suppkey", "i"), ("s_name", "s"), ("n_richer_customers", "i")],
+    "q28_asof_join": [("event_id", "i"), ("user_id", "i"), ("ts", "t"), ("event_type", "s"), ("prev_purchase_ts", "t")],
+    "q35_cross_join": [("n_name", "s"), ("r_name", "s")],
+    "q81_range_join": [("band_id", "i"), ("n", "i"), ("sum_price", "f")],
+    "q06_forecast_revenue": [("revenue", "f")],
+    "q47_scd2_assembly": [("user_id", "i"), ("version", "i"), ("valid_from", "t"), ("valid_to", "t"), ("value", "f"), ("is_current", "b")],
+    "q82_time_rollup": [("grain", "s"), ("d", "t"), ("h", "t"), ("n", "i"), ("sum_value", "f")],
+    "q89_fuzzy_match": [("part_a", "i"), ("part_b", "i"), ("edit_dist", "i")],
+    "q93_keep_latest": [("user_id", "i"), ("latest_event_id", "i"), ("latest_event_type", "s"), ("latest_value", "f"), ("first_event_id", "i"), ("latest_ts", "t")],
+    "q99_deterministic_split": [("split", "s"), ("label", "i"), ("n", "i")],
+    "q100_funnel": [("stage", "s"), ("n_users", "i"), ("conv_ppm", "i")],
+}
+_LEGS.update(_LEGS_R8)
+
+ROTATIONS.update(
+    {
+        # join strategies: outer/broadcast/semi/anti/theta/asof/cross/
+        # range — one slot re-proves the whole §2.6 join row
+        "rot_join_shapes": [
+            "q04_outer_join_agg", "q07_broadcast_join", "q08_semi_join",
+            "q09_anti_join", "q10_theta_join", "q28_asof_join",
+            "q35_cross_join", "q81_range_join",
+        ],
+        # event/time machinery: forecast regression, SCD2 assembly,
+        # calendar rollup, blocked fuzzy match, max_by compaction,
+        # deterministic split census, ordered funnel
+        "rot_event_shapes": [
+            "q06_forecast_revenue", "q47_scd2_assembly", "q82_time_rollup",
+            "q89_fuzzy_match", "q93_keep_latest", "q99_deterministic_split",
+            "q100_funnel",
+        ],
+    }
+)
+
+
 QUERIES = {name: _composite(members) for name, members in ROTATIONS.items()}
 ORACLE = {name: _composite_oracle(members) for name, members in ROTATIONS.items()}

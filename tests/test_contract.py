@@ -90,38 +90,34 @@ def test_sketch_error_report_all_within_bound(spark, sf_dir):
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
     # entries. Rotation policy (see __spark_entry__ docstring,
-    # stalest-first with changed/new overrides): the r7 window leads
-    # with the never-checked class, then the 19 promised direct rows,
-    # the 9 new composites, the changed rows-only block, and the
-    # rows-only rotation — 50 exactly.
+    # stalest-first with changed/new overrides): the r8 window leads
+    # with the 4 displaced rows-only entries and the 11 r7 post-freeze
+    # additions (the r7 contract's promise), then the r8 additions,
+    # the changed entries, the 4 stalest composites, the 19 stalest
+    # direct singletons, and the 7 promised text-dedup direct rows.
     names = list(contract.queries())[:50]
     head = contract._window_head()
     assert names == head, "driver window does not match the declared head"
     assert len(head) == 50
-    # Never-checked entries occupy the head outright.
-    assert names[: len(contract._R7_NEVER_CHECKED)] == contract._R7_NEVER_CHECKED
+    # The promised leads occupy the head outright, in order.
+    promised = contract._DISPLACED_LEAD_R8 + contract._POST_FREEZE_LEAD_R8
+    assert names[: len(promised)] == promised
     # New/changed queries are in-window.
-    for q in contract._NEW_IN_R7 + contract._CHANGED_IN_R7:
+    for q in contract._NEW_IN_R8 + contract._CHANGED_IN_R8:
         assert q in names, q
-    # Changes re-proven via a composite: the singleton must NOT hold a
-    # direct slot too, and must be a member of an in-window composite
-    # whose oracle embeds its own.
+    # The structural rule that makes deferral sound: every singleton
+    # deferred onto a NEW composite is a member of an in-window
+    # composite (and holds no direct slot too).
     from engine import rotation
 
-    for q in contract._CHANGED_VIA_COMPOSITE_R7:
-        assert q not in names, q
-        comp = next(c for c, ms in rotation.ROTATIONS.items() if q in ms)
-        assert comp in names, (q, comp)
-    # The structural rule that makes deferral sound: every deferred
-    # singleton is a member of an in-window composite.
     covered = {
         m
         for comp, members in rotation.ROTATIONS.items()
         if comp in names
         for m in members
     }
-    assert contract._DEFERRED_VIA_COMPOSITE_R7 <= covered
-    assert not (contract._DEFERRED_VIA_COMPOSITE_R7 & set(names))
+    assert contract._DEFERRED_VIA_COMPOSITE_R8 <= covered
+    assert not (contract._DEFERRED_VIA_COMPOSITE_R8 & set(names))
     # Generic never-checked guard: any inventory entry with NO row in
     # any past driver CORRECTNESS artifact must be in-window this
     # round (or declared post-freeze).
@@ -134,32 +130,41 @@ def test_driver_window_covers_unproven_queries():
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         proven |= set(json.load(open(p)))
     never_checked = set(contract.queries()) - proven
-    post_freeze = set(contract._POST_FREEZE_ADDITIONS)
+    post_freeze = set(contract._POST_FREEZE_ADDITIONS_R8)
     assert not (post_freeze & set(head))
     assert never_checked <= set(head) | post_freeze, sorted(
         never_checked - set(head) - post_freeze
     )
-    # THE r7 claim, pinned: every contract query is at most one round
-    # stale — in-window, composite-covered in-window, checked last
-    # round, post-freeze, or in the declared (rows-only, in-suite-
-    # covered) displaced list.
-    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r06.json"))))
+    # THE claim, strengthened for r8: every contract query has a
+    # driver row at most ONE round old, direct or via composite —
+    # in-window, composite-covered in-window, checked last round
+    # (directly or as a member of a last-round composite), or
+    # declared post-freeze. The r7 displaced list is empty this
+    # round: nothing defers past one round.
+    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r07.json"))))
+    covered_last_round = last_round | {
+        m
+        for comp, members in rotation.ROTATIONS.items()
+        if comp in last_round
+        for m in members
+    }
     uncovered = (
         set(contract.queries())
         - set(head)
         - covered
-        - last_round
+        - covered_last_round
         - post_freeze
-        - set(contract._DISPLACED_TO_R8_ROWSONLY)
     )
     assert not uncovered, sorted(uncovered)
-    # Displacement honesty: every displaced entry is rows-only (no
-    # oracle — a hash query could have ridden a composite instead)
-    # and has a prior driver row (never-checked may not defer).
+    # Lead honesty: the displaced leads are rows-only (no oracle — a
+    # hash query could have ridden a composite instead) with a prior
+    # driver row, and the post-freeze leads were added last round.
     oracles = contract.oracle_sql()
-    for q in contract._DISPLACED_TO_R8_ROWSONLY:
+    for q in contract._DISPLACED_LEAD_R8:
         assert q not in oracles, q
         assert q in proven, q
+    for q in contract._POST_FREEZE_LEAD_R8:
+        assert q not in proven, q
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
@@ -622,3 +627,82 @@ def test_q93_key_total_over_pre_epoch_and_negative_ids(spark, tmp_path):
     assert out[2].first_event_id == 10 and out[2].latest_event_id == 11
     assert out[3].first_event_id == -9 and out[3].latest_event_id == 1
     assert out[3].latest_event_type == "pos"
+
+
+def test_recursive_cte_depth_cap_and_tie_order(spark, tmp_path):
+    """q94 edge semantics (r7 verdict item 6): the walk is depth-capped
+    at 12 hops (a 15-order customer stops at hop 12), a single-order
+    customer terminates at hop 1, and same-date order ties chain in
+    o_orderkey order on every engine."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from engine.sqlapi import q94_recursive_cte
+
+    day = dt.date(2024, 1, 1)
+    rows = [
+        # customer 1: 15 orders, same date — tie-broken by orderkey
+        *[
+            Row(o_orderkey=100 + k, o_custkey=1, o_orderstatus="O",
+                o_totalprice=float(10 ** 0 * (k + 1)), o_orderdate=day,
+                o_orderpriority="1")
+            for k in range(15)
+        ],
+        # customer 2: one order
+        Row(o_orderkey=500, o_custkey=2, o_orderstatus="O",
+            o_totalprice=7.0, o_orderdate=day, o_orderpriority="1"),
+    ]
+    # q94 registers EVERY contract view: symlink the fixture tables in
+    # and plant only orders
+    d = str(tmp_path / "rec")
+    os.makedirs(d)
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        if not p.endswith("/orders.parquet"):
+            os.symlink(p, os.path.join(d, os.path.basename(p)))
+    spark.createDataFrame(rows).write.parquet(d + "/orders.parquet")
+    out = {(r.o_custkey, r.hop): r.cum_spend for r in q94_recursive_cte(spark, d).collect()}
+    # depth cap: hops 1..12 only, never 13..15
+    assert max(h for c, h in out if c == 1) == 12
+    # tie order: orderkey ascending => cum at hop k = 1+2+...+k
+    for k in range(1, 13):
+        assert out[(1, k)] == sum(range(1, k + 1))
+    assert out[(2, 1)] == 7.0 and (2, 2) not in out
+
+
+def test_recursive_cte_cycle_guard_matches_duckdb(spark, tmp_path):
+    """WITH RECURSIVE over a CYCLIC graph — the shape q94's rn-chain
+    can never produce — must terminate via the explicit hop guard
+    (the standard cycle discipline: recursion bounded by a depth
+    column, because Spark's UNION ALL recursion has no cycle
+    detection) and agree with DuckDB running the IDENTICAL SQL on the
+    identical edges: a 3-cycle a->b->c->a plus a tail c->d, walked
+    from 'a' for at most 7 hops."""
+    import duckdb
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    sql = """
+        WITH RECURSIVE walk AS (
+            SELECT 'a' AS node, 0 AS hop
+            UNION ALL
+            SELECT e.dst, w.hop + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hop < 7
+        )
+        SELECT node, hop, count(*) AS n FROM walk GROUP BY node, hop
+        ORDER BY hop, node
+    """
+    spark.createDataFrame(edges, "src string, dst string").createOrReplaceTempView("edges")
+    got = [(r.node, r.hop, r.n) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges AS SELECT * FROM (VALUES "
+                + ", ".join(f"('{s}', '{t}')" for s, t in edges)
+                + ") t(src, dst)")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
+    # the cycle really was walked around twice (hop 0 and hop 3 and
+    # hop 6 all visit 'a') and the guard stopped it
+    assert [(n, h) for n, h, _ in got if n == "a"] == [("a", 0), ("a", 3), ("a", 6)]
+    assert max(h for _, h, _ in got) == 7

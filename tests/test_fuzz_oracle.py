@@ -57,10 +57,13 @@ FUZZ_QUERIES = [
     "q67_token_counting",    # the div-by-zero regression this file found
     "q102_incremental_dedup",        # history-vs-batch statuses
     "q102b_bloom_incremental_dedup",  # bloom twin must equal q102 exactly
-    # a documents-only r7 composite: fuzzing it fuzzes all 7 member
-    # queries AND the rotation serializer legs (NaN/Inf/NULL/1e-4
-    # floor grid) on hostile text in one plan
+    # documents-only composites: fuzzing one fuzzes every member query
+    # AND the rotation serializer legs (NaN/Inf/NULL/1e-4 floor grid)
+    # on hostile text in one plan (r8 adds the dedup family — its
+    # members' minhash/banding paths see sub-shingle and duplicate
+    # texts the fixtures lack)
     "rot_text_quality_shapes",
+    "rot_text_dedup_shapes",
     "q120_budget_selection",        # budget boundary on hostile token counts
     "q121_source_diversity_report", # concentration arithmetic on tiny corpora
     "q122_token_entropy",           # grid entropy on empty/constant/giant docs
@@ -114,13 +117,25 @@ def _check(spark, tmp_path, rows, name):
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    # q81b (a rot_text_dedup_shapes member) probes orders: plant a
+    # deterministic tiny orders table derived from the corpus (same
+    # rows -> same orders, so hypothesis shrinking stays stable) with
+    # guaranteed in-band AND out-of-band price pairs
+    orders = [
+        (i + 1, float(1000 * (i // 2) + (len(r[1]) % 3) * 0.25))
+        for i, r in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_totalprice double"
+    ).write.mode("overwrite").parquet(d + "/orders.parquet")
     sdf = contract.queries()[name](spark, d).toPandas()
     con = duckdb.connect()
     # Spark writes a part-file directory; the fixtures are single files
-    con.execute(
-        "create view documents as select * from "
-        f"read_parquet('{d}/documents.parquet/*.parquet')"
-    )
+    for t in ("documents", "orders"):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
     odf = con.execute(contract.oracle_sql()[name]).fetchdf()
     err = _values_match(_normalize(sdf), _normalize(odf))
     assert err is None, f"{name}: {err}\nrows={rows!r}"

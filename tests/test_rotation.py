@@ -52,7 +52,9 @@ def test_composite_population_equals_members(spark, sf_dir, comp):
         .collect()
     }
     for m in rotation.ROTATIONS[comp]:
-        assert got.get(m) == rotation.MEMBER_QUERIES[m](spark, sf_dir).count(), m
+        # .get default 0: an honestly-empty member (q09 anti-join at
+        # sf0.001 — every customer has orders) contributes no shape row
+        assert got.get(m, 0) == rotation.MEMBER_QUERIES[m](spark, sf_dir).count(), m
 
 
 def test_serialized_rows_never_null_or_empty(spark, sf_dir):
