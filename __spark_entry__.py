@@ -334,9 +334,13 @@ _CHANGED_VIA_COMPOSITE_R7 = [
 
 # Additions made after the R8 window froze — the sanctioned exception
 # class: each would displace a strictly higher-priority entry, so they
-# sit out one round (oracle-backed or rows-only with in-suite
-# invariants) and LEAD the r9 window.
-_POST_FREEZE_ADDITIONS_R8: list[str] = []
+# sit out one round (oracle-backed, strict-green at sf0.001/0.01 in
+# engine and vanilla sessions, planted + recount tested) and LEAD the
+# r9 window.
+_POST_FREEZE_ADDITIONS_R8: list[str] = [
+    "q132_phash_clusters",        # media dup clusters over q131's pairs
+    "q133_shingle_containment",   # Broder containment (asymmetric near-dup)
+]
 
 # Singletons with no direct slot this round whose machinery IS proven
 # in-window: members of the two NEW composites plus the 6 r6-green

@@ -209,6 +209,8 @@ HEADLINE = [
     "stream_equivalence_report",
     # r8 additions
     "q131_phash_neardup",
+    "q132_phash_clusters",
+    "q133_shingle_containment",
 ]
 
 

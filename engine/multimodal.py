@@ -472,11 +472,41 @@ def q131_phash_neardup(
     )
 
 
+def q132_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dup CLUSTERS — the compaction stage over q131's verified
+    pair graph (the q54→q80 pattern applied to the media leg): pairs →
+    connected components (``text.connected_components``: driver
+    union-find at output scale, checkpointed distributed label
+    propagation beyond the threshold) → one canonical keeper per
+    cluster. This is the frame a curation job actually acts on: drop
+    every member but the keeper. Composition, not duplication — the
+    Spark side CALLS q131 and the shared component machinery; the
+    oracle embeds q131's oracle verbatim as its edge CTE and q80's
+    recursive reachability on top.
+
+    Scale shape: the component input is the VERIFIED pair list —
+    output-scale, orders of magnitude below the corpus (q80's
+    argument); everything upstream keeps q131's documented plan.
+    Output: (component, cluster_size, keeper), component = min doc id."""
+    from .text import connected_components
+
+    pairs = q131_phash_neardup(spark, sf_dir)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keeper"))
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "q63_multimodal_meta": q63_multimodal_meta,
     "q64_media_features": q64_media_features,
     "q64b_frame_sample": q64b_frame_sample,
     "q131_phash_neardup": q131_phash_neardup,
+    "q132_phash_clusters": q132_phash_clusters,
 }
 
 ORACLE = {
@@ -613,3 +643,22 @@ ORACLE = {
         ORDER BY doc_a, doc_b
     """,
 }
+
+# q132's oracle embeds q131's verbatim as the edge CTE (plain
+# concatenation, never .format — member SQL may contain braces) and
+# runs q80's recursive min-reachability on top.
+ORACLE["q132_phash_clusters"] = (
+    "WITH RECURSIVE edges AS ("
+    + ORACLE["q131_phash_neardup"]
+    + """),
+    undirected AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+    reach(doc, r) AS (
+        SELECT a, a FROM undirected
+        UNION
+        SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.doc),
+    comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)
+    SELECT component, count(*)::bigint AS cluster_size, min(doc_id)::bigint AS keeper
+    FROM comp GROUP BY component ORDER BY component"""
+)

@@ -163,6 +163,63 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_MIN = 0.8  # flag a pair when either side is ≥80% contained
+
+
+def q133_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT verification — the asymmetric near-dup
+    Jaccard under-reports (Broder's containment c(A,B) = |A∩B|/|A|):
+    a document quoted whole inside a 2× larger page has c(A,B) = 1.0
+    but Jaccard only ~0.5, so a Jaccard-thresholded pipeline keeps
+    BOTH copies. The quote-expansion / boilerplate-wrapper case is
+    the classic miss in crawl dedup (Lee et al. 2021 §4); this emits
+    both directed containments plus their max over the q54 candidate
+    graph so the curation policy can drop the contained side.
+
+    Honest recall note: candidates still come from MinHash banding,
+    which models JACCARD — a pair at containment 1.0 but Jaccard
+    ≪ LSH_TARGET_SIM may not band-collide (at fixture thresholds a
+    ≥50%-size contained doc does; the planted test pins one). The
+    extreme small-inside-huge case is q113's substring-dedup job
+    (exact, alignment-invariant); this operator is the shingle-set
+    middle ground.
+
+    Scale shape: identical to q52 — pair-list ⋈ shingle index on
+    xxhash64 keys, O(candidates × shingles/doc), never all-pairs;
+    sizes ride the same index scan. Output: (doc_a, doc_b, n_inter,
+    contain_a, contain_b, max_containment ≥ CONTAIN_MIN), rounded to
+    the 1e-6 grid from exact integer counts — bit-portable."""
+    cand = q54_minhash_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = F.round(F.col("n_inter") / F.col("na"), 6)
+    cb = F.round(F.col("n_inter") / F.col("nb"), 6)
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            ca.alias("contain_a"),
+            cb.alias("contain_b"),
+            F.greatest(ca, cb).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= CONTAIN_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # -------------------------------------------------------------------- MinHash
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
@@ -1530,6 +1587,7 @@ QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_fingerprint": q51_fingerprint,
     "q52_ngram_jaccard": q52_ngram_jaccard,
+    "q133_shingle_containment": q133_shingle_containment,
     "q53_minhash_signatures": q53_minhash_signatures,
     "q54_minhash_candidates": q54_minhash_candidates,
     "q55_simhash": q55_simhash,
@@ -1962,6 +2020,38 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+    # q52's candidate/intersection machinery with Broder containment
+    # arithmetic — exact integer counts onto the 1e-6 rounding grid
+    "q133_shingle_containment": f"""
+        WITH per_doc AS ({_DUCK_PER_DOC_SIG}),
+        bands AS (
+            SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM per_doc),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sh AS (
+            SELECT doc_id, {_DUCK_H60.format(expr="shingle")} AS sh_h
+            FROM ({_DUCK_SHINGLES_SQL}) raw),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*)::bigint AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+            GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b, n_inter,
+               round(n_inter::double / sa.n_sh, 6) AS contain_a,
+               round(n_inter::double / sb.n_sh, 6) AS contain_b,
+               greatest(round(n_inter::double / sa.n_sh, 6),
+                        round(n_inter::double / sb.n_sh, 6)) AS max_containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE greatest(round(n_inter::double / sa.n_sh, 6),
+                       round(n_inter::double / sb.n_sh, 6)) >= {CONTAIN_MIN}
+        ORDER BY doc_a, doc_b
     """,
     "q53_minhash_signatures": f"SELECT doc_id, seed::int AS seed, minhash FROM ({_DUCK_SIG_SQL}) z ORDER BY doc_id, seed",
     "q54_minhash_candidates": f"""

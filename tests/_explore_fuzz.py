@@ -62,6 +62,7 @@ FUZZ_QUERIES = [
     # floor grid) on hostile text in one plan
     "rot_text_quality_shapes",
     "rot_text_dedup_shapes",
+    "q133_shingle_containment",  # containment arithmetic on hostile/degenerate shingle sets
     "q120_budget_selection",        # budget boundary on hostile token counts
     "q121_source_diversity_report", # concentration arithmetic on tiny corpora
     "q122_token_entropy",           # grid entropy on empty/constant/giant docs
@@ -610,6 +611,7 @@ MULTIMODAL_FUZZ_QUERIES = [
     "q64_media_features",
     "q64b_frame_sample",
     "q131_phash_neardup",
+    "q132_phash_clusters",
 ]
 
 

@@ -279,3 +279,35 @@ def test_q131_recount_matches_python_bruteforce(spark, sf_dir):
         for r in q131_phash_neardup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_q132_phash_clusters_planted(spark, tmp_path):
+    """q132 on planted media: two exact dups + one near dup form ONE
+    cluster of 3 with the min doc id as keeper; the unrelated payload
+    forms no cluster (components exist only where pairs do)."""
+    import random
+
+    from engine.multimodal import q132_phash_clusters
+
+    rng = random.Random(132)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(1200))
+    near = "z" * 64 + base[64:]
+    far = "".join(rng.choice("QRSTUVWX9!") for _ in range(700))
+    rows = [
+        (1, base, "en", "web", 1200),
+        (2, base, "en", "web", 1200),
+        (3, near, "en", "web", 1200),
+        (4, far, "en", "web", 700),
+    ]
+    d = str(tmp_path / "phashc")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = q132_phash_clusters(spark, d).collect()
+    # the near doc may or may not clear the hamming bound depending on
+    # the planted edit; the EXACT dups always cluster
+    comp = {r.component: r for r in out}
+    assert 1 in comp
+    r = comp[1]
+    assert r.keeper == 1 and r.cluster_size in (2, 3)
+    assert all(c.component != 4 and c.keeper != 4 for c in out)

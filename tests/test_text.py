@@ -2074,3 +2074,67 @@ def test_q130_planted_low_quality_source_flags(spark, tmp_path):
     assert out["junk"].q75_1e6 < out["good"].q25_1e6
     solo = out["solo"]
     assert solo.n_docs == 1 and solo.q25_1e6 == solo.median_1e6 == solo.q75_1e6
+
+
+def test_q133_containment_planted_asymmetry(spark, tmp_path):
+    """q133 semantics on a planted quote-expansion: doc 1's shingle
+    set is FULLY contained in doc 2 (doc 2 = doc 1 + a suffix), so
+    contain_a = 1.0 exactly while contain_b < 1 — the asymmetric
+    signal Jaccard alone blurs; the unrelated doc 3 pairs with
+    nothing. Counts are exact integers: n_inter = |shingles(doc 1)|
+    = 20 tokens -> 18 3-shingles."""
+    from engine.text import q133_shingle_containment
+
+    base = " ".join(f"w{i}" for i in range(20))
+    container = base + " " + " ".join(f"x{i}" for i in range(4))
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, container, "en", "web", len(container)),
+        (3, " ".join(f"z{i}" for i in range(25)), "en", "web", 99),
+    ]
+    d = str(tmp_path / "contain")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = q133_shingle_containment(spark, d).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r.n_inter == 18
+    assert r.contain_a == 1.0
+    assert 0 < r.contain_b < 1.0
+    assert r.max_containment == 1.0
+
+
+def test_q133_recount_matches_shingle_sets(spark, sf_dir):
+    """Every q133 row re-derived from raw shingle sets in Python over
+    the q54 candidate pairs: intersection counts and both directed
+    containments must agree exactly (1e-6 rounding grid)."""
+    from engine.text import CONTAIN_MIN, q54_minhash_candidates, q133_shingle_containment
+    from engine.session import table
+
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def shingles(t):  # distinct word-3-grams (_with_shingles semantics)
+        toks = [x for x in re.split(" +", t.strip()) if x != ""]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in docs.items()}
+    cands = {(r.doc_a, r.doc_b) for r in q54_minhash_candidates(spark, sf_dir).collect()}
+    want = {}
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        ca, cb = round(inter / len(sh[a]), 6), round(inter / len(sh[b]), 6)
+        if max(ca, cb) >= CONTAIN_MIN:
+            want[(a, b)] = (inter, ca, cb, max(ca, cb))
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.contain_a, r.contain_b, r.max_containment)
+        for r in q133_shingle_containment(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -60,6 +60,7 @@ EAGER_SKIP = {
     "q102b_bloom_incremental_dedup",  # builds the bloom bitmap (mapInPandas collect) at build
     "ml_quality_classifier",  # MLlib pipeline fit at build
     "q108_crawl_pagerank",  # iterative power iteration, collects at build
+    "q132_phash_clusters",  # connected components (probe collect) at build
     "ml_fpgrowth_baskets",  # FPGrowth fit (basket count + census jobs) at build
 }
 
