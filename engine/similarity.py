@@ -517,7 +517,18 @@ def _q61_banded(
 
 def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity self-join
-    (seeded). Rows-only: the model's hyperplanes are internal RNG."""
+    (seeded). Rows-only: the model's hyperplanes are internal RNG.
+
+    This is the LIBRARY-PARITY tier, and r8's bench/shuffle watch
+    priced it honestly: ~20 s and **781 MB shuffled for 4,000 input
+    vectors** at sf0.1 (SHUFFLE_AUDIT.md top row) — MLlib's
+    approxSimilarityJoin explodes each side per hash table and
+    shuffles the FULL dense vector with every exploded row, ~195 KB
+    of movement per input vector. At 100 TB this shape is the
+    documented anti-pattern; the engine's own scale path is q61
+    (derived-knob multi-probe LSH: 16-byte banded keys shuffle, the
+    vectors stay in the scan) and q66 — kept side by side so the
+    trade is measured, not asserted."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
