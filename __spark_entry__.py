@@ -7,8 +7,9 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 177 (174 after r7 + q131_phash_neardup
-and the rot_join/rot_event composites added in r8).
+entries; the full inventory is 180 (174 after r7 + q131_phash_neardup
+and the rot_join/rot_event composites added in r8, plus the r8
+post-freeze additions q132/q133/q134).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
@@ -340,6 +341,7 @@ _CHANGED_VIA_COMPOSITE_R7 = [
 _POST_FREEZE_ADDITIONS_R8: list[str] = [
     "q132_phash_clusters",        # media dup clusters over q131's pairs
     "q133_shingle_containment",   # Broder containment (asymmetric near-dup)
+    "q134_curation_funnel",       # cumulative-gate survival report
 ]
 
 # Singletons with no direct slot this round whose machinery IS proven

@@ -211,6 +211,7 @@ HEADLINE = [
     "q131_phash_neardup",
     "q132_phash_clusters",
     "q133_shingle_containment",
+    "q134_curation_funnel",
 ]
 
 

@@ -220,6 +220,107 @@ def q133_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL — the survival report every training-data
+    pipeline publishes: how many documents clear each cumulative gate,
+    and what each gate costs. Stages (each applied to the previous
+    stage's survivors):
+
+    0. ingested — the raw corpus;
+    1. holdout_carveout — the q48 eval split (doc_id %
+       DECON_HOLDOUT_MOD == 0) leaves the training side;
+    2. exact_dedup — q50 semantics within the survivors (keep min
+       doc_id per md5);
+    3. near_dup — q54 candidates at q80's est_jaccard ≥ 0.5 threshold
+       restricted to surviving endpoints → connected components →
+       non-keepers (doc ≠ component min) drop;
+    4. quality — q57/q68's exact composite score ≥ 0.5;
+    5. decontaminated — q48's verdict (n_hits ≥ DECON_MIN_HITS)
+       drops flagged docs; docs with no shingles are structurally
+       clean (q48's own semantics).
+
+    Composition, not duplication: every gate reuses the member
+    operator's exact expressions/machinery (md5 keep-first window,
+    q54 candidates, shared connected_components, q68's quality
+    column, q48's output), and the oracle embeds the member SQL the
+    same way. Counts are exact bigints; drop_ppm is integer-division
+    ppm of the PREVIOUS stage (nullif-guarded) — bit-portable.
+
+    Scale shape: each gate is the member's documented plan; the
+    funnel adds only doc_id semi/anti joins (16-byte keys) and a
+    six-row final frame. The component input is the verified
+    candidate list (output-scale, q80's argument)."""
+    d = table(spark, sf_dir, "documents")
+    s1 = d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    s2 = (
+        s1.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pairs = (
+        q54_minhash_candidates(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comps = connected_components(pairs)
+    s3 = s2.join(
+        comps.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tokens)
+        + 0.3 * F.least(
+            F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens / F.lit(10.0),
+            F.lit(1.0),
+        )
+    )
+    s4 = (
+        s3.join(d, "doc_id")
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+    contaminated = q48_decontaminate(spark, sf_dir).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+
+    stages = [
+        (0, "ingested", d.select("doc_id")),
+        (1, "holdout_carveout", s1.select("doc_id")),
+        (2, "exact_dedup", s2),
+        (3, "near_dup", s3),
+        (4, "quality", s4),
+        (5, "decontaminated", s5),
+    ]
+    counts = None
+    for i, gate, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage"), F.lit(gate).alias("gate"), "n_docs"
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("stage")  # 6-row frame: the single partition is bounded
+    return (
+        counts.withColumn("prev", F.lag("n_docs").over(w))
+        .select(
+            "stage",
+            "gate",
+            "n_docs",
+            F.coalesce(F.col("prev") - F.col("n_docs"), F.lit(0)).alias("n_dropped"),
+            F.coalesce(
+                F.expr("(prev - n_docs) * 1000000 div nullif(prev, 0)"), F.lit(0)
+            ).alias("drop_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
 # -------------------------------------------------------------------- MinHash
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
@@ -5018,4 +5119,59 @@ ORACLE["q129_decontamination_defense"] = (
     LEFT JOIN sem s ON s.vec_id = d.doc_id
     ORDER BY d.doc_id
 """
+)
+
+
+# q134: registered post-dict — its oracle composes member oracles by
+# concatenation (never .format: member SQL contains braces).
+QUERIES["q134_curation_funnel"] = q134_curation_funnel
+
+_Q134_QUALITY = """
+    0.4 * least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+    + 0.3 * (len(list_distinct(string_split_regex(trim(text), ' +')))::double
+             / len(string_split_regex(trim(text), ' +')))
+    + 0.3 * least(length(regexp_replace(trim(text), ' +', '', 'g'))::double
+                  / len(string_split_regex(trim(text), ' +')) / 10.0, 1.0)
+"""
+
+ORACLE["q134_curation_funnel"] = (
+    "WITH RECURSIVE\n"
+    f"s1 AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0),\n"
+    "s2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),\n"
+    "cand AS (SELECT doc_a, doc_b FROM ("
+    + ORACLE["q54_minhash_candidates"]
+    + ") c WHERE est_jaccard >= 0.5),\n"
+    "pairs AS (SELECT doc_a, doc_b FROM cand\n"
+    "          JOIN s2 a ON a.doc_id = cand.doc_a\n"
+    "          JOIN s2 b ON b.doc_id = cand.doc_b),\n"
+    "undirected AS (SELECT doc_a AS a, doc_b AS b FROM pairs\n"
+    "               UNION SELECT doc_b, doc_a FROM pairs),\n"
+    "reach(doc, r) AS (\n"
+    "    SELECT a, a FROM undirected\n"
+    "    UNION\n"
+    "    SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.doc),\n"
+    "comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),\n"
+    "s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN\n"
+    "       (SELECT doc_id FROM comp WHERE doc_id <> component)),\n"
+    "s4 AS (SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)\n"
+    "       WHERE (" + _Q134_QUALITY + ") >= 0.5),\n"
+    "contam AS (SELECT doc_id FROM ("
+    + ORACLE["q48_decontaminate"]
+    + ") q WHERE contaminated),\n"
+    "s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),\n"
+    "counts AS (\n"
+    "    SELECT 0 AS stage, 'ingested' AS gate,\n"
+    "           (SELECT count(*) FROM documents)::bigint AS n_docs\n"
+    "    UNION ALL SELECT 1, 'holdout_carveout', (SELECT count(*) FROM s1)::bigint\n"
+    "    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::bigint\n"
+    "    UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)::bigint\n"
+    "    UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::bigint\n"
+    "    UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)::bigint)\n"
+    "SELECT stage, gate, n_docs,\n"
+    "       coalesce(prev - n_docs, 0)::bigint AS n_dropped,\n"
+    "       coalesce((prev - n_docs) * 1000000 // nullif(prev, 0), 0)::bigint\n"
+    "           AS drop_ppm\n"
+    "FROM (SELECT stage, gate, n_docs,\n"
+    "             lag(n_docs) OVER (ORDER BY stage) AS prev FROM counts) t\n"
+    "ORDER BY stage"
 )

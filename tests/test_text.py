@@ -2138,3 +2138,40 @@ def test_q133_recount_matches_shingle_sets(spark, sf_dir):
         for r in q133_shingle_containment(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_q134_funnel_planted_one_drop_per_gate(spark, tmp_path):
+    """q134 semantics on a planted corpus engineered to lose exactly
+    one document at every gate: the holdout doc leaves at stage 1, an
+    exact copy at stage 2, a near-dup at stage 3, a degenerate
+    low-quality doc at stage 4, and a doc quoting the holdout at
+    stage 5 — two clean survivors remain. Counts are cumulative (each
+    stage applies to the previous survivors) and drop_ppm is exact
+    integer ppm of the previous stage."""
+    from engine.text import q134_curation_funnel
+
+    hi = " ".join(f"w{i}" for i in range(120))          # high quality
+    near = hi + " " + " ".join(f"n{i}" for i in range(6))
+    holdout = " ".join(f"e{i}" for i in range(40))       # the eval doc
+    # quality-ok text QUOTING 6 consecutive eval tokens (>= 2 shingles)
+    contam = " ".join(f"c{i}" for i in range(100)) + " e10 e11 e12 e13 e14 e15"
+    rows = [
+        (1, hi, "en", "web", len(hi)),
+        (2, hi, "en", "web", len(hi)),           # exact dup -> stage 2
+        (3, near, "en", "web", len(near)),       # near dup  -> stage 3
+        (4, "x x x x x", "en", "web", 9),        # low quality -> stage 4
+        (5, contam, "en", "web", len(contam)),   # contaminated -> stage 5
+        (6, " ".join(f"z{i}" for i in range(110)), "en", "web", 400),
+        (100, holdout, "en", "web", len(holdout)),  # 100 % 50 == 0 -> holdout
+    ]
+    d = str(tmp_path / "funnel134")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.stage: r for r in q134_curation_funnel(spark, d).collect()}
+    assert [out[i].n_docs for i in range(6)] == [7, 6, 5, 4, 3, 2]
+    assert [out[i].n_dropped for i in range(6)] == [0, 1, 1, 1, 1, 1]
+    assert out[1].gate == "holdout_carveout" and out[5].gate == "decontaminated"
+    # exact integer ppm of the previous stage
+    assert out[1].drop_ppm == 1_000_000 // 7
+    assert out[5].drop_ppm == 1_000_000 // 3

@@ -61,6 +61,7 @@ EAGER_SKIP = {
     "ml_quality_classifier",  # MLlib pipeline fit at build
     "q108_crawl_pagerank",  # iterative power iteration, collects at build
     "q132_phash_clusters",  # connected components (probe collect) at build
+    "q134_curation_funnel",  # funnel stage 3 runs components at build
     "ml_fpgrowth_baskets",  # FPGrowth fit (basket count + census jobs) at build
 }
 
