@@ -623,19 +623,28 @@ def streaming_neardup_state(stream: DataFrame, cap: int | None = None) -> DataFr
 
         ids, flat = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
         out_a, out_b = [], []
-        for pdf in pdfs:
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
-                # state round-trips through the JVM pickler: plain ints
-                # only (numpy scalars are not constructible JVM-side)
-                doc, sig = int(row.doc_id), [int(x) for x in row.sig]
-                for j, mid in enumerate(ids):
-                    stored = flat[j * N_MINHASH : (j + 1) * N_MINHASH]
-                    if sum(a == b for a, b in zip(sig, stored)) >= NEARDUP_MATCH_MIN:
-                        out_a.append(doc)
-                        out_b.append(mid)
-                if len(ids) < cap:
-                    ids.append(doc)
-                    flat.extend(sig)
+        # one sort over the WHOLE micro-batch group: a band group split
+        # across Arrow chunks must still process docs in doc_id order
+        # or keep-first equivalence with the batch leg breaks (r8
+        # ADVICE) — per-chunk sorts only order within a chunk.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        group = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["doc_id", "sig"])
+        )
+        for row in group.sort_values("doc_id").itertuples(index=False):
+            # state round-trips through the JVM pickler: plain ints
+            # only (numpy scalars are not constructible JVM-side)
+            doc, sig = int(row.doc_id), [int(x) for x in row.sig]
+            for j, mid in enumerate(ids):
+                stored = flat[j * N_MINHASH : (j + 1) * N_MINHASH]
+                if sum(a == b for a, b in zip(sig, stored)) >= NEARDUP_MATCH_MIN:
+                    out_a.append(doc)
+                    out_b.append(mid)
+            if len(ids) < cap:
+                ids.append(doc)
+                flat.extend(sig)
         state.update((ids, flat))
         yield pd.DataFrame({"doc_id": out_a, "match_id": out_b})
 
@@ -685,12 +694,21 @@ def run_neardup_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> D
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
 
-    # stage the arriving batch as two id-ranged files, low half first
-    # (sequential writes order the file source's replay by mod time)
+    # stage the arriving batch as two id-ranged files, low half first;
+    # FileStreamSource replays in mod-time order and same-granularity
+    # writes can TIE, so pin strictly increasing mtimes explicitly (r8
+    # ADVICE) — a tie replaying the high half first would change the
+    # within-batch keep-first pairs vs q118.
     stage_in = os.path.join(out_dir, "in")
     mid = batch.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
     batch.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(stage_in)
+    low_files = {f for f in os.listdir(stage_in) if f.endswith(".parquet")}
     batch.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(stage_in)
+    anchor = os.path.getmtime(stage_in)
+    for f in os.listdir(stage_in):
+        if f.endswith(".parquet"):
+            t = anchor - 60 if f in low_files else anchor
+            os.utime(os.path.join(stage_in, f), (t, t))
 
     stream = (
         spark.readStream.schema(batch.schema)

@@ -4068,7 +4068,7 @@ ORACLE["q120_budget_selection"] = f"""
         FROM documents),
     b AS (SELECT (sum(n_tokens) * {BUDGET_PPM}) // 1000000 AS budget FROM t),
     r AS (SELECT *,
-                 sum(n_tokens) OVER (ORDER BY quality_1e6 DESC, doc_id) AS cum_tokens,
+                 (sum(n_tokens) OVER (ORDER BY quality_1e6 DESC, doc_id))::bigint AS cum_tokens,
                  row_number() OVER (ORDER BY quality_1e6 DESC, doc_id) AS rn
           FROM t)
     SELECT rn::int AS sel_rank, doc_id, quality_1e6, n_tokens, cum_tokens

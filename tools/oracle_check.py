@@ -51,7 +51,8 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame, rtol=1e-6, atol=1e-6) -> str
     """Tolerant by default; SPARK_GRAFT_STRICT=1 demands bit-identical
     floats — a local simulation of the driver's exact hash compare
     (r1 q25: values within tolerance still hash-mismatch)."""
-    if os.environ.get("SPARK_GRAFT_STRICT"):
+    strict = bool(os.environ.get("SPARK_GRAFT_STRICT"))
+    if strict:
         rtol = atol = 0.0
     if list(a.columns) != list(b.columns):
         return f"columns differ: {list(a.columns)} vs {list(b.columns)}"
@@ -59,6 +60,16 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame, rtol=1e-6, atol=1e-6) -> str
         return f"row count differ: {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        if strict and (
+            pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv)
+        ):
+            # The driver's canonical hash is bit-exact over the
+            # materialized values, so int64-vs-float64 is a mismatch
+            # even when every value is numerically equal.  The classic
+            # leak: DuckDB sum(bigint) returns HUGEINT, which fetchdf()
+            # materializes as float64 (r8's q120 red row) — the oracle
+            # must cast (::bigint) at the SQL level.
+            return f"col {c}: dtype mismatch {av.dtype} vs {bv.dtype} (int/float)"
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
                 if pd.isna(x) and pd.isna(y):
