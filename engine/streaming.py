@@ -657,7 +657,9 @@ def streaming_neardup_state(stream: DataFrame, cap: int | None = None) -> DataFr
     )
 
 
-def run_neardup_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+def run_neardup_stream_demo(
+    spark: SparkSession, sf_dir: str, out_dir: str, index_table: str | None = None
+) -> DataFrame:
     """q118's streaming twin as a REAL two-query readStream run — the
     continuous-crawl ingest probing near-dups against the standing
     corpus AND itself as documents arrive:
@@ -690,7 +692,11 @@ def run_neardup_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> D
     )
 
     d = table(spark, sf_dir, "documents")
-    bands = _banded_signatures(d)
+    # index_table= (opt-in): the history leg probes the persisted
+    # text.build_band_index store — per micro-batch the stream-static
+    # join reads the bucketed store co-located instead of re-deriving
+    # the standing corpus's band rows on every trigger.
+    bands = spark.table(index_table) if index_table else _banded_signatures(d)
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
 

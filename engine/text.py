@@ -3724,7 +3724,43 @@ def _banded_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "neardup_band_index",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Persist the banded-signature store ONCE — the shared index every
+    near-dup consumer probes instead of rebuilding it per query (r8
+    verdict item 6).
+
+    Rows are exactly ``_banded_signatures(documents)`` — (doc_id, sig,
+    band_key), one row per (doc, band) — written bucketed AND sorted on
+    ``band_key`` (io.write_bucketed), so a consumer's band-key probe
+    join reads the store co-located: the ONLY exchange in the probe
+    plan is the (small) probe side's, and the scan shows
+    SelectedBucketsCount (plan-pinned in tests/test_plans.py).
+
+    At 100 TB this is the nightly-pipeline shape: signatures are
+    computed for the standing corpus exactly once (the expensive
+    shingle→minhash pass over all text), and every downstream consumer
+    — the daily ingest probe (q118 ``index_table=``), its streaming
+    twin (run_neardup_stream_demo ``index_table=``), global
+    compactions — probes the same bucketed parquet without touching
+    corpus text again. Consumers are byte-identical to their in-plan
+    derivations because ``_banded_signatures`` is deterministic
+    (integer minhashes, exact parquet round-trip)."""
+    from .io import write_bucketed
+
+    bands = _banded_signatures(table(spark, sf_dir, "documents"))
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    write_bucketed(bands, table_name, "band_key", n_buckets)
+    return spark.table(table_name)
+
+
+def q118_incremental_neardup(
+    spark: SparkSession, sf_dir: str, index_table: str | None = None
+) -> DataFrame:
     """Incremental NEAR-dup ingest dedup — q102's continuous-crawl
     shape at MinHash granularity: the newly ingested batch
     (doc_id % INCR_BATCH_MOD == 0, q102's split) is checked against
@@ -3757,9 +3793,16 @@ def q118_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band.  Band keys are q54's xxhash64 (need not be
     oracle-portable: the oracle's md5 band keys induce the same doc
     groupings; a cross-band collision could only ADD a candidate,
-    which the signature-agreement verify filters)."""
+    which the signature-agreement verify filters).
+
+    ``index_table=`` (opt-in) probes a persisted ``build_band_index``
+    store instead of deriving the band rows in-plan: the history side
+    reads the bucketed table co-located (zero history-side exchange,
+    SelectedBucketsCount in the scan — plan-pinned), and the corpus
+    text is never re-shingled. Output byte-identical to the default
+    path (the index rows ARE ``_banded_signatures``)."""
     d = table(spark, sf_dir, "documents")
-    bands = _banded_signatures(d)
+    bands = spark.table(index_table) if index_table else _banded_signatures(d)
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
     n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")

@@ -208,3 +208,77 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
         default = [tuple(r) for r in fn(spark, sf_dir).collect()]
         pinned = [tuple(r) for r in ck.collect()]
         assert pinned == default, fn.__name__
+
+
+def test_band_index_consumers_probe_shared_store(spark, sf_dir):
+    """r8 verdict item 6, pinned: with the banded index PERSISTED once
+    (build_band_index, bucketed+sorted on the band key), every
+    consumer probes the store instead of rebuilding it —
+
+    * q118 index path: the history side reads the bucketed scan
+      (SelectedBucketsCount), the probe join's only band_key exchange
+      is the batch side's, and no shingle/minhash subtree remains in
+      the plan (zero index rebuild).
+    * q66 index path: BOTH sides of the bucket self-join read the
+      bucketed scan co-located; the only exchange is the probe side's
+      xor'd bucket. No normalization/hashing recompute in-plan.
+    * q61 index path: probes broadcast, store side exchange-free.
+
+    Outputs byte-identical to the in-plan derivations (asserted here
+    at fixture SF; the equivalence is deterministic by construction)."""
+    from engine import similarity
+    from engine.text import build_band_index, q118_incremental_neardup
+
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+    spark.sql("DROP TABLE IF EXISTS s_band_idx")
+    build_band_index(spark, sf_dir, "t_band_idx", n_buckets=8)
+    similarity.build_band_index(spark, sf_dir, "s_band_idx", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # --- q118 through the store
+        df = q118_incremental_neardup(spark, sf_dir, index_table="t_band_idx")
+        plan = _plan(df)
+        assert "SelectedBucketsCount" in plan
+        # zero index rebuild: the minhash derivation (posexplode of the
+        # shingle array + the seed/minhash agg) is absent
+        assert "posexplode" not in plan and "minhash" not in plan
+        default = [tuple(r) for r in q118_incremental_neardup(spark, sf_dir).collect()]
+        assert [tuple(r) for r in df.collect()] == default
+
+        # --- q66 through the store: one exchange, the probe side's
+        df66 = similarity.q66_embedding_near_dup(spark, sf_dir, index_table="s_band_idx")
+        plan66 = _plan(df66)
+        assert plan66.count("SelectedBucketsCount") == 2
+        import re
+
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan66)
+        assert keys == ["probe_bucket"], keys
+        d66 = [tuple(r) for r in similarity.q66_embedding_near_dup(spark, sf_dir).collect()]
+        assert [tuple(r) for r in df66.collect()] == d66
+
+        # --- q61 through the store: store side exchange-free
+        df61 = similarity.q61_knn_lsh_bucketed(spark, sf_dir, index_table="s_band_idx")
+        d61 = [tuple(r) for r in similarity.q61_knn_lsh_bucketed(spark, sf_dir).collect()]
+        assert [tuple(r) for r in df61.collect()] == d61
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_band_idx")
+        spark.sql("DROP TABLE IF EXISTS s_band_idx")
+
+
+def test_band_index_banded_variant_identical(spark, sf_dir):
+    """The multi-band index (forced wide width ⇒ n_bands>1, the 100 TB
+    derived geometry) round-trips through the store byte-identically
+    for both consumers, width/bands recovered from the index itself."""
+    from engine import similarity
+
+    spark.sql("DROP TABLE IF EXISTS s_band_idx_b")
+    similarity.build_band_index(spark, sf_dir, "s_band_idx_b", n_planes=12, n_bands=3, n_buckets=8)
+    try:
+        for fn in (similarity.q61_knn_lsh_bucketed, similarity.q66_embedding_near_dup):
+            direct = [tuple(r) for r in fn(spark, sf_dir, n_planes=12, n_bands=3).collect()]
+            via = [tuple(r) for r in fn(spark, sf_dir, index_table="s_band_idx_b").collect()]
+            assert via == direct, fn.__name__
+    finally:
+        spark.sql("DROP TABLE IF EXISTS s_band_idx_b")
