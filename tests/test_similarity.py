@@ -211,11 +211,35 @@ def test_recall_report_floors(spark, sf_dir):
     from engine.similarity import ann_recall_report
 
     rows = {r.tier: r for r in ann_recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh_multiprobe", "ivf", "pq_adc", "ivfpq_adc"}
-    floors = {"lsh_multiprobe": 0.15, "ivf": 0.5, "pq_adc": 0.6, "ivfpq_adc": 0.45}
+    assert set(rows) == {
+        "lsh_multiprobe",
+        "ivf",
+        "pq_adc",
+        "ivfpq_adc",
+        # r9: the q62-vs-q61 threshold-join parity rows (r8 verdict 7)
+        "brp_threshold_join",
+        "lsh_threshold_join",
+        "lsh_banded_threshold_join",
+    }
+    floors = {
+        "lsh_multiprobe": 0.15,
+        "ivf": 0.5,
+        "pq_adc": 0.6,
+        "ivfpq_adc": 0.45,
+        # measured 0.86-0.87 / 0.13-0.15 / 0.36-0.37 across SFs
+        "brp_threshold_join": 0.75,
+        "lsh_threshold_join": 0.08,
+        "lsh_banded_threshold_join": 0.25,
+    }
     for tier, r in rows.items():
         assert r.recall_at_10 >= floors[tier], (tier, r.recall_at_10)
         assert r.n_hits == round(r.recall_at_10 * r.n_truth)
+    # OR-amplification is monotone: q62's table count (3 bands) must
+    # beat single-band at the identical threshold
+    assert (
+        rows["lsh_banded_threshold_join"].recall_at_10
+        >= rows["lsh_threshold_join"].recall_at_10
+    )
 
 
 def test_scale_knob_derivation_laws(spark, sf_dir):
@@ -987,3 +1011,16 @@ def test_hard_negatives_planted_semantics(spark, tmp_path):
     assert not easy.harder_than_positive and easy.margin > 0
     b = [r for r in out if r.query_id == 4]
     assert b and all(r.margin is None and r.harder_than_positive for r in b)
+
+
+def test_q62_refuses_beyond_input_bound(spark, sf_dir, monkeypatch):
+    """q62 is the bounded library-parity demo (r8 verdict item 7): its
+    shuffle is quadratic in corpus size, so beyond Q62_INPUT_BOUND it
+    must refuse loudly and point at the scale path, not melt."""
+    import pytest
+
+    from engine import similarity
+
+    monkeypatch.setattr(similarity, "Q62_INPUT_BOUND", 10)
+    with pytest.raises(ValueError, match="q61"):
+        similarity.q62_brp_lsh_join(spark, sf_dir)
