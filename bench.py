@@ -212,6 +212,8 @@ HEADLINE = [
     "q132_phash_clusters",
     "q133_shingle_containment",
     "q134_curation_funnel",
+    # r9 addition: the nightly cross-snapshot delta funnel
+    "q135_incremental_curation",
 ]
 
 
@@ -477,6 +479,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name == "stream_equivalence_report":
+            # r8 verdict item 5: the report aggregates 5 real streaming
+            # pipelines (~22% of the headline wall as one blob) — time
+            # each pipeline as its OWN row so a regression in one
+            # stream compares against its own baseline. The rows sum
+            # to what the blob row measured, keeping the total
+            # comparable round-over-round.
+            from engine.streaming import STREAM_EQ_OPERATORS, stream_eq_check
+
+            for op in STREAM_EQ_OPERATORS:
+                t0 = time.perf_counter()
+                row = stream_eq_check(spark, sf_dir, op)
+                key = f"stream_eq.{op}"
+                timings[key] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"# {key}: {timings[key]:.3f}s equal={row[3]}", file=sys.stderr
+                )
+            continue
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

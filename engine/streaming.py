@@ -796,13 +796,70 @@ def stream_equivalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, not approximate: both sides evaluate the same column
     expressions over the same rows, so even the float columns must
     match bit-for-bit. Rows-only by nature (the streaming runtime is
-    the thing under test)."""
+    the thing under test).
+
+    Each pipeline is individually runnable via ``stream_eq_check``
+    (r8 verdict item 5): bench.py times every pipeline as its own
+    BENCH_DETAIL row, so a 2× regression in ONE stream is visible
+    against its own baseline instead of hiding inside a 69 s blob."""
+    rows = [stream_eq_check(spark, sf_dir, name) for name in STREAM_EQ_OPERATORS]
+    return spark.createDataFrame(
+        rows, "operator string, batch_rows bigint, stream_rows bigint, equal boolean"
+    ).orderBy("operator")
+
+
+# the five stream≡batch pipelines, in the report's execution order
+STREAM_EQ_OPERATORS = [
+    "tumbling_watermark_agg",
+    "stream_stream_interval_join",
+    "rowwise_decontaminate",
+    "dedup_quality_census",
+    "incremental_neardup",
+]
+
+
+def _stream_eq_pair(
+    spark: SparkSession, sf_dir: str, name: str, tmp: str
+) -> tuple[DataFrame, DataFrame]:
+    """(stream result, batch twin) for one named equivalence pipeline."""
+    if name == "tumbling_watermark_agg":
+        return (
+            run_stream_demo(spark, sf_dir, os.path.join(tmp, "t")),
+            q70_stream_tumbling(spark, sf_dir),
+        )
+    if name == "stream_stream_interval_join":
+        return (
+            run_stream_join_demo(spark, sf_dir, os.path.join(tmp, "j")),
+            q74_stream_join(spark, sf_dir),
+        )
+    if name == "rowwise_decontaminate":
+        return (
+            run_decontaminate_stream_demo(spark, sf_dir, os.path.join(tmp, "d")),
+            q74b_stream_decontaminate(spark, sf_dir),
+        )
+    if name == "dedup_quality_census":
+        return (
+            run_doc_stream_demo(spark, sf_dir, os.path.join(tmp, "c")),
+            doc_pipeline_batch(spark, sf_dir),
+        )
+    if name == "incremental_neardup":
+        from .text import q118_incremental_neardup
+
+        return (
+            run_neardup_stream_demo(spark, sf_dir, os.path.join(tmp, "n")),
+            q118_incremental_neardup(spark, sf_dir),
+        )
+    raise ValueError(f"unknown stream-equivalence pipeline: {name}")
+
+
+def stream_eq_check(spark: SparkSession, sf_dir: str, name: str):
+    """Run ONE stream≡batch pipeline end-to-end and return its report
+    row ``(operator, batch_rows, stream_rows, equal)``."""
     import shutil
 
-    tmp = tempfile.mkdtemp(prefix="stream_eq_")
-    rows = []
-
-    def _check(name: str, stream_df: DataFrame, batch_df: DataFrame) -> None:
+    tmp = tempfile.mkdtemp(prefix=f"stream_eq_{name}_")
+    try:
+        stream_df, batch_df = _stream_eq_pair(spark, sf_dir, name, tmp)
         # localCheckpoint truncates both lineages before exceptAll:
         # each side is compared as materialized rows (also dodges a
         # Catalyst ATTRIBUTE_NOT_FOUND rewrite bug when exceptAll
@@ -815,41 +872,9 @@ def stream_equivalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the other (|s\b| = |s| - |s∩b| = |b| - |s∩b| = |b\s|), so a
         # single exceptAll probe suffices
         equal = b_rows == s_rows and s.exceptAll(b).isEmpty()
-        rows.append((name, b_rows, s_rows, equal))
-
-    try:
-        _check(
-            "tumbling_watermark_agg",
-            run_stream_demo(spark, sf_dir, os.path.join(tmp, "t")),
-            q70_stream_tumbling(spark, sf_dir),
-        )
-        _check(
-            "stream_stream_interval_join",
-            run_stream_join_demo(spark, sf_dir, os.path.join(tmp, "j")),
-            q74_stream_join(spark, sf_dir),
-        )
-        _check(
-            "rowwise_decontaminate",
-            run_decontaminate_stream_demo(spark, sf_dir, os.path.join(tmp, "d")),
-            q74b_stream_decontaminate(spark, sf_dir),
-        )
-        _check(
-            "dedup_quality_census",
-            run_doc_stream_demo(spark, sf_dir, os.path.join(tmp, "c")),
-            doc_pipeline_batch(spark, sf_dir),
-        )
-        from .text import q118_incremental_neardup
-
-        _check(
-            "incremental_neardup",
-            run_neardup_stream_demo(spark, sf_dir, os.path.join(tmp, "n")),
-            q118_incremental_neardup(spark, sf_dir),
-        )
+        return (name, b_rows, s_rows, equal)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "operator string, batch_rows bigint, stream_rows bigint, equal boolean"
-    ).orderBy("operator")
 
 
 QUERIES = {

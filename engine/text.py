@@ -299,6 +299,13 @@ def q134_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "quality", s4),
         (5, "decontaminated", s5),
     ]
+    return _funnel_tail(stages)
+
+
+def _funnel_tail(stages) -> DataFrame:
+    """Shared survival-report tail for the curation funnels (q134,
+    q135): per-stage exact counts, drops vs the previous stage, and
+    integer-division ppm — bit-portable by construction."""
     counts = None
     for i, gate, frame in stages:
         row = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
@@ -318,6 +325,182 @@ def q134_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_ppm"),
         )
         .orderBy("stage")
+    )
+
+
+def q135_incremental_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str | None = None,
+    checkpointed: bool = False,
+) -> DataFrame:
+    """Cross-snapshot INCREMENTAL curation — q134's funnel run as the
+    nightly DELTA job (r8 verdict item 8): only the documents that are
+    ADDED or CHANGED between snapshot A and snapshot B (q107's diff
+    semantics, same fixture constants) pass through the gates, and the
+    dedup gates probe the STANDING already-curated corpus instead of
+    re-curating it. This is the shape real pipelines run nightly: the
+    full q134 funnel is the quarterly compaction; this is the daily
+    increment.
+
+    Stages over the delta (each gate reuses the member machinery):
+
+    0. delta_ingested — q107's added ∪ changed rows, snapshot-B text;
+    1. holdout_carveout — q48's eval split leaves the training side;
+    2. exact_dedup — within-delta keep-first md5 (q50) PLUS an
+       anti-join against the standing corpus's md5 store (q102's
+       fingerprint-store probe);
+    3. near_dup — q118's ingest probe verbatim: banded-signature
+       candidates against the standing corpus AND within the delta
+       (hot-band-capped), verified at ≥ NEARDUP_MATCH_MIN/8 agreeing
+       minhash positions (= q134's est_jaccard ≥ 0.5 gate);
+    4. quality — q57/q68's exact composite ≥ 0.5 on the B-text;
+    5. decontaminated — q48's verdict against the FROZEN eval suite
+       (benchmarks don't change nightly, so eval shingles come from
+       the original documents' holdout split).
+
+    Scale shape (100 TB standing, TB-scale delta): every standing-side
+    touch is a probe — md5 anti-join on 16-byte keys, band-store
+    equi-join (pass ``index_table=`` to read the persisted
+    ``build_band_index`` store co-located; standing docs are by
+    definition unchanged, so their indexed signatures are valid),
+    broadcast eval shingles. Nothing re-scans, re-pairs, or re-scores
+    the standing corpus; delta-side work is q134's machinery at delta
+    size. No connected components: the delta probes keep-first against
+    history (q118's pairwise argument — global transitive closure is
+    the compaction job's, not the nightly's).
+
+    Oracle: member-SQL composition over the same snapshot CTEs (the
+    within-delta band self-join is uncapped there, valid while fixture
+    band occupancy < NEARDUP_BAND_CAP — q118's documented pattern).
+
+    ``checkpointed=True`` (opt-in, q124/q125's shared-subtree fix):
+    Catalyst plans the stage chain once PER COUNT LEG — 57 FileScans
+    in the default returned plan (PLANS.json). The pin materializes
+    each narrow per-stage doc_id spine (delta-sized, tiny) via
+    io.materialize, so every count leg reads a pinned frame and each
+    stage build replans from the previous pin + one corpus scan:
+    returned-plan FileScans drop to ZERO (plan-pinned in
+    tests/test_plans.py) with byte-identical output."""
+    from .relational import SNAP_ABSENT_A_MOD, SNAP_ABSENT_B_MOD, SNAP_EDIT_B_MOD
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if not checkpointed:
+            return df
+        from . import io as _io
+
+        return _io.materialize(df)
+
+    d = table(spark, sf_dir, "documents")
+    b_text = F.when(
+        F.col("doc_id") % SNAP_EDIT_B_MOD == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    snap_b = d.filter(F.col("doc_id") % SNAP_ABSENT_B_MOD != 0).select(
+        "doc_id", b_text.alias("text")
+    )
+    in_a = F.col("doc_id") % SNAP_ABSENT_A_MOD != 0
+    edited = F.col("doc_id") % SNAP_EDIT_B_MOD == 0
+    delta = snap_b.filter(~in_a | edited)
+    standing = snap_b.filter(in_a & ~edited)
+
+    delta_ids = _pin(delta.select("doc_id"))
+    s1 = delta.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    s1_ids = _pin(s1.select("doc_id"))
+    # under the pin, downstream gates replan from the pinned spine +
+    # one snap_b join instead of the whole delta chain
+    s1_src = s1 if not checkpointed else s1_ids.join(snap_b, "doc_id")
+
+    # gate 2: within-delta keep-first + standing fingerprint-store probe
+    stand_h = standing.select(F.md5("text").alias("h"))
+    s2 = _pin(
+        s1_src.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(stand_h, "h", "left_anti")
+        .select("doc_id")
+    )
+
+    # gate 3: q118's probe — delta bands vs standing store + within-delta
+    dbands = _banded_signatures(s2.join(snap_b, "doc_id"))
+    if index_table:
+        # standing docs are unchanged, so the shared persisted index's
+        # rows for them ARE their snapshot-B signatures
+        sbands = spark.table(index_table).join(
+            standing.select("doc_id"), "doc_id", "left_semi"
+        )
+    else:
+        sbands = _banded_signatures(standing)
+    n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")
+    hist_dup = (
+        dbands.alias("n")
+        .join(sbands.alias("h"), "band_key")
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("n.sig").alias("sa"),
+            F.col("h.sig").alias("sb"),
+        )
+        .withColumn("m", n_match)
+        .filter(F.col("m") >= NEARDUP_MATCH_MIN)
+        .select("doc_id")
+        .distinct()
+    )
+    batch_dup = (
+        _batch_band_candidates(dbands)
+        .withColumn("m", n_match)
+        .filter(F.col("m") >= NEARDUP_MATCH_MIN)
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = _pin(
+        s2.join(hist_dup, "doc_id", "left_anti").join(
+            batch_dup, "doc_id", "left_anti"
+        )
+    )
+
+    # gate 4: q134's exact quality composite on the B-text
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tokens)
+        + 0.3 * F.least(
+            F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens / F.lit(10.0),
+            F.lit(1.0),
+        )
+    )
+    s4 = _pin(
+        s3.join(snap_b, "doc_id")
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+
+    # gate 5: q48 against the frozen eval suite (original holdout text)
+    eval_sh = (
+        _with_shingles(d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD == 0))
+        .select(F.xxhash64("shingle").alias("sh_h"))
+        .distinct()
+    )
+    surv_sh = _with_shingles(s4.join(snap_b, "doc_id")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
+    contaminated = (
+        surv_sh.join(F.broadcast(eval_sh), "sh_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= DECON_MIN_HITS)
+        .select("doc_id")
+    )
+    s5 = _pin(s4.join(contaminated, "doc_id", "left_anti"))
+
+    return _funnel_tail(
+        [
+            (0, "delta_ingested", delta_ids),
+            (1, "holdout_carveout", s1_ids),
+            (2, "exact_dedup", s2),
+            (3, "near_dup", s3),
+            (4, "quality", s4),
+            (5, "decontaminated", s5),
+        ]
     )
 
 
@@ -1706,20 +1889,43 @@ QUERIES = {
     "q114_boilerplate_scrub": q114_boilerplate_scrub,
 }
 
-_DUCK_SIG_SQL = f"""
+def _duck_shingles_over(rel: str) -> str:
+    """The q50-family shingle stream over ANY (doc_id, text) relation —
+    the parameterization that lets composed oracles (q135) replay the
+    member machinery over snapshot-derived texts. ``_DUCK_SHINGLES_SQL``
+    is exactly ``_duck_shingles_over("documents")``."""
+    return f"""
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [] END)) AS shingle
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM {rel}) t
+"""
+
+
+def _duck_sig_over(rel: str) -> str:
+    return f"""
     SELECT doc_id, seed,
            min(([{", ".join(map(str, MINHASH_A))}][seed + 1] * h0
                 + [{", ".join(map(str, MINHASH_B))}][seed + 1]) % {MINHASH_M}) AS minhash
     FROM (SELECT doc_id, {_DUCK_H60.format(expr="shingle")} % {MINHASH_M} AS h0
-          FROM ({_DUCK_SHINGLES_SQL}) raw) s,
+          FROM ({_duck_shingles_over(rel)}) raw) s,
          generate_series(0, {N_MINHASH - 1}) AS g(seed)
     GROUP BY doc_id, seed
 """
 
-_DUCK_PER_DOC_SIG = f"""
+
+def _duck_per_doc_sig_over(rel: str) -> str:
+    return f"""
     SELECT doc_id, list(minhash ORDER BY seed) AS sig
-    FROM ({_DUCK_SIG_SQL}) q GROUP BY doc_id
+    FROM ({_duck_sig_over(rel)}) q GROUP BY doc_id
 """
+
+
+_DUCK_SIG_SQL = _duck_sig_over("documents")
+
+_DUCK_PER_DOC_SIG = _duck_per_doc_sig_over("documents")
 
 _rows_per_band = N_MINHASH // N_BANDS
 _DUCK_BANDS = " , ".join(
@@ -5205,6 +5411,74 @@ ORACLE["q134_curation_funnel"] = (
     "counts AS (\n"
     "    SELECT 0 AS stage, 'ingested' AS gate,\n"
     "           (SELECT count(*) FROM documents)::bigint AS n_docs\n"
+    "    UNION ALL SELECT 1, 'holdout_carveout', (SELECT count(*) FROM s1)::bigint\n"
+    "    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::bigint\n"
+    "    UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)::bigint\n"
+    "    UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::bigint\n"
+    "    UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)::bigint)\n"
+    "SELECT stage, gate, n_docs,\n"
+    "       coalesce(prev - n_docs, 0)::bigint AS n_dropped,\n"
+    "       coalesce((prev - n_docs) * 1000000 // nullif(prev, 0), 0)::bigint\n"
+    "           AS drop_ppm\n"
+    "FROM (SELECT stage, gate, n_docs,\n"
+    "             lag(n_docs) OVER (ORDER BY stage) AS prev FROM counts) t\n"
+    "ORDER BY stage"
+)
+
+
+# q135: the incremental funnel's oracle replays the snapshot split
+# (q107's constants) and every gate's member SQL over the snapshot-B
+# texts via the _over(rel) fragment builders — concatenation, never
+# .format (member SQL contains braces).
+from .relational import (  # noqa: E402
+    SNAP_ABSENT_A_MOD as _SNAP_A,
+    SNAP_ABSENT_B_MOD as _SNAP_B,
+    SNAP_EDIT_B_MOD as _SNAP_E,
+)
+
+QUERIES["q135_incremental_curation"] = q135_incremental_curation
+
+_Q135_MATCH = "len(list_filter(list_zip({a}, {b}), t -> t[1] = t[2]))"
+
+ORACLE["q135_incremental_curation"] = (
+    "WITH snap_b AS (\n"
+    f"    SELECT doc_id, CASE WHEN doc_id % {_SNAP_E} = 0\n"
+    "                        THEN text || ' rev2' ELSE text END AS text\n"
+    f"    FROM documents WHERE doc_id % {_SNAP_B} <> 0),\n"
+    f"delta AS (SELECT * FROM snap_b WHERE doc_id % {_SNAP_A} = 0 OR doc_id % {_SNAP_E} = 0),\n"
+    f"standing AS (SELECT * FROM snap_b WHERE doc_id % {_SNAP_A} <> 0 AND doc_id % {_SNAP_E} <> 0),\n"
+    f"s1 AS (SELECT * FROM delta WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0),\n"
+    "s2 AS (SELECT doc_id FROM\n"
+    "       (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM s1 GROUP BY 1) k\n"
+    "       WHERE h NOT IN (SELECT md5(text) FROM standing)),\n"
+    "s2docs AS (SELECT s2.doc_id, snap_b.text FROM s2 JOIN snap_b USING (doc_id)),\n"
+    "dsig AS (" + _duck_per_doc_sig_over("s2docs") + "),\n"
+    "ssig AS (" + _duck_per_doc_sig_over("standing") + "),\n"
+    f"dband AS (SELECT doc_id, sig, unnest([{_DUCK_BANDS}]) AS band_key FROM dsig),\n"
+    f"sband AS (SELECT doc_id, sig, unnest([{_DUCK_BANDS}]) AS band_key FROM ssig),\n"
+    "hdup AS (SELECT DISTINCT d.doc_id FROM dband d JOIN sband s USING (band_key)\n"
+    f"         WHERE {_Q135_MATCH.format(a='d.sig', b='s.sig')} >= {NEARDUP_MATCH_MIN}),\n"
+    "bdup AS (SELECT DISTINCT a.doc_id FROM dband a JOIN dband b\n"
+    "         ON a.band_key = b.band_key AND a.doc_id > b.doc_id\n"
+    f"         WHERE {_Q135_MATCH.format(a='a.sig', b='b.sig')} >= {NEARDUP_MATCH_MIN}),\n"
+    "s3 AS (SELECT doc_id FROM s2\n"
+    "       WHERE doc_id NOT IN (SELECT doc_id FROM hdup)\n"
+    "         AND doc_id NOT IN (SELECT doc_id FROM bdup)),\n"
+    "s4 AS (SELECT s3.doc_id FROM s3 JOIN snap_b USING (doc_id)\n"
+    "       WHERE (" + _Q134_QUALITY + ") >= 0.5),\n"
+    "ev AS (SELECT DISTINCT shingle FROM ("
+    + _duck_shingles_over("documents")
+    + f") e WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),\n"
+    "s4docs AS (SELECT s4.doc_id, snap_b.text FROM s4 JOIN snap_b USING (doc_id)),\n"
+    "contam AS (SELECT doc_id FROM ("
+    + _duck_shingles_over("s4docs")
+    + ") ds\n"
+    "           WHERE shingle IN (SELECT shingle FROM ev)\n"
+    f"           GROUP BY doc_id HAVING count(*) >= {DECON_MIN_HITS}),\n"
+    "s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),\n"
+    "counts AS (\n"
+    "    SELECT 0 AS stage, 'delta_ingested' AS gate,\n"
+    "           (SELECT count(*) FROM delta)::bigint AS n_docs\n"
     "    UNION ALL SELECT 1, 'holdout_carveout', (SELECT count(*) FROM s1)::bigint\n"
     "    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::bigint\n"
     "    UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)::bigint\n"

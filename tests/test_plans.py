@@ -200,6 +200,9 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
         # q131: the pin means payloads are DECODED once, not twice —
         # no FileScan and no MapInPandas subtree left in the plan
         (multimodal.q131_phash_neardup, 0),
+        # q135: 57 default FileScans (6 count legs × the stage chain)
+        # drop to zero — every leg reads a pinned doc_id spine
+        (text.q135_incremental_curation, 0),
     ):
         ck = fn(spark, sf_dir, checkpointed=True)
         plan = _plan(ck)

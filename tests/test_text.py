@@ -2175,3 +2175,81 @@ def test_q134_funnel_planted_one_drop_per_gate(spark, tmp_path):
     # exact integer ppm of the previous stage
     assert out[1].drop_ppm == 1_000_000 // 7
     assert out[5].drop_ppm == 1_000_000 // 3
+
+
+def test_q135_incremental_funnel_planted_drops(spark, tmp_path):
+    """q135 semantics on a planted two-snapshot corpus: the delta
+    (added: doc_id % 7 == 0; changed: % 11 == 0) loses an exact copy
+    of a STANDING doc and a within-delta duplicate at stage 2, a
+    near-dup of a standing doc and a near-dup of an earlier delta doc
+    at stage 3, a degenerate doc at stage 4, and a holdout-quoting doc
+    at stage 5 — two clean survivors (one added, one changed). Stage 1
+    drops nothing structurally: holdout ids (% 50) are multiples of 5
+    and so never inside snapshot B — eval sets aren't part of the
+    crawl, which is also why gate 5 reads the FROZEN original holdout
+    text."""
+    from engine.text import q135_incremental_curation
+
+    hi = " ".join(f"w{i}" for i in range(120))
+    hi_near = hi + " " + " ".join(f"n{i}" for i in range(6))
+    stand4 = " ".join(f"s{i}" for i in range(110))
+    stand4_near = stand4 + " " + " ".join(f"m{i}" for i in range(6))
+    holdout = " ".join(f"e{i}" for i in range(40))
+    contam = " ".join(f"c{i}" for i in range(100)) + " e10 e11 e12 e13 e14 e15"
+    changed_txt = " ".join(f"v{i}" for i in range(110))
+    rows = [
+        # standing corpus (in A and B, unedited): ids ∉ {5,7,11}-mods
+        (1, " ".join(f"a{i}" for i in range(115)), "en", "web"),
+        (2, " ".join(f"u{i}" for i in range(105)), "en", "web"),
+        (3, " ".join(f"t{i}" for i in range(100)), "en", "web"),
+        (4, stand4, "en", "web"),
+        # delta (added): % 7 == 0, ∉ 5/11-mods
+        (7, hi, "en", "web"),            # clean survivor
+        (14, " ".join(f"t{i}" for i in range(100)), "en", "web"),  # = id 3 -> s2
+        (21, hi, "en", "web"),           # within-delta dup of 7 -> s2
+        (28, stand4_near, "en", "web"),  # near-dup of standing 4 -> s3
+        (56, hi_near, "en", "web"),      # near-dup of earlier delta 7 -> s3
+        (42, "x x x x x", "en", "web"),  # low quality -> s4
+        (49, contam, "en", "web"),       # quotes holdout -> s5
+        # delta (changed): % 11 == 0, in A, gets ' rev2' in B
+        (33, changed_txt, "en", "web"),  # clean survivor
+        # frozen eval doc: % 50 == 0 ⇒ never in snapshot B, feeds gate 5
+        (100, holdout, "en", "web"),
+    ]
+    d = str(tmp_path / "funnel135")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.stage: r for r in q135_incremental_curation(spark, d).collect()}
+    assert [out[i].n_docs for i in range(6)] == [8, 8, 6, 4, 3, 2]
+    assert [out[i].n_dropped for i in range(6)] == [0, 0, 2, 2, 1, 1]
+    assert out[0].gate == "delta_ingested" and out[3].gate == "near_dup"
+    assert out[2].drop_ppm == 2 * 1_000_000 // 8
+    assert out[3].drop_ppm == 2 * 1_000_000 // 6
+
+
+def test_q135_delta_matches_q107_diff_and_index_path(spark, sf_dir):
+    """Cross-operator consistency: q135's delta_ingested count equals
+    q107's added+changed diff rows (same snapshot constants), and the
+    ``index_table=`` path (standing side probed from the persisted
+    build_band_index store) is byte-identical to the in-plan one."""
+    from pyspark.sql import functions as F
+
+    from engine.relational import q107_snapshot_diff
+    from engine.text import build_band_index, q135_incremental_curation
+
+    out = q135_incremental_curation(spark, sf_dir).collect()
+    n_delta = [r.n_docs for r in out if r.stage == 0][0]
+    n_diff = (
+        q107_snapshot_diff(spark, sf_dir)
+        .filter(F.col("status").isin("added", "changed"))
+        .count()
+    )
+    assert n_delta == n_diff
+    spark.sql("DROP TABLE IF EXISTS q135_idx")
+    build_band_index(spark, sf_dir, "q135_idx", n_buckets=8)
+    try:
+        via = q135_incremental_curation(spark, sf_dir, index_table="q135_idx").collect()
+        assert [tuple(r) for r in via] == [tuple(r) for r in out]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q135_idx")
