@@ -7,9 +7,9 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 180 (174 after r7 + q131_phash_neardup
-and the rot_join/rot_event composites added in r8, plus the r8
-post-freeze additions q132/q133/q134).
+entries; the full inventory is 181 (174 after r7 + q131_phash_neardup
+and the rot_join/rot_event composites added in r8, the r8 post-freeze
+additions q132/q133/q134, and r9's q135_incremental_curation).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
@@ -111,6 +111,35 @@ canonicalizer — fixed this round by emitting the canonical string).
     counted (the r6/r7 composites all hold r7 rows), EVERY contract
     query is now at most one round stale — no displacement list this
     round (guard-asserted).
+  Result: 49/50 — q120's ORACLE leaked a DuckDB HUGEINT (window
+  sum(bigint) materializes as float64 in fetchdf; the Spark side was
+  numerically and type-correct). Root cause + fix in r9.
+
+* r9 window, 50 slots exactly:
+  - ``_POST_FREEZE_ADDITIONS_R8`` (3): q132/q133/q134 take their
+    first driver rows, leading as the r8 docstring promised.
+  - ``_NEW_IN_R9`` (1): q135_incremental_curation — the nightly
+    cross-snapshot delta funnel (q107's diff feeding q134's gates,
+    standing corpus probed q118-style).
+  - ``_CHANGED_IN_R9`` (3): q120 (oracle HUGEINT cast — the r8 red;
+    the strict mirror now fails int-vs-float dtype pairs and all 181
+    oracles were swept clean at sf0.01), q118 (``index_table=``
+    band-store opt-in), stream_equivalence_report (per-pipeline
+    bench split + the two r8-ADVICE ordering fixes).
+  - ``_R7_STALE_COMPOSITES`` (9) + ``_R7_STALE_DIRECT`` (20): the
+    entire r7-latest class re-enters — the nine family composites
+    (re-proving their 58 members) and the 20 entries no composite
+    can carry (q119 + 19 rows-only; ann_recall_report and q62 are
+    also changed this round — threshold-join recall parity rows and
+    the Q62_INPUT_BOUND demo bound).
+  - ``_R6_DIRECT_GRADUATES`` (14): the rot_join/rot_event members
+    hold the oldest direct rows (r6) — all but q100_funnel graduate
+    back to direct slots; q100_funnel stays composite-covered (its
+    composite holds an r8 row) and leads the r10 spares.
+  - ``_CHANGED_VIA_COMPOSITE_R9``: q61/q66 (``index_table=``
+    opt-ins, default paths byte-identical) re-proven via the
+    in-window rot_vector_shapes, which calls them and embeds their
+    oracles.
 """
 
 from __future__ import annotations
@@ -335,18 +364,18 @@ _CHANGED_VIA_COMPOSITE_R7 = [
 
 # Additions made after the R8 window froze — the sanctioned exception
 # class: each would displace a strictly higher-priority entry, so they
-# sit out one round (oracle-backed, strict-green at sf0.001/0.01 in
+# sat out one round (oracle-backed, strict-green at sf0.001/0.01 in
 # engine and vanilla sessions, planted + recount tested) and LEAD the
-# r9 window.
+# r9 window, exactly as promised.
 _POST_FREEZE_ADDITIONS_R8: list[str] = [
     "q132_phash_clusters",        # media dup clusters over q131's pairs
     "q133_shingle_containment",   # Broder containment (asymmetric near-dup)
     "q134_curation_funnel",       # cumulative-gate survival report
 ]
 
-# Singletons with no direct slot this round whose machinery IS proven
-# in-window: members of the two NEW composites plus the 6 r6-green
-# members of the re-entered relational composites (guard-asserted).
+# Singletons with no direct slot in r8 whose machinery was proven
+# in-window then: members of the two NEW composites plus the 6
+# r6-green members of the re-entered relational composites.
 _DEFERRED_VIA_COMPOSITE_R8 = {
     m
     for comp in _NEW_IN_R8 + _R6_STALE_COMPOSITES
@@ -355,21 +384,117 @@ _DEFERRED_VIA_COMPOSITE_R8 = {
 }
 
 
+# ---------------------------------------------------------------- r9
+
+# Queries ADDED in round 9 — enter immediately: the cross-snapshot
+# incremental curation funnel (r8 verdict item 8 — q107's diff
+# semantics feeding q134's gates, with the standing corpus probed
+# q118-style instead of re-curated).
+_NEW_IN_R9 = [
+    "q135_incremental_curation",
+]
+
+# Changed this round — re-enter immediately:
+#   q120: the r8 board's ONLY red row — the ORACLE leaked a DuckDB
+#     HUGEINT (window sum(bigint) → float64 in fetchdf); fixed with a
+#     ::bigint cast (the Spark plan was already correct), and the
+#     strict mirror now fails on any int-vs-float dtype pair (the
+#     driver's hash semantics), with all 181 oracles swept clean.
+#   q118: gained the ``index_table=`` opt-in probing the persisted
+#     text.build_band_index store (default path byte-identical).
+#   stream_equivalence_report: per-pipeline refactor (stream_eq_check)
+#     so bench times each of the 5 streams as its own row (r8 verdict
+#     item 5), plus the two r8-ADVICE ordering fixes in the q118 twin.
+_CHANGED_IN_R9 = [
+    "q120_budget_selection",
+    "q118_incremental_neardup",
+    "stream_equivalence_report",
+]
+
+# Stalest-first fill: everything whose latest driver row is r7 — the
+# nine r7 family composites (refreshing their 58 member singletons
+# too) and the 20 direct entries no composite can carry (q119 +
+# 19 rows-only). ann_recall_report and q62 are ALSO changed this
+# round (threshold-join parity rows, input bound) — doubly in-window.
+_R7_STALE_COMPOSITES = [
+    "rot_text_dedup_shapes",
+    "rot_text_quality_shapes",
+    "rot_text_pipeline_shapes",
+    "rot_stream_shapes",
+    "rot_mm_sample_shapes",
+    "rot_ingest_dedup_shapes",
+    "rot_corpus_stats_shapes",
+    "rot_sql_udf_shapes",
+    "rot_vector_shapes",
+]
+_R7_STALE_DIRECT = [
+    "q119_context_budget_report",
+    "ann_recall_report",
+    "q62_brp_lsh_join",
+    "sketch_error_report",
+    "scaling_law_report",
+    "q49b_greedy_packing",
+    "q83b_percentiles_approx",
+    "q65_knn_ivf",
+    "q75_semantic_dedup",
+    "q76_pq_ann",
+    "q76b_ivfpq_ann",
+    "q103b_bpe_train",
+    "q103c_bpe_tokenize",
+    "q108_crawl_pagerank",
+    "q110_embedding_drift",
+    "ml_adaptive_tuning",
+    "ml_explained_variance",
+    "ml_model_metrics",
+    "ml_quality_classifier",
+    "ml_tfidf_features",
+]
+
+# The 15 singletons folded into the r8 rot_join/rot_event composites
+# hold the OLDEST direct rows (r6). The 14 spare slots graduate them
+# back to direct rows; q100_funnel (the one that doesn't fit) stays
+# composite-covered (rot_event holds an r8 row) and takes the first
+# spare slot in r10.
+_R6_DIRECT_GRADUATES = [
+    "q04_outer_join_agg",
+    "q07_broadcast_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_theta_join",
+    "q28_asof_join",
+    "q35_cross_join",
+    "q81_range_join",
+    "q06_forecast_revenue",
+    "q47_scd2_assembly",
+    "q82_time_rollup",
+    "q89_fuzzy_match",
+    "q93_keep_latest",
+    "q99_deterministic_split",
+]
+_DEFERRED_GRADUATE_TO_R10 = ["q100_funnel"]
+
+# Changed hash-green singletons re-proven via an in-window composite
+# that CALLS them and embeds their oracle (the established
+# _CHANGED_VIA_COMPOSITE policy): q61/q66 gained the ``index_table=``
+# opt-in (default paths byte-identical, equivalence plan-pinned);
+# rot_vector_shapes carries both.
+_CHANGED_VIA_COMPOSITE_R9 = ["q61_knn_lsh_bucketed", "q66_embedding_near_dup"]
+
+
 def _window_head() -> list[str]:
-    """The r8 driver-window head, in staleness-priority order: the 4
-    displaced rows-only entries + the 11 r7 post-freeze additions
-    (both LEAD per the r7 contract), the 3 r8 additions, the 2
-    changed entries, the 4 stalest composites, the 19 stalest
-    direct singletons, and 7 promised direct rows for the text-dedup
-    family — exactly 50 entries."""
+    """The r9 driver-window head, in staleness-priority order: the 3
+    r8 post-freeze additions LEAD (the r8 contract's promise), then
+    the r9 addition, the 3 changed entries, the 9 stalest composites,
+    the 20 stalest direct singletons, and 14 direct-row graduations
+    for the rot_join/rot_event members (oldest direct rows, r6) —
+    exactly 50 entries."""
     head = (
-        _DISPLACED_LEAD_R8
-        + _POST_FREEZE_LEAD_R8
-        + _NEW_IN_R8
-        + _CHANGED_IN_R8
-        + _R6_STALE_COMPOSITES
-        + _R6_STALE_DIRECT
-        + _R8_PROMISED_DIRECT
+        _POST_FREEZE_ADDITIONS_R8
+        + _NEW_IN_R9
+        + _CHANGED_IN_R9
+        + _R7_STALE_COMPOSITES
+        + _R7_STALE_DIRECT
+        + _R6_DIRECT_GRADUATES
     )
     assert len(head) == len(set(head)) == 50
     return head

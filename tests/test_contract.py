@@ -90,24 +90,31 @@ def test_sketch_error_report_all_within_bound(spark, sf_dir):
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
     # entries. Rotation policy (see __spark_entry__ docstring,
-    # stalest-first with changed/new overrides): the r8 window leads
-    # with the 4 displaced rows-only entries and the 11 r7 post-freeze
-    # additions (the r7 contract's promise), then the r8 additions,
-    # the changed entries, the 4 stalest composites, the 19 stalest
-    # direct singletons, and the 7 promised text-dedup direct rows.
+    # stalest-first with changed/new overrides): the r9 window leads
+    # with the 3 r8 post-freeze additions (the r8 contract's promise),
+    # then the r9 addition, the 3 changed entries, the 9 stalest
+    # composites, the 20 stalest direct singletons, and the 14
+    # rot_join/rot_event direct-row graduations.
+    #
+    # BOOKKEEPING RULE (r8 verdict item 3): every assertion about
+    # "proven" rows is pinned to the artifacts that existed when THIS
+    # window froze (r01-r08) — re-globbing every artifact would
+    # self-expire the moment the driver writes the r9 board, which by
+    # design proves this window's own leads.
+    import glob
+    import json
+    import os
+
     names = list(contract.queries())[:50]
     head = contract._window_head()
     assert names == head, "driver window does not match the declared head"
     assert len(head) == 50
     # The promised leads occupy the head outright, in order.
-    promised = contract._DISPLACED_LEAD_R8 + contract._POST_FREEZE_LEAD_R8
+    promised = contract._POST_FREEZE_ADDITIONS_R8
     assert names[: len(promised)] == promised
     # New/changed queries are in-window.
-    for q in contract._NEW_IN_R8 + contract._CHANGED_IN_R8:
+    for q in contract._NEW_IN_R9 + contract._CHANGED_IN_R9:
         assert q in names, q
-    # The structural rule that makes deferral sound: every singleton
-    # deferred onto a NEW composite is a member of an in-window
-    # composite (and holds no direct slot too).
     from engine import rotation
 
     covered = {
@@ -116,32 +123,25 @@ def test_driver_window_covers_unproven_queries():
         if comp in names
         for m in members
     }
-    assert contract._DEFERRED_VIA_COMPOSITE_R8 <= covered
-    assert not (contract._DEFERRED_VIA_COMPOSITE_R8 & set(names))
-    # Generic never-checked guard: any inventory entry with NO row in
-    # any past driver CORRECTNESS artifact must be in-window this
-    # round (or declared post-freeze).
-    import glob
-    import json
-    import os
-
+    # Changed-via-composite soundness: the in-window composite calls
+    # them and embeds their oracles; they hold no direct slot.
+    assert set(contract._CHANGED_VIA_COMPOSITE_R9) <= covered
+    assert not (set(contract._CHANGED_VIA_COMPOSITE_R9) & set(names))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proven = set()
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        proven |= set(json.load(open(p)))
-    never_checked = set(contract.queries()) - proven
-    post_freeze = set(contract._POST_FREEZE_ADDITIONS_R8)
-    assert not (post_freeze & set(head))
-    assert never_checked <= set(head) | post_freeze, sorted(
-        never_checked - set(head) - post_freeze
-    )
-    # THE claim, strengthened for r8: every contract query has a
-    # driver row at most ONE round old, direct or via composite —
-    # in-window, composite-covered in-window, checked last round
-    # (directly or as a member of a last-round composite), or
-    # declared post-freeze. The r7 displaced list is empty this
-    # round: nothing defers past one round.
-    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r07.json"))))
+    proven_at_freeze = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json")):
+        proven_at_freeze |= set(json.load(open(p)))
+    # Generic never-checked guard: any inventory entry with NO row in
+    # any at-freeze artifact must be in-window this round (or be a
+    # declared post-freeze addition of THIS round — none yet).
+    never_checked = set(contract.queries()) - proven_at_freeze
+    assert never_checked <= set(head), sorted(never_checked - set(head))
+    # THE claim: every contract query has a driver row at most ONE
+    # round old, direct or via composite — in-window, covered by an
+    # in-window composite, or checked last round (directly or as a
+    # member of a last-round composite). The graduates' deferree
+    # (q100_funnel) is covered by its composite's r8 row.
+    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r08.json"))))
     covered_last_round = last_round | {
         m
         for comp, members in rotation.ROTATIONS.items()
@@ -149,29 +149,18 @@ def test_driver_window_covers_unproven_queries():
         for m in members
     }
     uncovered = (
-        set(contract.queries())
-        - set(head)
-        - covered
-        - covered_last_round
-        - post_freeze
+        set(contract.queries()) - set(head) - covered - covered_last_round
     )
     assert not uncovered, sorted(uncovered)
-    # Lead honesty: the displaced leads are rows-only (no oracle — a
-    # hash query could have ridden a composite instead) with a prior
-    # driver row, and the post-freeze leads were added last round.
-    oracles = contract.oracle_sql()
-    # Lead-honesty assertions are pinned to the artifacts that existed
-    # when the r8 window FROZE (r01-r07) — re-globbing every artifact
-    # self-expires the moment the driver writes this round's board (r8
-    # VERDICT item 3: the r8 board proves its own leads by design).
-    proven_at_freeze = set()
+    assert set(contract._DEFERRED_GRADUATE_TO_R10) <= covered_last_round
+    # Lead honesty: the post-freeze leads were added after the r8
+    # freeze, so they had no row in the r01-r07 artifacts and their
+    # first row is the r8 board's or this window's.
+    pre_freeze_r8 = set()
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")):
-        proven_at_freeze |= set(json.load(open(p)))
-    for q in contract._DISPLACED_LEAD_R8:
-        assert q not in oracles, q
-        assert q in proven_at_freeze, q
-    for q in contract._POST_FREEZE_LEAD_R8:
-        assert q not in proven_at_freeze, q
+        pre_freeze_r8 |= set(json.load(open(p)))
+    for q in contract._POST_FREEZE_ADDITIONS_R8:
+        assert q not in pre_freeze_r8, q
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
