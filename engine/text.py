@@ -3935,6 +3935,7 @@ def build_band_index(
     sf_dir: str,
     table_name: str = "neardup_band_index",
     n_buckets: int = 32,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Persist the banded-signature store ONCE — the shared index every
     near-dup consumer probes instead of rebuilding it per query (r8
@@ -3958,9 +3959,29 @@ def build_band_index(
     (integer minhashes, exact parquet round-trip)."""
     from .io import write_bucketed
 
-    bands = _banded_signatures(table(spark, sf_dir, "documents"))
+    bands = _banded_signatures(
+        docs if docs is not None else table(spark, sf_dir, "documents")
+    )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     write_bucketed(bands, table_name, "band_key", n_buckets)
+    return spark.table(table_name)
+
+
+def append_band_index(spark: SparkSession, table_name: str, docs: DataFrame) -> DataFrame:
+    """Nightly index MAINTENANCE: append the newly ingested docs' band
+    rows to the persisted ``build_band_index`` store. ``insertInto``
+    honors the table's bucketing spec (each append writes
+    bucket-tagged files into the same 2^k bucket space), so consumers'
+    co-located probes — SelectedBucketsCount and all — keep working
+    across appends; equality with a from-scratch rebuild is tested.
+
+    Append-only BY DESIGN: plain bucketed parquet has no row-level
+    delete, so changed/removed docs are the lakehouse-format boundary
+    (Delta/Iceberg MERGE at a real deployment) or the periodic full
+    rebuild — the same honesty boundary q107/q112 document for
+    snapshot storage. The nightly common case (new docs: q135's
+    'added' class after its dedup gates) is exactly this append."""
+    _banded_signatures(docs).write.insertInto(table_name)
     return spark.table(table_name)
 
 

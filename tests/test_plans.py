@@ -285,3 +285,44 @@ def test_band_index_banded_variant_identical(spark, sf_dir):
             assert via == direct, fn.__name__
     finally:
         spark.sql("DROP TABLE IF EXISTS s_band_idx_b")
+
+
+def test_append_band_index_matches_rebuild(spark, sf_dir):
+    """Nightly index maintenance (append_band_index): building the
+    store from the standing split and APPENDING the batch split must
+    equal the from-scratch full build row-for-row, keep the q118
+    consumer byte-identical, and keep the bucketed probe co-located
+    (SelectedBucketsCount survives appends — insertInto writes into
+    the same bucket space)."""
+    from pyspark.sql import functions as F
+
+    from engine import text
+    from engine.session import table
+
+    d = table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % text.INCR_BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % text.INCR_BATCH_MOD == 0)
+    spark.sql("DROP TABLE IF EXISTS idx_full_t")
+    spark.sql("DROP TABLE IF EXISTS idx_incr_t")
+    try:
+        text.build_band_index(spark, sf_dir, "idx_full_t", n_buckets=8)
+        text.build_band_index(spark, sf_dir, "idx_incr_t", n_buckets=8, docs=hist)
+        text.append_band_index(spark, "idx_incr_t", batch)
+        full = sorted(map(tuple, spark.table("idx_full_t").collect()))
+        incr = sorted(map(tuple, spark.table("idx_incr_t").collect()))
+        assert full == incr and len(full) > 0
+        a = text.q118_incremental_neardup(spark, sf_dir).collect()
+        b = text.q118_incremental_neardup(spark, sf_dir, index_table="idx_incr_t").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = text._banded_signatures(batch).alias("n").join(
+                spark.table("idx_incr_t").alias("h"), "band_key"
+            )
+            assert "SelectedBucketsCount" in _plan(probe)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_full_t")
+        spark.sql("DROP TABLE IF EXISTS idx_incr_t")
