@@ -480,6 +480,15 @@ _DEFERRED_GRADUATE_TO_R10 = ["q100_funnel"]
 # rot_vector_shapes carries both.
 _CHANGED_VIA_COMPOSITE_R9 = ["q61_knn_lsh_bucketed", "q66_embedding_near_dup"]
 
+# Additions made after the R9 window froze — the sanctioned exception
+# class: each would displace a strictly higher-priority entry, so they
+# sit out one round (strict-green at sf0.001/0.01/0.1 in engine and
+# vanilla sessions, recount-tested, fuzz-gated, benched) and LEAD the
+# r10 window together with the promised q100_funnel graduate.
+_POST_FREEZE_ADDITIONS_R9: list[str] = [
+    "q136_curriculum_shards",  # quality-stratified round-robin shard manifest
+]
+
 
 def _window_head() -> list[str]:
     """The r9 driver-window head, in staleness-priority order: the 3

@@ -212,8 +212,10 @@ HEADLINE = [
     "q132_phash_clusters",
     "q133_shingle_containment",
     "q134_curation_funnel",
-    # r9 addition: the nightly cross-snapshot delta funnel
+    # r9 additions: the nightly cross-snapshot delta funnel and the
+    # curriculum shard manifest
     "q135_incremental_curation",
+    "q136_curriculum_shards",
 ]
 
 

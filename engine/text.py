@@ -4346,6 +4346,82 @@ ORACLE["q120_budget_selection"] = f"""
 """
 
 
+N_SHARDS = 8
+
+
+def q136_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding — the data-ORDERING step between selection
+    (q120) and packing (q49): assign every document to one of N_SHARDS
+    training shards by round-robin over the quality order (q57 grid
+    score desc, doc_id tiebreak), so each shard is a quality-
+    stratified, near-equal slice of the corpus — every shard sees the
+    same curriculum mix, shard token budgets stay balanced without a
+    bin-packing pass, and the assignment is deterministic and
+    engine-portable (pure integer arithmetic on the 1e-6 grid).
+    Output: one row per shard — exact doc/token sums and the
+    min/mean/max quality — the manifest a training launcher reads.
+
+    Scale shape: the global quality rank NEVER runs as a global
+    window (the q120 decomposition) — a grid-bounded census (≤ 1e6+1
+    rows) takes the only ordered window, per-doc rank = broadcast
+    doc_prefix + a row_number partitioned BY quality level, and the
+    shard report is one hash agg on an int key. At 100 TB: one corpus
+    scan, one census shuffle, one 8-row agg."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("n_tokens"),
+        _quality_1e6_col().alias("quality_1e6"),
+    )
+    census = base.groupBy("quality_1e6").agg(F.count(F.lit(1)).alias("lvl_docs"))
+    w_lvl = Window.orderBy(F.col("quality_1e6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = census.select(
+        "quality_1e6",
+        F.coalesce(F.sum("lvl_docs").over(w_lvl), F.lit(0)).alias("doc_prefix"),
+    )
+    w_doc = Window.partitionBy("quality_1e6").orderBy("doc_id")
+    return (
+        base.join(F.broadcast(levels), "quality_1e6")
+        .withColumn("rnk", F.col("doc_prefix") + F.row_number().over(w_doc))
+        .withColumn("shard_id", ((F.col("rnk") - 1) % N_SHARDS).cast("int"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("quality_1e6").alias("min_quality_1e6"),
+            F.expr("sum(quality_1e6) div count(1)").alias("mean_quality_1e6"),
+            F.max("quality_1e6").alias("max_quality_1e6"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QUERIES["q136_curriculum_shards"] = q136_curriculum_shards
+
+ORACLE["q136_curriculum_shards"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), ' +'))::bigint AS n_tokens,
+               floor((0.4 * least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(string_split_regex(trim(text), ' +')))::double
+                              / len(string_split_regex(trim(text), ' +')))
+                     + 0.3 * least((length(regexp_replace(trim(text), ' +', '', 'g'))::double
+                                    / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0))
+                     * 1e6)::bigint AS quality_1e6
+        FROM documents),
+    r AS (SELECT *, row_number() OVER (ORDER BY quality_1e6 DESC, doc_id) AS rn FROM t)
+    SELECT ((rn - 1) % {N_SHARDS})::int AS shard_id,
+           count(*)::bigint AS n_docs,
+           sum(n_tokens)::bigint AS sum_tokens,
+           min(quality_1e6) AS min_quality_1e6,
+           (sum(quality_1e6) // count(*))::bigint AS mean_quality_1e6,
+           max(quality_1e6) AS max_quality_1e6
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def q121_source_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-diversity report per language: doc counts, distinct
     sources, Simpson concentration index and the EFFECTIVE number of

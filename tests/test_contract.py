@@ -132,10 +132,15 @@ def test_driver_window_covers_unproven_queries():
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json")):
         proven_at_freeze |= set(json.load(open(p)))
     # Generic never-checked guard: any inventory entry with NO row in
-    # any at-freeze artifact must be in-window this round (or be a
-    # declared post-freeze addition of THIS round — none yet).
+    # any at-freeze artifact must be in-window this round or be a
+    # declared post-freeze addition of THIS round (the sanctioned
+    # sit-out-one-round class — it leads r10).
     never_checked = set(contract.queries()) - proven_at_freeze
-    assert never_checked <= set(head), sorted(never_checked - set(head))
+    post_freeze = set(contract._POST_FREEZE_ADDITIONS_R9)
+    assert not (post_freeze & set(head))
+    assert never_checked <= set(head) | post_freeze, sorted(
+        never_checked - set(head) - post_freeze
+    )
     # THE claim: every contract query has a driver row at most ONE
     # round old, direct or via composite — in-window, covered by an
     # in-window composite, or checked last round (directly or as a
@@ -149,7 +154,11 @@ def test_driver_window_covers_unproven_queries():
         for m in members
     }
     uncovered = (
-        set(contract.queries()) - set(head) - covered - covered_last_round
+        set(contract.queries())
+        - set(head)
+        - covered
+        - covered_last_round
+        - post_freeze
     )
     assert not uncovered, sorted(uncovered)
     assert set(contract._DEFERRED_GRADUATE_TO_R10) <= covered_last_round

@@ -2253,3 +2253,43 @@ def test_q135_delta_matches_q107_diff_and_index_path(spark, sf_dir):
         assert [tuple(r) for r in via] == [tuple(r) for r in out]
     finally:
         spark.sql("DROP TABLE IF EXISTS q135_idx")
+
+
+def test_q136_curriculum_shards_exact_recount_and_balance(spark, sf_dir):
+    """q136 vs a from-scratch python recount (sort by (quality desc,
+    doc_id), round-robin mod N_SHARDS), plus the properties the
+    operator exists for: shard doc counts differ by at most one, and
+    round-robin over the quality order stratifies tokens — no shard's
+    token sum strays far from the mean (loose 25% bound; measured
+    spread is a few percent on every fixture SF)."""
+    import math
+
+    from engine.session import table
+    from engine.text import N_SHARDS, q136_curriculum_shards
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = []
+    for r in rows:
+        toks = r.text.strip().split() if r.text.strip() else [""]
+        n = len(toks)
+        nd = len(set(toks))
+        alpha = len("".join(toks))
+        q = math.floor(
+            (0.4 * min(n / 100.0, 1.0) + 0.3 * (nd / n) + 0.3 * min(alpha / n / 10.0, 1.0))
+            * 1e6
+        )
+        docs.append((q, r.doc_id, n))
+    docs.sort(key=lambda x: (-x[0], x[1]))
+    exp = {s: [0, 0] for s in range(N_SHARDS)}
+    for i, (q, _, n) in enumerate(docs):
+        exp[i % N_SHARDS][0] += 1
+        exp[i % N_SHARDS][1] += n
+    got = {r.shard_id: r for r in q136_curriculum_shards(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(N_SHARDS))
+    for s in range(N_SHARDS):
+        assert (got[s].n_docs, got[s].sum_tokens) == tuple(exp[s]), s
+    counts = [got[s].n_docs for s in range(N_SHARDS)]
+    assert max(counts) - min(counts) <= 1
+    tokens = [got[s].sum_tokens for s in range(N_SHARDS)]
+    mean = sum(tokens) / len(tokens)
+    assert all(abs(t - mean) / mean < 0.25 for t in tokens), tokens
