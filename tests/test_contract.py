@@ -711,3 +711,26 @@ def test_recursive_cte_cycle_guard_matches_duckdb(spark, tmp_path):
     # hop 6 all visit 'a') and the guard stopped it
     assert [(n, h) for n, h, _ in got if n == "a"] == [("a", 0), ("a", 3), ("a", 6)]
     assert max(h for _, h, _ in got) == 7
+
+
+def test_strict_mirror_fails_planted_int_float_dtype_mismatch():
+    """r8 verdict item 2's done-criterion: the strict mirror must fail
+    a planted int64-vs-float64 frame even when every value is
+    numerically equal (the driver's bit-exact hash semantics — the
+    DuckDB HUGEINT→float64 leak class that made q120 the r8 board's
+    only red), while the tolerant default still passes it."""
+    import os
+
+    import pandas as pd
+
+    import tools.oracle_check as oc
+
+    a = pd.DataFrame({"x": pd.Series([1, 2, 3], dtype="int64")})
+    b = pd.DataFrame({"x": pd.Series([1.0, 2.0, 3.0], dtype="float64")})
+    os.environ["SPARK_GRAFT_STRICT"] = "1"
+    try:
+        err = oc._values_match(oc._normalize(a), oc._normalize(b))
+        assert err is not None and "dtype" in err
+    finally:
+        os.environ.pop("SPARK_GRAFT_STRICT", None)
+    assert oc._values_match(oc._normalize(a), oc._normalize(b)) is None
