@@ -7,9 +7,10 @@
 Driver-window rotation policy
 -----------------------------
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries; the full inventory is 181 (174 after r7 + q131_phash_neardup
+entries; the full inventory is 182 (174 after r7 + q131_phash_neardup
 and the rot_join/rot_event composites added in r8, the r8 post-freeze
-additions q132/q133/q134, and r9's q135_incremental_curation).
+additions q132/q133/q134, r9's q135_incremental_curation, and the r9
+post-freeze q136_curriculum_shards).
 Policy: stalest-first — every window is
 filled in order of how long a query has gone without a driver row
 (never-checked first, then oldest round), with two overrides: queries
