@@ -499,6 +499,23 @@ def main() -> None:
                     f"# {key}: {timings[key]:.3f}s equal={row[3]}", file=sys.stderr
                 )
             continue
+        if name == "ann_recall_report":
+            # r9 verdict item 3 — the stream_eq treatment applied to
+            # the ANN report: the exact-truth leg, the four top-k
+            # tiers, and the threshold-join parity rows each get their
+            # OWN BENCH_DETAIL row (summing to what the blob measured),
+            # so a regression in one tier compares against its own
+            # baseline instead of hiding inside an ~11 s aggregate.
+            from engine.similarity import ANN_BENCH_LEGS, ann_bench_leg
+
+            ctx: dict = {}
+            for leg in ANN_BENCH_LEGS:
+                t0 = time.perf_counter()
+                n = ann_bench_leg(spark, sf_dir, leg, ctx)
+                key = f"ann.{leg}"
+                timings[key] = round(time.perf_counter() - t0, 4)
+                print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+            continue
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -631,14 +631,19 @@ def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    n = e.count()
+    # bounded probe: limit(BOUND+1).count() stops the scan after at most
+    # BOUND+1 rows — enforcing the demo bound must not itself cost a
+    # full pass over an unboundedly large corpus (and it doubles as the
+    # emptiness check, so the happy path pays ONE bounded job, not a
+    # head() plus a full count())
+    n = e.limit(Q62_INPUT_BOUND + 1).count()
     if n == 0:  # MLlib's fit throws on an empty dataset (fuzzer find)
         return spark.createDataFrame(
             [], "vec_a bigint, vec_b bigint, euclidean_dist double"
         )
     if n > Q62_INPUT_BOUND:
         raise ValueError(
-            f"q62 is the bounded library-parity demo: {n} input vectors exceed "
+            f"q62 is the bounded library-parity demo: >{n - 1} input vectors exceed "
             f"Q62_INPUT_BOUND={Q62_INPUT_BOUND}. approxSimilarityJoin shuffles the "
             "full dense vector per (row, hash table) — ~195 KB/vector measured at "
             "sf0.1 — and grows quadratically with corpus at fixed threshold. "
@@ -1579,35 +1584,43 @@ def q76b_ivfpq_ann(
     )
 
 
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of every ANN tier against the q60 exact baseline, as
-    one small (tier, recall_at_10, n_hits, n_truth) frame — the
-    driver-visible ANN-quality surface (r3 verdict item 6): a
-    regression in LSH probing, IVF cell assignment, or PQ encoding
-    shows up as a changed driver row, not just in a local test run.
+# the four top-k ANN tiers scored against the q60 exact truth set, in
+# report order; keys double as the per-leg bench row suffixes
+ANN_RECALL_TIERS = {
+    "lsh_multiprobe": q61_knn_lsh_bucketed,
+    "ivf": q65_knn_ivf,
+    "pq_adc": q76_pq_ann,
+    "ivfpq_adc": q76b_ivfpq_ann,
+}
 
-    All tiers are seeded/deterministic, so the report is too. The
-    truth set is |Q|·k = 50 rows — the tier results broadcast against
-    it; cost is one run of each tier (fixture-scale work). Rows-only:
-    the tiers themselves aren't SQL-expressible. Floors are asserted
-    in tests/test_similarity.py (test_recall_report_floors)."""
-    truth = q60_knn_brute(spark, sf_dir).select("query_id", "vec_id")
+# bench.py times each leg of ann_recall_report as its own BENCH_DETAIL
+# row (the same treatment the 5-stream blob got in stream_eq_check):
+# the exact-truth leg first (it feeds the four tier legs via ctx), the
+# four top-k tiers, then the threshold-join parity rows.
+ANN_BENCH_LEGS = [
+    "exact_truth",
+    "lsh_multiprobe",
+    "ivf",
+    "pq_adc",
+    "ivfpq_adc",
+    "threshold_parity",
+]
+
+
+def _tier_recall_rows(
+    spark: SparkSession, sf_dir: str, tier: str, truth: DataFrame
+) -> DataFrame:
+    """One tier's (tier, recall_at_10, n_hits, n_truth) row: run the
+    tier, broadcast-join its top-k against the exact truth set, count.
+    Per-tier groupBy("tier") keeps the historical union-then-groupBy
+    semantics exactly (a 0-hit tier contributes no row)."""
     n_truth = N_QUERIES * TOP_K
-    tiers = {
-        "lsh_multiprobe": q61_knn_lsh_bucketed,
-        "ivf": q65_knn_ivf,
-        "pq_adc": q76_pq_ann,
-        "ivfpq_adc": q76b_ivfpq_ann,
-    }
-    got = None
-    for tier, fn in tiers.items():
-        part = fn(spark, sf_dir).select(
-            F.lit(tier).alias("tier"), "query_id", "vec_id"
-        )
-        got = part if got is None else got.unionByName(part)
-    hits = got.join(F.broadcast(truth), ["query_id", "vec_id"])
-    topk_rows = (
-        hits.groupBy("tier")
+    part = ANN_RECALL_TIERS[tier](spark, sf_dir).select(
+        F.lit(tier).alias("tier"), "query_id", "vec_id"
+    )
+    return (
+        part.join(F.broadcast(truth), ["query_id", "vec_id"])
+        .groupBy("tier")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(
             "tier",
@@ -1616,6 +1629,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_truth).alias("n_truth"),
         )
     )
+
+
+def ann_bench_leg(spark: SparkSession, sf_dir: str, leg: str, ctx: dict) -> int:
+    """Run ONE leg of ann_recall_report to full materialization and
+    return its row count — the bench timing unit (stream_eq_check's
+    pattern). ``ctx`` carries the localCheckpointed truth frame from
+    the ``exact_truth`` leg into the tier legs, so each tier row is
+    timed on ITS work, not on recomputing the shared truth subtree."""
+    if leg == "exact_truth":
+        truth = (
+            q60_knn_brute(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        ctx["truth"] = truth
+        return truth.count()
+    if leg == "threshold_parity":
+        return len(_threshold_join_recall(spark, sf_dir).collect())
+    return len(_tier_recall_rows(spark, sf_dir, leg, ctx["truth"]).collect())
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN tier against the q60 exact baseline, as
+    one small (tier, recall_at_10, n_hits, n_truth) frame — the
+    driver-visible ANN-quality surface (r3 verdict item 6): a
+    regression in LSH probing, IVF cell assignment, or PQ encoding
+    shows up as a changed driver row, not just in a local test run.
+
+    All tiers are seeded/deterministic, so the report is too. The
+    truth set is |Q|·k = 50 rows, materialized once (localCheckpoint)
+    and broadcast against each tier; cost is one run of each tier
+    (fixture-scale work). Rows-only: the tiers themselves aren't
+    SQL-expressible. Floors are asserted in tests/test_similarity.py
+    (test_recall_report_floors)."""
+    truth = (
+        q60_knn_brute(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    topk_rows = None
+    for tier in ANN_RECALL_TIERS:
+        r = _tier_recall_rows(spark, sf_dir, tier, truth)
+        topk_rows = r if topk_rows is None else topk_rows.unionByName(r)
     return topk_rows.unionByName(_threshold_join_recall(spark, sf_dir)).orderBy("tier")
 
 
@@ -1673,8 +1729,21 @@ def _threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tcount = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
-    # contender 1: the MLlib library tier, probe pairs only
-    brp = q62_brp_lsh_join(spark, sf_dir).filter(F.col("vec_a") < N_QUERIES)
+    # contender 1: the MLlib library tier, probe pairs only. q62 is a
+    # BOUNDED demo — beyond Q62_INPUT_BOUND it refuses with ValueError,
+    # and that refusal must not kill the whole driver-visible report
+    # (the other tiers' rows are exactly what matters on a corpus too
+    # big for the library tier): probe the bound with the same
+    # limit(BOUND+1) trick q62 uses and emit a NULL sentinel row for
+    # the skipped tier instead of calling it.
+    brp_skipped = (
+        table(spark, sf_dir, "embeddings").limit(Q62_INPUT_BOUND + 1).count()
+        > Q62_INPUT_BOUND
+    )
+    if brp_skipped:
+        brp = None
+    else:
+        brp = q62_brp_lsh_join(spark, sf_dir).filter(F.col("vec_a") < N_QUERIES)
 
     # contenders 2+3: q61's multi-probe candidate machinery + exact
     # verify, at single-band derived width and at q62's table count
@@ -1728,6 +1797,15 @@ def _threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_threshold_join", _lsh_pairs(1)),
         ("lsh_banded_threshold_join", _lsh_pairs(3)),
     ):
+        if pairs is None:  # bounded-demo tier skipped: NULL sentinel row
+            hits = tcount.select(
+                F.lit(tier).alias("tier"),
+                F.lit(None).cast("double").alias("recall_at_10"),
+                F.lit(None).cast("bigint").alias("n_hits"),
+                "n_truth",
+            )
+            out = hits if out is None else out.unionByName(hits)
+            continue
         hits = (
             pairs.join(truth, ["vec_a", "vec_b"])
             .agg(F.count(F.lit(1)).alias("n_hits"))

@@ -1024,3 +1024,25 @@ def test_q62_refuses_beyond_input_bound(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "Q62_INPUT_BOUND", 10)
     with pytest.raises(ValueError, match="q61"):
         similarity.q62_brp_lsh_join(spark, sf_dir)
+
+
+def test_threshold_join_recall_sentinel_beyond_bound(spark, sf_dir, monkeypatch):
+    """Beyond Q62_INPUT_BOUND the recall report must NOT die with q62's
+    refusal (r9 ADVICE): the brp tier degrades to a NULL sentinel row
+    and every other tier still reports real numbers — on a corpus too
+    big for the library demo, those rows are the whole point."""
+    from engine import similarity
+
+    monkeypatch.setattr(similarity, "Q62_INPUT_BOUND", 10)
+    rows = {r.tier: r for r in similarity._threshold_join_recall(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "brp_threshold_join",
+        "lsh_threshold_join",
+        "lsh_banded_threshold_join",
+    }
+    brp = rows["brp_threshold_join"]
+    assert brp.recall_at_10 is None and brp.n_hits is None
+    assert brp.n_truth > 0  # the exact truth leg still ran
+    for tier in ("lsh_threshold_join", "lsh_banded_threshold_join"):
+        assert rows[tier].recall_at_10 is not None
+        assert rows[tier].n_truth == brp.n_truth
