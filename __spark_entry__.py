@@ -481,6 +481,16 @@ _DEFERRED_GRADUATE_TO_R10 = ["q100_funnel"]
 # rot_vector_shapes carries both.
 _CHANGED_VIA_COMPOSITE_R9 = ["q61_knn_lsh_bucketed", "q66_embedding_near_dup"]
 
+# r10 window (declared in full after the r9 history below; see
+# _window_head): leads q136 (first row) + q100_funnel (promised direct
+# graduate); 4 changed entries; the 27 r4-stale direct rotations; the
+# 6 r8-row composites; 3 NEW composites (rot_agg_sketch /
+# rot_selection / rot_quality_guard — engine/rotation.py r10 block)
+# folding the last 24 uncompressed strict singletons; and the 8
+# r8-row entries nothing can carry. q62 is changed-via-caller
+# (ann_recall_report runs it); q30/q96 ride sketch_error_report
+# (_REPORT_CALLS — the rows-only machinery-carrier rule).
+
 # Additions made after the R9 window froze — the sanctioned exception
 # class: each would displace a strictly higher-priority entry, so they
 # sit out one round (strict-green at sf0.001/0.01/0.1 in engine and
@@ -491,20 +501,132 @@ _POST_FREEZE_ADDITIONS_R9: list[str] = [
 ]
 
 
+# --------------------------------------------------------------- r10
+
+# The two promised leads (r9 docstring + guard): the r9 post-freeze
+# addition takes its FIRST driver row, and q100_funnel takes the
+# direct slot it deferred for (its composite held the r8/r10 rows).
+_LEADS_R10 = ["q136_curriculum_shards", "q100_funnel"]
+
+# Changed this round — re-enter immediately:
+#   ann_recall_report: per-leg bench split (ann_bench_leg — the
+#     stream_eq_check treatment, r9 verdict item 3), truth-leg
+#     localCheckpoint reuse, and the brp NULL-sentinel beyond
+#     Q62_INPUT_BOUND (r9 ADVICE).
+#   q135_incremental_curation: index_is_corpus / return_survivors
+#     opt-ins + the q135_admit_survivors night-close leg (r9 verdict
+#     item 6; default path byte-identical, two-night planted test).
+#   stream_equivalence_report: the rowwise_decontaminate hotspot fix
+#     (r9 verdict item 2 — pushdown-safe token filter, single-node
+#     eval literal, doc-side intersect set, shared eval collect);
+#     28.8 s → ~8 s warm, stream≡batch still pinned.
+#   sketch_error_report: approx legs now CALL q30/q96 (the rows-only
+#     machinery-carrier contract below); values byte-identical.
+_CHANGED_IN_R10 = [
+    "ann_recall_report",
+    "q135_incremental_curation",
+    "stream_equivalence_report",
+    "sketch_error_report",
+]
+
+# Changed entries re-proven via an in-window entry that CALLS them —
+# the rows-only analogue of _CHANGED_VIA_COMPOSITE (there is no oracle
+# to embed either way; what matters is that a green in-window row
+# executed the changed plan): q62's bounded-probe change runs inside
+# ann_recall_report's brp threshold-parity leg, and q74b (also changed,
+# but it holds a direct slot below as an r4-stale rotation anyway).
+_CHANGED_VIA_CALLER_R10 = ["q62_brp_lsh_join"]
+
+# Rows-only machinery-carriers: driver-visible reports whose plans
+# literally CALL other rows-only contract entries, so a green report
+# row re-proves the callee's machinery the way a composite row
+# re-proves its members. The guard test counts these as coverage.
+_REPORT_CALLS = {
+    "sketch_error_report": ["q30_approx_distinct", "q96_hll_sketch_union"],
+    "ann_recall_report": [
+        "q60_knn_brute", "q61_knn_lsh_bucketed", "q65_knn_ivf",
+        "q76_pq_ann", "q76b_ivfpq_ann", "q62_brp_lsh_join",
+    ],
+    "stream_equivalence_report": [
+        "q70_stream_tumbling", "q74_stream_join",
+        "q74b_stream_decontaminate", "q118_incremental_neardup",
+    ],
+}
+
+# The 27 r4-latest direct singletons (r9 verdict item 1): every one is
+# composite-covered with r8/r9 rows, but their DIRECT rows date to r4 —
+# all take direct slots so max direct-row staleness strictly decreases.
+_R4_STALE_DIRECT_R10 = [
+    "q40_balanced_sample", "q44_sparsity", "q46_gap_fill",
+    "q48_decontaminate", "q49_sequence_packing", "q49c_rag_chunking",
+    "q56_langid", "q57_quality_score", "q57b_repetition_signals",
+    "q57c_unigram_logprob", "q58_token_stats", "q63_multimodal_meta",
+    "q64_media_features", "q67b_heavy_hitters", "q68_data_pipeline",
+    "q70_stream_tumbling", "q71_stream_sliding", "q73_stream_dedup_count",
+    "q74_stream_join", "q74b_stream_decontaminate", "q77_dq_report",
+    "q78_pii_scrub", "q79_corpus_mix", "q80_dedup_components",
+    "q80b_component_representatives", "q81b_band_self_join",
+    "q101_retention_cohorts",
+]
+
+# The r8-latest class re-enters (2 rounds without a row otherwise):
+# the six relational/join/event composites refresh their 40 members…
+_R8_STALE_COMPOSITES_R10 = [
+    "rot_scalar_shapes", "rot_agg_shapes", "rot_window_shapes",
+    "rot_order_setop_shapes", "rot_join_shapes", "rot_event_shapes",
+]
+# …the three NEW composites (engine/rotation.py r10 block) fold the
+# last 24 uncompressed r8-latest strict singletons into 3 slots…
+_NEW_IN_R10 = [
+    "rot_agg_sketch_shapes",    # q01/q02/q11/q13/q18/q26/q31/q39/q83
+    "rot_selection_shapes",     # q115-q117/q121/q123/q124/q127/q130
+    "rot_quality_guard_shapes", # q67/q122/q125/q126/q128/q129/q131
+]
+# …and the 8 r8-latest entries no composite or carrier can hold take
+# direct slots: the stream-session shape and the seven rows-only
+# report/ML frames (q30/q96 ride sketch_error_report per
+# _REPORT_CALLS — it is in-window as a changed entry).
+_R8_STALE_DIRECT_R10 = [
+    "q72_stream_sessions",
+    "dedup_recall_report",
+    "packing_invariants_report",
+    "ml_fpgrowth_baskets",
+    "ml_misclassified_inverse",
+    "ml_nb_predictions",
+    "ml_rf_predictions",
+    "ml_tuning_results",
+]
+
+# Direct-row rotation displaced to r11 (their MACHINERY is fresh —
+# every one is a member of a composite holding an r9 or in-window r10
+# row; only their direct rows age): the 12 remaining r5-direct
+# singletons (q38/q41/q42/q43/q45/q61/q64b/q66/q84/q85/q94/q105) and
+# the r6-direct block (q19/q20/q23/q29/q33/q60/q95/q98) lead r11's
+# spare slots, stalest-first.
+_DISPLACED_DIRECT_TO_R11 = [
+    "q38_python_udtf", "q41_sample_census", "q42_census",
+    "q43_summary_stats", "q45_per_class_mean", "q61_knn_lsh_bucketed",
+    "q64b_frame_sample", "q66_embedding_near_dup",
+    "q84_sql_shipping_priority", "q85_sql_cte_window_having",
+    "q94_recursive_cte", "q105_semantic_decontamination",
+]
+
+
 def _window_head() -> list[str]:
-    """The r9 driver-window head, in staleness-priority order: the 3
-    r8 post-freeze additions LEAD (the r8 contract's promise), then
-    the r9 addition, the 3 changed entries, the 9 stalest composites,
-    the 20 stalest direct singletons, and 14 direct-row graduations
-    for the rot_join/rot_event members (oldest direct rows, r6) —
-    exactly 50 entries."""
+    """The r10 driver-window head, in staleness-priority order: the
+    two promised leads (q136 first row, q100_funnel direct graduate),
+    the 4 changed entries, the 27 r4-stale direct rotations (r9
+    verdict item 1 — max direct staleness strictly decreases), the 6
+    re-entering r8-row composites, the 3 NEW composites folding the
+    last uncompressed strict families, and the 8 r8-row direct
+    entries nothing can carry — exactly 50 entries."""
     head = (
-        _POST_FREEZE_ADDITIONS_R8
-        + _NEW_IN_R9
-        + _CHANGED_IN_R9
-        + _R7_STALE_COMPOSITES
-        + _R7_STALE_DIRECT
-        + _R6_DIRECT_GRADUATES
+        _LEADS_R10
+        + _CHANGED_IN_R10
+        + _R4_STALE_DIRECT_R10
+        + _R8_STALE_COMPOSITES_R10
+        + _NEW_IN_R10
+        + _R8_STALE_DIRECT_R10
     )
     assert len(head) == len(set(head)) == 50
     return head

@@ -160,8 +160,10 @@ HEADLINE = [
     "rot_order_setop_shapes",
     # NOT benched: the nine r7 family composites (rot_text_dedup /
     # text_quality / text_pipeline / stream / mm_sample / ingest_dedup
-    # / corpus_stats / sql_udf / vector _shapes) and the two r8 ones
-    # (rot_join / rot_event _shapes). Each is a UNION ALL
+    # / corpus_stats / sql_udf / vector _shapes), the two r8 ones
+    # (rot_join / rot_event _shapes), and the three r10 ones
+    # (rot_agg_sketch / rot_selection / rot_quality_guard _shapes —
+    # every member is individually benched above). Each is a UNION ALL
     # of already-benched member plans plus a final projection —
     # benching them would double-count ~54 s of member wall-time as
     # new cost without measuring any new operator. The four relational

@@ -2067,21 +2067,32 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass aggregations the exact queries run; the joins are
     group-count-sized). Rows-only by nature: the sketch estimates
     aren't reproducible in DuckDB — which is exactly why the report
-    exists."""
+    exists.
+
+    The approx legs CALL the contract queries (q30_approx_distinct /
+    q96_hll_sketch_union) rather than re-spelling their aggregations:
+    the report is those rows-only entries' machinery-carrier in the
+    driver rotation — a composite-style claim that is only honest if a
+    green report row genuinely executed the member plans (the rows-only
+    analogue of rotation.py's embedded member oracles). Plan cost is
+    unchanged: q30 is the same one-row HLL++ agg, q96 shares one
+    sketches frame between its per-type and union legs exactly as the
+    inlined form did. The exact twins stay in-plan here (q18's
+    countDistinct, one events rollup); the percentile leg keeps its
+    single grouped agg — one lineitem scan instead of q83 ⟕ q83b's two
+    (q83's coverage is rot_agg_sketch_shapes', not this report's)."""
     li = table(spark, sf_dir, "lineitem")
     e = load_events(spark, sf_dir)
 
-    # approx and exact twins in SEPARATE one-row aggs, cross-joined:
-    # mixing countDistinct with a non-distinct agg in one agg forces
-    # the Expand-based multi-distinct plan where the HLL buffers are
-    # updated per expanded copy (measured 7.7 s vs 1.5 s + 1.8 s for
-    # the split form at sf0.1 — the two narrow scans are 2.3× cheaper
-    # than one expanded scan)
+    # approx (q30's plan, via the query itself) and the exact twin in
+    # SEPARATE one-row aggs, cross-joined: mixing countDistinct with a
+    # non-distinct agg in one agg forces the Expand-based
+    # multi-distinct plan where the HLL buffers are updated per
+    # expanded copy (measured 7.7 s vs 1.5 s + 1.8 s for the split
+    # form at sf0.1 — two narrow scans are 2.3× cheaper than one
+    # expanded scan)
     acd = (
-        li.agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
-        )
+        q30_approx_distinct(spark, sf_dir)
         .crossJoin(
             li.agg(
                 F.countDistinct("l_orderkey").alias("e_orders"),
@@ -2091,25 +2102,23 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr(
                 "stack(2,"
-                " 'approx_count_distinct', 'l_orderkey', double(a_orders), double(e_orders),"
-                " 'approx_count_distinct', 'l_partkey',  double(a_parts),  double(e_parts))"
+                " 'approx_count_distinct', 'l_orderkey', double(approx_orders), double(e_orders),"
+                " 'approx_count_distinct', 'l_partkey',  double(approx_parts),  double(e_parts))"
                 " AS (op, item, approx, exact)"
             )
         )
     )
 
-    sketches = e.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
     # a genuinely-NULL event_type becomes the '(null)' item: an inner
     # equi-join never matches NULL = NULL, so without the coalesce that
     # group's sketch-vs-exact row would silently VANISH from the report
-    # — the exact failure mode this report exists to prevent
-    hll_per_type = sketches.select(
+    # — the exact failure mode this report exists to prevent (q96
+    # itself reports the raw NULL group; the coalesce is this report's
+    # join-key concern)
+    hll_approx = q96_hll_sketch_union(spark, sf_dir).select(
         F.coalesce(F.col("event_type"), F.lit("(null)")).alias("event_type"),
-        F.expr("double(hll_sketch_estimate(s))").alias("approx"),
+        F.col("approx_users").cast("double").alias("approx"),
     )
-    hll_all = sketches.agg(
-        F.expr("double(hll_sketch_estimate(hll_union_agg(s)))").alias("approx")
-    ).select(F.lit("ALL").alias("event_type"), "approx")
     # per-type and ALL exact counts in one rollup pass (one events
     # scan instead of two; grouping() labels the grand-total row so a
     # genuinely-NULL event_type could never be mistaken for it)
@@ -2123,7 +2132,7 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
     )
     hll = (
-        hll_per_type.unionByName(hll_all)
+        hll_approx
         .join(exact_by_type, "event_type")
         .select(
             F.lit("hll_union").alias("op"),

@@ -366,5 +366,79 @@ ROTATIONS.update(
 )
 
 
+# r10 members — the last three uncompressed strict families. The r10
+# window arithmetic forces this round's application of the same move:
+# the ≤1-round-stale invariant demands rows for 67 entries while the
+# promised leads + the 27 r4-stale direct rotations fill 33 slots, so
+# the 24 strict singletons below (9 relational agg/window shapes with
+# only direct r8 rows, the 8 selection/retrieval shapes and 7
+# quality-guard shapes from the q120-q131 post-freeze generation) fold
+# into 3 composite slots. q30/q96 (the HLL sketches) are rows-only and
+# cannot compose; their machinery rides the in-window
+# sketch_error_report, which CALLS them (the rows-only analogue of the
+# changed-via-composite rule). Schemas captured from the live queries
+# at sf0.001 and pinned by tests/test_rotation.py.
+_LEGS_R10: dict[str, list[tuple[str, str]]] = {
+    "q01_pricing_summary": [("l_returnflag", "s"), ("l_linestatus", "s"), ("sum_qty", "f"), ("sum_base_price", "f"), ("sum_disc_price", "f"), ("sum_charge", "f"), ("avg_qty", "f"), ("avg_price", "f"), ("avg_disc", "f"), ("count_order", "i")],
+    "q02_revenue_by_nation": [("n_name", "s"), ("revenue", "f")],
+    "q11_window_rank": [("o_custkey", "i"), ("o_orderkey", "i"), ("totalprice", "f"), ("rn", "i")],
+    "q13_window_running_sum": [("o_custkey", "i"), ("o_orderkey", "i"), ("running_total", "f")],
+    "q18_distinct_agg": [("o_orderstatus", "s"), ("n_customers", "i"), ("n_orders", "i"), ("total", "f")],
+    "q26_grouping_sets": [("returnflag", "s"), ("linestatus", "s"), ("n", "i"), ("sum_price", "f")],
+    "q31_window_range_frame": [("o_custkey", "i"), ("o_orderkey", "i"), ("rolling_30d_total", "f")],
+    "q39_unpivot": [("l_orderkey", "i"), ("l_linenumber", "i"), ("metric", "s"), ("value", "f")],
+    "q83_percentiles": [("l_returnflag", "s"), ("p25_price", "f"), ("median_price", "f"), ("p75_price", "f"), ("p95_qty", "f")],
+    "q115_source_quota_cap": [("source", "s"), ("src_rank", "i"), ("doc_id", "i"), ("quality", "f")],
+    "q116_bm25_topk": [("query_id", "s"), ("rank", "i"), ("doc_id", "i"), ("score", "f")],
+    "q117_weighted_sample": [("rank", "i"), ("doc_id", "i"), ("source", "s"), ("quality", "f"), ("key_1e6", "i")],
+    "q121_source_diversity_report": [("lang", "s"), ("n_docs", "i"), ("n_sources", "i"), ("simpson_ppm", "i"), ("eff_sources_1e3", "i")],
+    "q123_hard_negatives": [("query_id", "i"), ("query_label", "i"), ("vec_id", "i"), ("neg_label", "i"), ("cosine", "f"), ("rank", "i"), ("margin", "f"), ("harder_than_positive", "b")],
+    "q124_hybrid_rrf": [("query_id", "s"), ("rank", "i"), ("doc_id", "i"), ("rrf_score", "i"), ("n_legs", "i"), ("bm25_rank", "i"), ("ql_rank", "i")],
+    "q127_stratified_sample": [("lang", "s"), ("rank", "i"), ("doc_id", "i"), ("quality", "f"), ("key_1e6", "i")],
+    "q130_source_quality_report": [("source", "s"), ("n_docs", "i"), ("q25_1e6", "i"), ("median_1e6", "i"), ("q75_1e6", "i"), ("corpus_median_1e6", "i"), ("below_corpus_median", "b")],
+    "q67_token_counting": [("doc_id", "i"), ("ws_tokens", "i"), ("bpe_tokens", "i"), ("n_chars", "i"), ("chars_per_token", "f")],
+    "q122_token_entropy": [("doc_id", "i"), ("n_tokens", "i"), ("n_distinct", "i"), ("entropy_1e6", "i"), ("low_entropy", "b")],
+    "q125_length_outliers": [("lang", "s"), ("n_docs", "i"), ("med2_tokens", "i"), ("mad2_tokens", "i"), ("max_dev2", "i"), ("n_outliers", "i"), ("outlier_ppm", "i")],
+    "q126_vocab_drift": [("rank", "i"), ("tok", "s"), ("a_count", "i"), ("b_count", "i"), ("a_ppm", "i"), ("b_ppm", "i"), ("shift_ppm", "i"), ("is_novel", "b"), ("n_novel_types", "i"), ("novel_ppm", "i")],
+    "q128_bigram_logprob": [("doc_id", "i"), ("n_tokens", "i"), ("n_bigrams", "i"), ("nll_mean_1e6", "i"), ("too_short", "b")],
+    "q129_decontamination_defense": [("doc_id", "i"), ("ngram_hits", "i"), ("ngram_contaminated", "b"), ("semantic_scored", "b"), ("max_eval_sim", "f"), ("semantic_hits", "i"), ("semantic_contaminated", "b"), ("contaminated_any", "b")],
+    "q131_phash_neardup": [("doc_a", "i"), ("doc_b", "i"), ("hamming", "i")],
+}
+_LEGS.update(_LEGS_R10)
+
+ROTATIONS.update(
+    {
+        # aggregation/window shapes whose only prior coverage was
+        # direct rows: pricing summary, revenue rollup, rank /
+        # running-sum / range-frame windows, distinct & grouping-set
+        # aggs, unpivot, exact percentiles
+        "rot_agg_sketch_shapes": [
+            "q01_pricing_summary", "q02_revenue_by_nation",
+            "q11_window_rank", "q13_window_running_sum",
+            "q18_distinct_agg", "q26_grouping_sets",
+            "q31_window_range_frame", "q39_unpivot", "q83_percentiles",
+        ],
+        # corpus selection / retrieval shapes: per-source caps, BM25,
+        # weighted & stratified sampling, diversity report, hard
+        # negatives, hybrid RRF, source quality league
+        "rot_selection_shapes": [
+            "q115_source_quota_cap", "q116_bm25_topk",
+            "q117_weighted_sample", "q121_source_diversity_report",
+            "q123_hard_negatives", "q124_hybrid_rrf",
+            "q127_stratified_sample", "q130_source_quality_report",
+        ],
+        # quality-guard shapes: token counting, entropy, length
+        # outliers, vocab drift, bigram LM, decontamination
+        # defense-in-depth, perceptual-hash media near-dup
+        "rot_quality_guard_shapes": [
+            "q67_token_counting", "q122_token_entropy",
+            "q125_length_outliers", "q126_vocab_drift",
+            "q128_bigram_logprob", "q129_decontamination_defense",
+            "q131_phash_neardup",
+        ],
+    }
+)
+
+
 QUERIES = {name: _composite(members) for name, members in ROTATIONS.items()}
 ORACLE = {name: _composite_oracle(members) for name, members in ROTATIONS.items()}

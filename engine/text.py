@@ -333,6 +333,8 @@ def q135_incremental_curation(
     sf_dir: str,
     index_table: str | None = None,
     checkpointed: bool = False,
+    index_is_corpus: bool = False,
+    return_survivors: bool = False,
 ) -> DataFrame:
     """Cross-snapshot INCREMENTAL curation — q134's funnel run as the
     nightly DELTA job (r8 verdict item 8): only the documents that are
@@ -373,6 +375,23 @@ def q135_incremental_curation(
     Oracle: member-SQL composition over the same snapshot CTEs (the
     within-delta band self-join is uncapped there, valid while fixture
     band occupancy < NEARDUP_BAND_CAP — q118's documented pattern).
+
+    ``index_is_corpus=True`` (opt-in, with ``index_table=``): the store
+    is trusted as EXACTLY the curated standing corpus — the production
+    nightly shape, where the band index is maintained by
+    ``q135_admit_survivors`` appends and outlives any one snapshot pair
+    — so the standing-id semi-join (needed when the shared index was
+    built over the FULL documents table and must be restricted to the
+    standing split) is skipped. On such a store the near-dup gate sees
+    every previously ADMITTED doc, including docs the snapshot mod-math
+    cannot express as standing; a re-ingested already-admitted doc
+    self-matches its own store rows and drops, which is the correct
+    ingest-dedup verdict.
+
+    ``return_survivors=True``: return the survivors themselves —
+    (doc_id, text) with snapshot-B text — instead of the funnel
+    summary; this is the admission leg's input (the funnel numbers are
+    unchanged, it is the same s5 spine).
 
     ``checkpointed=True`` (opt-in, q124/q125's shared-subtree fix):
     Catalyst plans the stage chain once PER COUNT LEG — 57 FileScans
@@ -422,11 +441,13 @@ def q135_incremental_curation(
     # gate 3: q118's probe — delta bands vs standing store + within-delta
     dbands = _banded_signatures(s2.join(snap_b, "doc_id"))
     if index_table:
-        # standing docs are unchanged, so the shared persisted index's
-        # rows for them ARE their snapshot-B signatures
-        sbands = spark.table(index_table).join(
-            standing.select("doc_id"), "doc_id", "left_semi"
-        )
+        sbands = spark.table(index_table)
+        if not index_is_corpus:
+            # shared FULL-corpus index: standing docs are unchanged, so
+            # the store's rows for them ARE their snapshot-B signatures
+            # — but the store also indexes non-standing docs, so
+            # restrict to the standing split
+            sbands = sbands.join(standing.select("doc_id"), "doc_id", "left_semi")
     else:
         sbands = _banded_signatures(standing)
     n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")
@@ -492,6 +513,8 @@ def q135_incremental_curation(
     )
     s5 = _pin(s4.join(contaminated, "doc_id", "left_anti"))
 
+    if return_survivors:
+        return s5.join(snap_b, "doc_id").select("doc_id", "text")
     return _funnel_tail(
         [
             (0, "delta_ingested", delta_ids),
@@ -502,6 +525,37 @@ def q135_incremental_curation(
             (5, "decontaminated", s5),
         ]
     )
+
+
+def q135_admit_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str,
+    checkpointed: bool = False,
+) -> DataFrame:
+    """The night-CLOSE leg of the q135 cycle: run tonight's delta
+    through the gates against the standing-corpus band store, then
+    ADMIT the survivors into that same store (``append_band_index``),
+    so tomorrow night's probe sees them as history. This closes the
+    loop the probe-only q135 leaves open — without admission, a
+    near-dup of tonight's survivor sails through tomorrow.
+
+    The store must be a curated-corpus index (``build_band_index``
+    over the standing split, maintained solely by this function) —
+    the run probes it with ``index_is_corpus=True``. Append-only
+    semantics and the rebuild-equality contract are
+    ``append_band_index``'s; the two-night planted test pins that a
+    night-1 admit is flagged near_dup on night 2 byte-equal to a
+    from-scratch rebuild over standing ∪ admitted."""
+    survivors = q135_incremental_curation(
+        spark,
+        sf_dir,
+        index_table=index_table,
+        checkpointed=checkpointed,
+        index_is_corpus=True,
+        return_survivors=True,
+    )
+    return append_band_index(spark, index_table, survivors)
 
 
 # -------------------------------------------------------------------- MinHash

@@ -697,3 +697,66 @@ def test_fuzz_fake_decode_and_frames_total(payload):
     assert 1 <= len(frames) <= 4
     for f in frames:
         assert f.shape == (16, 16)
+
+
+# band-store-vs-inline exploration (r9 verdict item 7) — the gate twins
+# live in test_fuzz_oracle.py with 3 examples each; here the same
+# properties run wider so store/bucketing/geometry-recovery divergence
+# is EXPLORED on hostile corpora, not just example-tested.
+
+
+@given(corpora())
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=False,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_band_store_equals_inline_text(spark, tmp_path, rows):
+    from engine import text as text_mod
+
+    d = str(tmp_path / f"bsfuzz_{abs(hash(tuple(r[1] for r in rows))) % 10**8}")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    tbl = f"xfuzz_bidx_t_{abs(hash(tuple(r[1] for r in rows))) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        text_mod.build_band_index(spark, d, tbl, n_buckets=4)
+        inline = sorted(
+            map(tuple, text_mod.q118_incremental_neardup(spark, d).collect())
+        )
+        via = sorted(
+            map(
+                tuple,
+                text_mod.q118_incremental_neardup(spark, d, index_table=tbl).collect(),
+            )
+        )
+        assert via == inline, f"q118 store≠inline\nrows={rows!r}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@given(embedding_tables())
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=False,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_band_store_equals_inline_similarity(spark, tmp_path, rows):
+    from engine import similarity
+
+    d = _write_embeddings(spark, tmp_path, rows, "xbandstore")
+    tbl = (
+        f"xfuzz_bidx_s_{abs(hash(tuple((r[0], tuple(r[1])) for r in rows))) % 10**8}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        similarity.build_band_index(spark, d, tbl, n_buckets=4)
+        for fn in (similarity.q61_knn_lsh_bucketed, similarity.q66_embedding_near_dup):
+            inline = sorted(map(tuple, fn(spark, d).collect()))
+            via = sorted(map(tuple, fn(spark, d, index_table=tbl).collect()))
+            assert via == inline, f"{fn.__name__} store≠inline\nrows={rows!r}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -87,22 +87,44 @@ def test_sketch_error_report_all_within_bound(spark, sf_dir):
         assert r.bound == SKETCH_BOUNDS[r.op]
 
 
+def _correctness_artifacts(repo: str, max_round: int) -> list[str]:
+    """Paths of CORRECTNESS_r*.json with round number ≤ max_round.
+    Parsed numerically (r9 ADVICE): the old r0[1-8] character-class
+    glob silently stopped matching at r10+, so the frozen-round pin is
+    stated once here as a comparison, not a pattern."""
+    import glob
+    import os
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) <= max_round:
+            out.append(p)
+    return sorted(out)
+
+
+# The round whose board existed when THIS window froze. Bump when the
+# window is rebuilt for a new round.
+_FROZEN_ROUND = 9
+
+
 def test_driver_window_covers_unproven_queries():
     # The driver's correctness gate checks only the FIRST 50 queries()
     # entries. Rotation policy (see __spark_entry__ docstring,
-    # stalest-first with changed/new overrides): the r9 window leads
-    # with the 3 r8 post-freeze additions (the r8 contract's promise),
-    # then the r9 addition, the 3 changed entries, the 9 stalest
-    # composites, the 20 stalest direct singletons, and the 14
-    # rot_join/rot_event direct-row graduations.
+    # stalest-first with changed/new overrides): the r10 window leads
+    # with the two promises (q136 first row, q100_funnel direct
+    # graduate), then the 4 changed entries, the 27 r4-stale direct
+    # rotations, the 6 r8-row composites, the 3 NEW composites, and
+    # the 8 r8-row entries nothing can carry.
     #
     # BOOKKEEPING RULE (r8 verdict item 3): every assertion about
     # "proven" rows is pinned to the artifacts that existed when THIS
-    # window froze (r01-r08) — re-globbing every artifact would
-    # self-expire the moment the driver writes the r9 board, which by
-    # design proves this window's own leads.
-    import glob
+    # window froze (≤ _FROZEN_ROUND) — re-globbing every artifact
+    # would self-expire the moment the driver writes this round's
+    # board, which by design proves this window's own leads.
     import json
+
     import os
 
     names = list(contract.queries())[:50]
@@ -110,10 +132,12 @@ def test_driver_window_covers_unproven_queries():
     assert names == head, "driver window does not match the declared head"
     assert len(head) == 50
     # The promised leads occupy the head outright, in order.
-    promised = contract._POST_FREEZE_ADDITIONS_R8
-    assert names[: len(promised)] == promised
+    assert names[:2] == contract._LEADS_R10
+    assert contract._LEADS_R10 == (
+        contract._POST_FREEZE_ADDITIONS_R9 + contract._DEFERRED_GRADUATE_TO_R10
+    )
     # New/changed queries are in-window.
-    for q in contract._NEW_IN_R9 + contract._CHANGED_IN_R9:
+    for q in contract._NEW_IN_R10 + contract._CHANGED_IN_R10:
         assert q in names, q
     from engine import rotation
 
@@ -123,30 +147,37 @@ def test_driver_window_covers_unproven_queries():
         if comp in names
         for m in members
     }
-    # Changed-via-composite soundness: the in-window composite calls
-    # them and embeds their oracles; they hold no direct slot.
-    assert set(contract._CHANGED_VIA_COMPOSITE_R9) <= covered
-    assert not (set(contract._CHANGED_VIA_COMPOSITE_R9) & set(names))
+    # Rows-only machinery-carriers: an in-window report that CALLS a
+    # rows-only entry covers it the way a composite covers a member.
+    # Soundness of the registry itself is pinned by
+    # test_report_calls_registry_is_live below.
+    report_covered = {
+        callee
+        for report, callees in contract._REPORT_CALLS.items()
+        if report in names
+        for callee in callees
+    }
+    # Changed-via-caller soundness: the in-window caller runs them;
+    # they hold no direct slot.
+    assert set(contract._CHANGED_VIA_CALLER_R10) <= report_covered
+    assert not (set(contract._CHANGED_VIA_CALLER_R10) & set(names))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proven_at_freeze = set()
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json")):
+    for p in _correctness_artifacts(repo, _FROZEN_ROUND):
         proven_at_freeze |= set(json.load(open(p)))
     # Generic never-checked guard: any inventory entry with NO row in
     # any at-freeze artifact must be in-window this round or be a
     # declared post-freeze addition of THIS round (the sanctioned
-    # sit-out-one-round class — it leads r10).
+    # sit-out-one-round class — it leads the next window).
     never_checked = set(contract.queries()) - proven_at_freeze
-    post_freeze = set(contract._POST_FREEZE_ADDITIONS_R9)
-    assert not (post_freeze & set(head))
-    assert never_checked <= set(head) | post_freeze, sorted(
-        never_checked - set(head) - post_freeze
-    )
+    assert never_checked <= set(head), sorted(never_checked - set(head))
     # THE claim: every contract query has a driver row at most ONE
-    # round old, direct or via composite — in-window, covered by an
-    # in-window composite, or checked last round (directly or as a
-    # member of a last-round composite). The graduates' deferree
-    # (q100_funnel) is covered by its composite's r8 row.
-    last_round = set(json.load(open(os.path.join(repo, "CORRECTNESS_r08.json"))))
+    # round old, direct or carried — in-window, covered by an
+    # in-window composite or calling report, or checked last round
+    # (directly or as a member of a last-round composite).
+    last_round = set(
+        json.load(open(os.path.join(repo, f"CORRECTNESS_r{_FROZEN_ROUND:02d}.json")))
+    )
     covered_last_round = last_round | {
         m
         for comp, members in rotation.ROTATIONS.items()
@@ -157,19 +188,72 @@ def test_driver_window_covers_unproven_queries():
         set(contract.queries())
         - set(head)
         - covered
+        - report_covered
         - covered_last_round
-        - post_freeze
     )
     assert not uncovered, sorted(uncovered)
-    assert set(contract._DEFERRED_GRADUATE_TO_R10) <= covered_last_round
-    # Lead honesty: the post-freeze leads were added after the r8
-    # freeze, so they had no row in the r01-r07 artifacts and their
-    # first row is the r8 board's or this window's.
-    pre_freeze_r8 = set()
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")):
-        pre_freeze_r8 |= set(json.load(open(p)))
-    for q in contract._POST_FREEZE_ADDITIONS_R8:
-        assert q not in pre_freeze_r8, q
+    # Displaced-direct honesty: every entry whose direct row keeps
+    # aging this round is machinery-covered in-window or last round.
+    assert set(contract._DISPLACED_DIRECT_TO_R11) <= covered | covered_last_round
+    # Lead honesty: the post-freeze lead was added after the r9
+    # freeze, so it has no row in the r01-r08 artifacts; its first row
+    # is the r9 board's or this window's.
+    pre_freeze = set()
+    for p in _correctness_artifacts(repo, _FROZEN_ROUND - 1):
+        pre_freeze |= set(json.load(open(p)))
+    for q in contract._POST_FREEZE_ADDITIONS_R9:
+        assert q not in pre_freeze, q
+
+
+def test_report_calls_registry_is_live(spark, sf_dir, monkeypatch):
+    """_REPORT_CALLS soundness: each registered report must actually
+    INVOKE its callees when it runs (else 'covered via calling report'
+    would be an empty claim). sketch/ann are checked dynamically with
+    counting shims (the reports resolve callees from module globals —
+    or the ANN_RECALL_TIERS registry — at call time; building the
+    frame triggers the calls). stream_equivalence_report's callees run
+    inside real readStream pipelines (minutes, already exercised by
+    test_streaming), so its edge is pinned statically against the pair
+    builder's source."""
+    import inspect
+
+    import __spark_entry__ as c
+    from engine import relational, similarity, streaming
+
+    qs = c.queries()
+
+    src = inspect.getsource(streaming._stream_eq_pair)
+    for cal in c._REPORT_CALLS["stream_equivalence_report"]:
+        assert cal in src, f"_stream_eq_pair no longer calls {cal}"
+
+    mod_of = {
+        "q30_approx_distinct": relational,
+        "q96_hll_sketch_union": relational,
+        "q60_knn_brute": similarity,
+        "q61_knn_lsh_bucketed": similarity,
+        "q65_knn_ivf": similarity,
+        "q76_pq_ann": similarity,
+        "q76b_ivfpq_ann": similarity,
+        "q62_brp_lsh_join": similarity,
+    }
+    for report in ("sketch_error_report", "ann_recall_report"):
+        callees = c._REPORT_CALLS[report]
+        seen: dict[str, int] = {}
+        for callee in callees:
+            mod = mod_of[callee]
+            real = getattr(mod, callee)
+
+            def shim(*a, _real=real, _name=callee, _seen=seen, **kw):
+                _seen[_name] = _seen.get(_name, 0) + 1
+                return _real(*a, **kw)
+
+            monkeypatch.setattr(mod, callee, shim)
+            for tier, fn in list(similarity.ANN_RECALL_TIERS.items()):
+                if fn is real:  # the registry captured the original
+                    monkeypatch.setitem(similarity.ANN_RECALL_TIERS, tier, shim)
+        qs[report](spark, sf_dir)
+        missing = [cal for cal in callees if not seen.get(cal)]
+        assert not missing, f"{report} never called {missing}"
 
 
 def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
@@ -195,7 +279,7 @@ def test_q96_hll_sketch_estimates_within_error(spark, sf_dir):
         assert abs(est - exact[k]) / exact[k] < 0.05, k
 
 
-def test_strict_oracle_smoke_on_flake_classes(spark):
+def test_strict_oracle_smoke_on_flake_classes(spark, monkeypatch):
     """Bit-exact (driver hash-gate) comparison at sf0.001 for the three
     queries that exercise each historical cross-engine float-flake
     class: q25 (order-dependent avg -> decimal sum fix), q57
@@ -206,24 +290,21 @@ def test_strict_oracle_smoke_on_flake_classes(spark):
 
     import duckdb
 
-    os.environ["SPARK_GRAFT_STRICT"] = "1"
-    try:
-        import tools.oracle_check as oc
+    import tools.oracle_check as oc
 
-        sf = "/root/testdata/sf0.001"
-        con = duckdb.connect()
-        for t in oc.TABLES:
-            p = os.path.join(sf, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"create view {t} as select * from read_parquet('{p}')")
-        qs, oracles = contract.queries(), contract.oracle_sql()
-        for name in ("q25_correlated_subquery", "q57_quality_score", "q66_embedding_near_dup"):
-            sdf = qs[name](spark, sf).toPandas()
-            odf = con.execute(oracles[name]).fetchdf()
-            err = oc._values_match(oc._normalize(sdf), oc._normalize(odf))
-            assert err is None, f"{name}: {err}"
-    finally:
-        os.environ.pop("SPARK_GRAFT_STRICT", None)
+    monkeypatch.setenv("SPARK_GRAFT_STRICT", "1")
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in oc.TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from read_parquet('{p}')")
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    for name in ("q25_correlated_subquery", "q57_quality_score", "q66_embedding_near_dup"):
+        sdf = qs[name](spark, sf).toPandas()
+        odf = con.execute(oracles[name]).fetchdf()
+        err = oc._values_match(oc._normalize(sdf), oc._normalize(odf))
+        assert err is None, f"{name}: {err}"
 
 
 def test_every_oracle_sql_parses_in_duckdb():
@@ -713,24 +794,23 @@ def test_recursive_cte_cycle_guard_matches_duckdb(spark, tmp_path):
     assert max(h for _, h, _ in got) == 7
 
 
-def test_strict_mirror_fails_planted_int_float_dtype_mismatch():
+def test_strict_mirror_fails_planted_int_float_dtype_mismatch(monkeypatch):
     """r8 verdict item 2's done-criterion: the strict mirror must fail
     a planted int64-vs-float64 frame even when every value is
     numerically equal (the driver's bit-exact hash semantics — the
     DuckDB HUGEINT→float64 leak class that made q120 the r8 board's
-    only red), while the tolerant default still passes it."""
-    import os
-
+    only red), while the tolerant default still passes it. monkeypatch
+    (r9 ADVICE) restores any pre-existing SPARK_GRAFT_STRICT, and the
+    tolerant leg runs under an explicitly UNSET variable instead of
+    relying on the cleanup having removed it."""
     import pandas as pd
 
     import tools.oracle_check as oc
 
     a = pd.DataFrame({"x": pd.Series([1, 2, 3], dtype="int64")})
     b = pd.DataFrame({"x": pd.Series([1.0, 2.0, 3.0], dtype="float64")})
-    os.environ["SPARK_GRAFT_STRICT"] = "1"
-    try:
-        err = oc._values_match(oc._normalize(a), oc._normalize(b))
-        assert err is not None and "dtype" in err
-    finally:
-        os.environ.pop("SPARK_GRAFT_STRICT", None)
+    monkeypatch.setenv("SPARK_GRAFT_STRICT", "1")
+    err = oc._values_match(oc._normalize(a), oc._normalize(b))
+    assert err is not None and "dtype" in err
+    monkeypatch.delenv("SPARK_GRAFT_STRICT")
     assert oc._values_match(oc._normalize(a), oc._normalize(b)) is None

@@ -602,6 +602,71 @@ def test_fuzz_similarity_rowsonly_never_crash(spark, tmp_path, rows):
                 )
 
 
+# band-store-vs-inline fuzz (r9 verdict item 7): every consumer with an
+# ``index_table=`` opt-in must be BYTE-identical through a persisted
+# build_band_index store and through its inline derivation — on hostile
+# corpora, not just the curated example fixtures. A divergence here
+# means the store's schema/bucketing/geometry-recovery drifted from the
+# inline path (exactly the failure class appends could mask).
+
+
+@given(corpora())
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_band_store_equals_inline_text(spark, tmp_path, rows):
+    from engine import text as text_mod
+
+    d = str(tmp_path / f"bsfuzz_{abs(hash(tuple(r[1] for r in rows))) % 10**8}")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    tbl = f"fuzz_bidx_t_{abs(hash(tuple(r[1] for r in rows))) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        text_mod.build_band_index(spark, d, tbl, n_buckets=4)
+        inline = sorted(
+            map(tuple, text_mod.q118_incremental_neardup(spark, d).collect())
+        )
+        via = sorted(
+            map(
+                tuple,
+                text_mod.q118_incremental_neardup(spark, d, index_table=tbl).collect(),
+            )
+        )
+        assert via == inline, f"q118 store≠inline\nrows={rows!r}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@given(embedding_tables())
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzz_band_store_equals_inline_similarity(spark, tmp_path, rows):
+    from engine import similarity
+
+    d = _write_embeddings(spark, tmp_path, rows, "bandstore")
+    tbl = (
+        f"fuzz_bidx_s_{abs(hash(tuple((r[0], tuple(r[1])) for r in rows))) % 10**8}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        similarity.build_band_index(spark, d, tbl, n_buckets=4)
+        for fn in (similarity.q61_knn_lsh_bucketed, similarity.q66_embedding_near_dup):
+            inline = sorted(map(tuple, fn(spark, d).collect()))
+            via = sorted(map(tuple, fn(spark, d, index_table=tbl).collect()))
+            assert via == inline, f"{fn.__name__} store≠inline\nrows={rows!r}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 # multimodal fuzz (r7, same verdict item): hostile payloads through the
 # binary-column dataflow. The contract queries derive payloads from
 # documents.text (utf-8), so the corpora() text strategy already covers

@@ -105,6 +105,21 @@ def test_models_beat_chance_and_ordering(spark, sf_dir):
     assert gbt["f1"] >= nb["f1"] - 0.05
 
 
+def test_gbt_ovr_seeded_determinism(spark, sf_dir):
+    """Two OVR-GBT fits under the same SEED must predict identically —
+    the same determinism contract the tuning grid carries (the OVR
+    wrapper trains K seeded binary GBTs; parallelism must not leak
+    nondeterminism into the per-class models)."""
+    from engine.pipeline import fit_gbt_ovr
+
+    train, test, *_ = prepare_splits(spark, sf_dir)
+    train = train.cache()
+    a = fit_gbt_ovr(train).transform(test).select("vec_id", "prediction")
+    b = fit_gbt_ovr(train).transform(test).select("vec_id", "prediction")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    train.unpersist()
+
+
 def test_composite_pipeline_persistence(spark, sf_dir, tmp_path):
     """Fit the whole pipeline as one object, save, reload, predictions
     must match exactly (S7/S9 parity at pipeline granularity)."""

@@ -2255,6 +2255,105 @@ def test_q135_delta_matches_q107_diff_and_index_path(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS q135_idx")
 
 
+def test_q135_two_night_admission_cycle(spark, tmp_path):
+    """The full nightly CYCLE over a curated-corpus band store (r9
+    verdict item 6): night 1 curates a planted delta doc and ADMITS it
+    (q135_admit_survivors appends its band rows); night 2 then flags
+    both a re-ingest of that doc (self-match against its own store
+    rows) and a fresh near-dup of it as near_dup-of-history — neither
+    is expressible from the snapshot mod-math, ONLY the appended store
+    knows night 1 happened. The appended store is byte-equal to a
+    from-scratch rebuild over standing ∪ admitted, and the probe-only
+    night-1 run over the curated store equals the default in-plan
+    funnel."""
+    from pyspark.sql import functions as F
+
+    from engine.text import (
+        build_band_index,
+        q135_admit_survivors,
+        q135_incremental_curation,
+    )
+
+    hi = " ".join(f"w{i}" for i in range(120))
+    hi_near = hi + " " + " ".join(f"n{i}" for i in range(6))
+    standing = [
+        (1, " ".join(f"a{i}" for i in range(115)), "en", "web"),
+        (2, " ".join(f"u{i}" for i in range(105)), "en", "web"),
+        (3, " ".join(f"t{i}" for i in range(100)), "en", "web"),
+        (4, " ".join(f"s{i}" for i in range(110)), "en", "web"),
+    ]
+    holdout = [(100, " ".join(f"e{i}" for i in range(40)), "en", "web")]
+    schema = "doc_id bigint, text string, lang string, source string"
+
+    # night 1: X (id 7 ⇒ added) is a clean survivor
+    d1 = str(tmp_path / "night1")
+    spark.createDataFrame(
+        standing + [(7, hi, "en", "web")] + holdout, schema
+    ).write.parquet(d1 + "/documents.parquet")
+    # night 2: X re-ingested + Y (id 21 ⇒ added), a near-dup of X
+    d2 = str(tmp_path / "night2")
+    spark.createDataFrame(
+        standing + [(7, hi, "en", "web"), (21, hi_near, "en", "web")] + holdout,
+        schema,
+    ).write.parquet(d2 + "/documents.parquet")
+
+    for t in ("n1_idx", "n1_idx_rebuild"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # curated-corpus store = the standing split only
+        stand_df = spark.createDataFrame(standing, schema)
+        build_band_index(spark, d1, "n1_idx", n_buckets=8, docs=stand_df)
+
+        # night-1 probe over the curated store ≡ the default in-plan run
+        default1 = [tuple(r) for r in q135_incremental_curation(spark, d1).collect()]
+        via1 = [
+            tuple(r)
+            for r in q135_incremental_curation(
+                spark, d1, index_table="n1_idx", index_is_corpus=True
+            ).collect()
+        ]
+        assert via1 == default1
+
+        # night-1 close: X survives and is admitted into the store
+        surv1 = q135_incremental_curation(
+            spark, d1, index_table="n1_idx", index_is_corpus=True, return_survivors=True
+        )
+        assert [r.doc_id for r in surv1.collect()] == [7]
+        q135_admit_survivors(spark, d1, "n1_idx")
+
+        # byte-equality: appended store == rebuild over standing ∪ admitted
+        admitted = spark.createDataFrame(standing + [(7, hi, "en", "web")], schema)
+        build_band_index(spark, d1, "n1_idx_rebuild", n_buckets=8, docs=admitted)
+        assert sorted(map(tuple, spark.table("n1_idx").collect())) == sorted(
+            map(tuple, spark.table("n1_idx_rebuild").collect())
+        )
+
+        # night 2 WITHOUT the admission (mod-math standing only): X
+        # survives again and Y only loses to X within-batch — history
+        # doesn't know night 1 happened
+        base2 = {r.stage: r for r in q135_incremental_curation(spark, d2).collect()}
+        assert base2[3].n_dropped == 1  # Y vs X within-delta keep-first
+        assert base2[5].n_docs == 1  # X sails through again
+        # night 2 WITH the appended store: X self-matches its admitted
+        # rows, Y near-dups them — both flagged as history dups
+        via2 = {
+            r.stage: r
+            for r in q135_incremental_curation(
+                spark, d2, index_table="n1_idx", index_is_corpus=True
+            ).collect()
+        }
+        assert via2[2].n_docs == 2  # both enter the near-dup gate
+        assert via2[3].n_docs == 0 and via2[3].n_dropped == 2
+        assert via2[5].n_docs == 0
+        surv2 = q135_incremental_curation(
+            spark, d2, index_table="n1_idx", index_is_corpus=True, return_survivors=True
+        )
+        assert surv2.count() == 0
+    finally:
+        for t in ("n1_idx", "n1_idx_rebuild"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_q136_curriculum_shards_exact_recount_and_balance(spark, sf_dir):
     """q136 vs a from-scratch python recount (sort by (quality desc,
     doc_id), round-robin mod N_SHARDS), plus the properties the
