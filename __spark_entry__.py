@@ -612,6 +612,17 @@ _DISPLACED_DIRECT_TO_R11 = [
 ]
 
 
+# Additions made after the R10 window froze — the sanctioned exception
+# class: each would displace a strictly higher-priority entry, so they
+# sit out one round (strict+vanilla green at sf0.001/0.01/0.1,
+# recount/planted tested, fuzz-gated, benched) and LEAD the r11 window
+# with the _DISPLACED_DIRECT_TO_R11 block behind them.
+_POST_FREEZE_ADDITIONS_R10: list[str] = [
+    "q137_dup_ngram_report",       # duplicate-13-gram memorization risk
+    "q138_padded_batch_manifest",  # length-bucketed dynamic batching
+]
+
+
 def _window_head() -> list[str]:
     """The r10 driver-window head, in staleness-priority order: the
     two promised leads (q136 first row, q100_funnel direct graduate),

@@ -218,6 +218,10 @@ HEADLINE = [
     # curriculum shard manifest
     "q135_incremental_curation",
     "q136_curriculum_shards",
+    # r10 post-freeze additions: the duplicate-13-gram memorization
+    # report and the length-bucketed dynamic-batching manifest
+    "q137_dup_ngram_report",
+    "q138_padded_batch_manifest",
 ]
 
 

@@ -5643,3 +5643,199 @@ ORACLE["q135_incremental_curation"] = (
     "             lag(n_docs) OVER (ORDER BY stage) AS prev FROM counts) t\n"
     "ORDER BY stage"
 )
+
+
+# ------------------------------ duplicate-n-gram memorization report (r10)
+
+# the literature window for training-data memorization risk: Lee et al.
+# 2022 ("Deduplicating Training Data Makes Language Models Better")
+# measure duplication at 50 BPE tokens ≈ whitespace 13-grams; Kandpal
+# et al. 2022 tie memorization rate to exactly this duplicated-span
+# count. 13 whitespace tokens is the portable stand-in at fixture scale.
+MEM_NGRAM_N = 13
+
+
+def q137_dup_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicate-n-gram (memorization-risk) report — for every
+    document with ≥ MEM_NGRAM_N tokens: how many of its positional
+    13-grams occur MORE THAN ONCE anywhere in the corpus (including
+    its own other positions — self-repetition is memorization risk
+    too), as an exact count and a ppm rate. This is the metric the
+    dedup literature grades training sets on, and the direct
+    acceptance test for the q50/q113/q118 dedup funnel: run the
+    funnel, re-run this report, the mass in ``n_dup_grams`` is what
+    the funnel failed to remove.
+
+    Occurrences are POSITIONAL (not distinct): a doc repeating one
+    13-gram five times carries five duplicated positions — distinct
+    shingle sets (q52's jaccard) would hide exactly the repetition
+    the metric exists to count.
+
+    Scale shape (100 TB): grams never leave the scan as strings — the
+    projection hashes each gram to the portable 60-bit grid
+    immediately, so the ONLY wide thing shuffled is (doc_id, 8-byte
+    hash) × positions ≈ O(corpus tokens). One scan, two shuffles: a
+    window count partitioned BY hash (unordered frame — WindowExec
+    still plans a LOCAL sort on the 8-byte partition key, spillable
+    and rank-free), then the per-doc hash agg with map-side partials.
+    The census-then-join alternative re-scans the corpus (Catalyst's
+    no-subplan-dedup); the window form reads it once.
+    Hash collisions are collision-CONSISTENT across engines
+    (the q53 minhash argument: both sides hash the identical string
+    with the identical md5-prefix arithmetic), so the oracle matches
+    bit-for-bit."""
+    n = MEM_NGRAM_N
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), " +"))
+        # cheap pushdown-safe predicate (the q74b lesson: never filter
+        # on the derived gram array — the higher-order expr would be
+        # inlined beneath the tokenize projection)
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(_SPARK_H60.format(expr="gram")).alias("h"))
+    )
+    w = Window.partitionBy("h")
+    return (
+        grams.withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("n_dup_grams * 1000000 div n_grams").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q137_dup_ngram_report"] = q137_dup_ngram_report
+
+ORACLE["q137_dup_ngram_report"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        FROM documents),
+    grams AS (
+        SELECT doc_id, {_DUCK_H60.format(expr="g")} AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - {MEM_NGRAM_N - 1}),
+                       i -> array_to_string(toks[i:i+{MEM_NGRAM_N - 1}], ' '))) AS g
+            FROM toks WHERE len(toks) >= {MEM_NGRAM_N}) q),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM grams)
+    SELECT doc_id,
+           count(*)::bigint AS n_grams,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::bigint AS n_dup_grams,
+           (sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*))::bigint AS dup_ppm
+    FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------- padded-batch manifest (dynamic batching, r10)
+
+PAD_QUANTUM = 32       # pad lengths up to the next multiple (kernel-friendly)
+BATCH_TOKENS = 4096    # padded-token budget per training batch
+BATCH_SHARDS = 8       # deterministic shard fan-out per length bucket
+
+
+def q138_padded_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch manifest with padding-efficiency stats —
+    the dynamic-batching step between sharding (q136) and the training
+    loader: every document pads up to the next PAD_QUANTUM multiple,
+    docs of one padded length fill fixed-capacity batches
+    (``BATCH_TOKENS div padded_len`` docs each; an over-budget doc
+    gets a batch of its own), and the manifest reports, per batch,
+    the doc count, padded vs real token sums, and the padding waste
+    in ppm — the number a loader tunes PAD_QUANTUM/BATCH_TOKENS
+    against (naive max-length padding wastes 30-60%; length-bucketed
+    batching is the standard fix).
+
+    Determinism & scale: batch membership must be reproducible
+    without a global sort, so docs spray into BATCH_SHARDS
+    deterministic shards per length bucket (portable 60-bit hash of
+    doc_id — content-addressed like q99/q117) and enumeration is
+    row_number within (padded_len, shard) ordered by doc_id — the
+    q115 salted-window shape: no single reducer ever sees more than
+    its shard of one bucket, and shard count scales with the cluster.
+    One 2-column scan, one window shuffle on the (bounded-cardinality
+    bucket, shard) key, one hash agg. All arithmetic is exact
+    integers, so the oracle matches bit-for-bit."""
+    q, budget, shards = PAD_QUANTUM, BATCH_TOKENS, BATCH_SHARDS
+    d = table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("padded_len", F.expr(f"((n_tokens + {q - 1}) div {q}) * {q}"))
+        .withColumn(
+            "shard",
+            (F.expr(_SPARK_H60.format(expr="cast(doc_id as string)")) % shards).cast("int"),
+        )
+        .withColumn("cap", F.expr(f"greatest(1L, {budget} div padded_len)"))
+    )
+    w = Window.partitionBy("padded_len", "shard").orderBy("doc_id")
+    return (
+        base.withColumn("batch_idx", F.expr(f"(row_number() OVER (PARTITION BY padded_len, shard ORDER BY doc_id) - 1) div cap").cast("bigint"))
+        .groupBy("padded_len", "shard", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("count(1) * first(padded_len)").alias("padded_tokens"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+        .select(
+            "padded_len",
+            "shard",
+            "batch_idx",
+            "n_docs",
+            "padded_tokens",
+            "real_tokens",
+            F.expr(
+                "(padded_tokens - real_tokens) * 1000000 div padded_tokens"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("padded_len", "shard", "batch_idx")
+    )
+
+
+QUERIES["q138_padded_batch_manifest"] = q138_padded_batch_manifest
+
+ORACLE["q138_padded_batch_manifest"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), ' +'))::bigint AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT doc_id, n_tokens,
+               ((n_tokens + {PAD_QUANTUM - 1}) // {PAD_QUANTUM}) * {PAD_QUANTUM}
+                   AS padded_len,
+               ({_DUCK_H60.format(expr="doc_id::varchar")} % {BATCH_SHARDS})::int
+                   AS shard
+        FROM t),
+    r AS (
+        SELECT *,
+               greatest(1, {BATCH_TOKENS} // padded_len) AS cap,
+               row_number() OVER (PARTITION BY padded_len, shard
+                                  ORDER BY doc_id) AS rn
+        FROM b)
+    SELECT padded_len, shard, ((rn - 1) // cap)::bigint AS batch_idx,
+           count(*)::bigint AS n_docs,
+           (count(*) * padded_len)::bigint AS padded_tokens,
+           sum(n_tokens)::bigint AS real_tokens,
+           ((count(*) * padded_len - sum(n_tokens)) * 1000000
+               // (count(*) * padded_len))::bigint AS waste_ppm
+    FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

@@ -170,7 +170,11 @@ def test_driver_window_covers_unproven_queries():
     # declared post-freeze addition of THIS round (the sanctioned
     # sit-out-one-round class — it leads the next window).
     never_checked = set(contract.queries()) - proven_at_freeze
-    assert never_checked <= set(head), sorted(never_checked - set(head))
+    post_freeze = set(contract._POST_FREEZE_ADDITIONS_R10)
+    assert not (post_freeze & set(head))
+    assert never_checked <= set(head) | post_freeze, sorted(
+        never_checked - set(head) - post_freeze
+    )
     # THE claim: every contract query has a driver row at most ONE
     # round old, direct or carried — in-window, covered by an
     # in-window composite or calling report, or checked last round
@@ -190,6 +194,7 @@ def test_driver_window_covers_unproven_queries():
         - covered
         - report_covered
         - covered_last_round
+        - post_freeze
     )
     assert not uncovered, sorted(uncovered)
     # Displaced-direct honesty: every entry whose direct row keeps

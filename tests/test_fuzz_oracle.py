@@ -57,6 +57,8 @@ FUZZ_QUERIES = [
     "q67_token_counting",    # the div-by-zero regression this file found
     "q102_incremental_dedup",        # history-vs-batch statuses
     "q102b_bloom_incremental_dedup",  # bloom twin must equal q102 exactly
+    "q137_dup_ngram_report",   # positional 13-gram dup census on hostile text
+    "q138_padded_batch_manifest",  # pad/shard/batch integer arithmetic
     # documents-only composites: fuzzing one fuzzes every member query
     # AND the rotation serializer legs (NaN/Inf/NULL/1e-4 floor grid)
     # on hostile text in one plan (r8 adds the dedup family — its

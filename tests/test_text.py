@@ -2392,3 +2392,113 @@ def test_q136_curriculum_shards_exact_recount_and_balance(spark, sf_dir):
     tokens = [got[s].sum_tokens for s in range(N_SHARDS)]
     mean = sum(tokens) / len(tokens)
     assert all(abs(t - mean) / mean < 0.25 for t in tokens), tokens
+
+
+def test_q137_dup_ngram_planted_and_recount(spark, tmp_path):
+    """q137 semantics on a planted corpus: a 13-gram shared across two
+    docs marks exactly one position in each; a doc that repeats its own
+    13-token span carries intra-doc duplicated positions (the
+    memorization signal distinct-shingle views hide); sub-13-token docs
+    are excluded. Full frame cross-checked against an independent
+    python recount."""
+    from collections import Counter
+
+    from engine.text import MEM_NGRAM_N, q137_dup_ngram_report
+
+    n = MEM_NGRAM_N
+    span = [f"s{i}" for i in range(n)]  # one exact 13-token span
+    rows = [
+        # doc 1: the span + unique tail -> exactly 1 dup position
+        (1, " ".join(span + [f"a{i}" for i in range(7)]), "en", "web"),
+        # doc 2: unique head + the same span -> exactly 1 dup position
+        (2, " ".join([f"b{i}" for i in range(5)] + span), "en", "web"),
+        # doc 3: its own span twice (self-repetition)
+        (3, " ".join(span + span), "en", "web"),
+        # doc 4: all unique
+        (4, " ".join(f"c{i}" for i in range(2 * n)), "en", "web"),
+        # doc 5: sub-window -> excluded
+        (5, " ".join(f"d{i}" for i in range(n - 1)), "en", "web"),
+    ]
+    d = str(tmp_path / "q137")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in q137_dup_ngram_report(spark, d).collect()}
+
+    # independent recount
+    census: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text, *_ in rows:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if grams:
+            per_doc[doc_id] = grams
+            census.update(grams)
+    assert set(out) == set(per_doc)  # doc 5 excluded
+    for doc_id, grams in per_doc.items():
+        dup = sum(1 for g in grams if census[g] > 1)
+        r = out[doc_id]
+        assert (r.n_grams, r.n_dup_grams) == (len(grams), dup), doc_id
+        assert r.dup_ppm == dup * 1_000_000 // len(grams)
+
+    # the planted spot-claims the fixture encodes
+    assert out[1].n_dup_grams == 1 and out[2].n_dup_grams == 1
+    assert out[3].n_dup_grams >= 2  # self-repeat: both span positions
+    assert out[4].n_dup_grams == 0
+
+
+def test_q138_padded_batch_manifest_recount_and_invariants(spark, sf_dir):
+    """q138 vs an independent python recount (pad → shard → enumerate →
+    batch) plus the invariants the manifest exists for: every doc
+    assigned exactly once (token conservation), no batch exceeds the
+    padded-token budget unless it is a single over-budget doc, batch
+    indices are dense per (bucket, shard), and waste is exactly the
+    pad-to-bucket slack."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from engine.session import table
+    from engine.text import (
+        BATCH_SHARDS,
+        BATCH_TOKENS,
+        PAD_QUANTUM,
+        q138_padded_batch_manifest,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = [
+        (r.doc_id, r.n)
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim(F.col("text")), " +")).alias("n"))
+        .collect()
+    ]
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for doc_id, n in docs:
+        padded = ((n + PAD_QUANTUM - 1) // PAD_QUANTUM) * PAD_QUANTUM
+        groups.setdefault((padded, h60(str(doc_id)) % BATCH_SHARDS), []).append((doc_id, n))
+    expect: dict[tuple[int, int, int], list[int]] = {}
+    for (padded, shard), members in groups.items():
+        cap = max(1, BATCH_TOKENS // padded)
+        for i, (doc_id, n) in enumerate(sorted(members)):
+            expect.setdefault((padded, shard, i // cap), []).append(n)
+
+    out = {(r.padded_len, r.shard, r.batch_idx): r for r in q138_padded_batch_manifest(spark, sf_dir).collect()}
+    assert set(out) == set(expect)
+    for key, lens in expect.items():
+        r = out[key]
+        padded = key[0]
+        assert r.n_docs == len(lens)
+        assert r.real_tokens == sum(lens)
+        assert r.padded_tokens == len(lens) * padded
+        assert r.waste_ppm == (r.padded_tokens - r.real_tokens) * 1_000_000 // r.padded_tokens
+        # budget invariant: within budget, or a lone over-budget doc
+        assert r.padded_tokens <= BATCH_TOKENS or (r.n_docs == 1 and padded > BATCH_TOKENS)
+    # conservation: every doc exactly once
+    assert sum(r.n_docs for r in out.values()) == len(docs)
+    # dense batch indices per (bucket, shard)
+    for (padded, shard), members in groups.items():
+        idxs = sorted(b for (p, s, b) in out if (p, s) == (padded, shard))
+        assert idxs == list(range(len(idxs)))
