@@ -620,6 +620,7 @@ _DISPLACED_DIRECT_TO_R11 = [
 _POST_FREEZE_ADDITIONS_R10: list[str] = [
     "q137_dup_ngram_report",       # duplicate-13-gram memorization risk
     "q138_padded_batch_manifest",  # length-bucketed dynamic batching
+    "q139_funnel_acceptance",      # q137's metric per q134 funnel stage
 ]
 
 

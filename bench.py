@@ -219,9 +219,11 @@ HEADLINE = [
     "q135_incremental_curation",
     "q136_curriculum_shards",
     # r10 post-freeze additions: the duplicate-13-gram memorization
-    # report and the length-bucketed dynamic-batching manifest
+    # report, the length-bucketed dynamic-batching manifest, and the
+    # per-funnel-stage dup-mass acceptance audit
     "q137_dup_ngram_report",
     "q138_padded_batch_manifest",
+    "q139_funnel_acceptance",
 ]
 
 

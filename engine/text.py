@@ -5534,7 +5534,11 @@ _Q134_QUALITY = """
                   / len(string_split_regex(trim(text), ' +')) / 10.0, 1.0)
 """
 
-ORACLE["q134_curation_funnel"] = (
+# the stage-CTE prefix is SHARED with q139's acceptance oracle (plain
+# concatenation both places; the assembled q134 string is byte-
+# identical to the pre-split r10 form — verified at refactor time and
+# pinned by tests/test_text.py::test_q139_funnel_acceptance_*)
+_Q134_STAGE_CTES = (
     "WITH RECURSIVE\n"
     f"s1 AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0),\n"
     "s2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),\n"
@@ -5559,7 +5563,11 @@ ORACLE["q134_curation_funnel"] = (
     + ORACLE["q48_decontaminate"]
     + ") q WHERE contaminated),\n"
     "s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),\n"
-    "counts AS (\n"
+)
+
+ORACLE["q134_curation_funnel"] = (
+    _Q134_STAGE_CTES
+    + "counts AS (\n"
     "    SELECT 0 AS stage, 'ingested' AS gate,\n"
     "           (SELECT count(*) FROM documents)::bigint AS n_docs\n"
     "    UNION ALL SELECT 1, 'holdout_carveout', (SELECT count(*) FROM s1)::bigint\n"
@@ -5655,6 +5663,30 @@ ORACLE["q135_incremental_curation"] = (
 MEM_NGRAM_N = 13
 
 
+def _gram_hash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per POSITIONAL MEM_NGRAM_N-gram, hashed to
+    the portable 60-bit grid inside the scan projection — the shared
+    gram stream of q137 (corpus census) and q139 (per-funnel-stage
+    census). The size() predicate runs on the TOKEN array (the q74b
+    pushdown lesson: a filter on the derived gram array would inline
+    the higher-order transform beneath the tokenize projection)."""
+    n = MEM_NGRAM_N
+    return (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), " +"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(_SPARK_H60.format(expr="gram")).alias("h"))
+    )
+
+
 def q137_dup_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplicate-n-gram (memorization-risk) report — for every
     document with ≥ MEM_NGRAM_N tokens: how many of its positional
@@ -5684,25 +5716,7 @@ def q137_dup_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q53 minhash argument: both sides hash the identical string
     with the identical md5-prefix arithmetic), so the oracle matches
     bit-for-bit."""
-    n = MEM_NGRAM_N
-    d = table(spark, sf_dir, "documents")
-    grams = (
-        d.withColumn("toks", F.split(F.trim(F.col("text")), " +"))
-        # cheap pushdown-safe predicate (the q74b lesson: never filter
-        # on the derived gram array — the higher-order expr would be
-        # inlined beneath the tokenize projection)
-        .filter(F.size("toks") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {n}),"
-                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
-                )
-            ).alias("gram"),
-        )
-        .select("doc_id", F.expr(_SPARK_H60.format(expr="gram")).alias("h"))
-    )
+    grams = _gram_hash_frame(table(spark, sf_dir, "documents"))
     w = Window.partitionBy("h")
     return (
         grams.withColumn("c", F.count(F.lit(1)).over(w))
@@ -5839,3 +5853,160 @@ ORACLE["q138_padded_batch_manifest"] = f"""
                // (count(*) * padded_len))::bigint AS waste_ppm
     FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------- funnel acceptance (dup-mass audit, r10)
+
+def q139_funnel_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel ACCEPTANCE report — q137's duplicate-13-gram metric
+    measured at every stage of q134's curation funnel: per gate, the
+    surviving doc count plus the positional-gram census and duplicated
+    mass WITHIN the surviving subcorpus. This is the number that
+    grades the funnel: exact_dedup should erase whole-copy gram mass,
+    near_dup the near-copy tail, and whatever ``n_dup_grams`` remains
+    at stage 5 is the corpus's residual memorization risk — a
+    driver-visible frame, not a paper claim.
+
+    The stage spines restate q134's gates expression-for-expression
+    (q134 itself is frozen this round, so it cannot be refactored to
+    share code without forfeiting its window slot); the restatement
+    cannot drift because the planted test pins this report's per-stage
+    ``n_docs`` equal to q134's and its stage-0 census equal to q137's
+    totals. The oracle DOES share q134's stage CTEs verbatim
+    (_Q134_STAGE_CTES — the assembled q134 string stayed
+    byte-identical through the split).
+
+    Scale shape: the gram stream (_gram_hash_frame — only 8-byte
+    hashes leave the scan) is derived once and semi-joined per stage
+    on 8-byte doc_ids; each stage census is the q137 window + one-row
+    agg. Six stages ⇒ six gram-stream evaluations in the default lazy
+    plan (Catalyst's no-subplan-dedup, the q134/q135 honesty note);
+    the checkpoint-the-narrow-frame fix documented there applies
+    unchanged if the audit runs hot."""
+    d = table(spark, sf_dir, "documents")
+    # --- q134's stage spines, restated (see docstring) ---
+    s1 = d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    s2 = (
+        s1.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pairs = (
+        q54_minhash_candidates(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comps = connected_components(pairs)
+    s3 = s2.join(
+        comps.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tokens)
+        + 0.3 * F.least(
+            F.length(F.regexp_replace(F.trim(F.col("text")), " +", "")) / n_tokens / F.lit(10.0),
+            F.lit(1.0),
+        )
+    )
+    s4 = (
+        s3.join(d, "doc_id")
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+    contaminated = q48_decontaminate(spark, sf_dir).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+
+    grams = _gram_hash_frame(d)
+    w = Window.partitionBy("h")
+    out = None
+    for i, gate, spine in [
+        (0, "ingested", d.select("doc_id")),
+        (1, "holdout_carveout", s1.select("doc_id")),
+        (2, "exact_dedup", s2),
+        (3, "near_dup", s3),
+        (4, "quality", s4),
+        (5, "decontaminated", s5),
+    ]:
+        g = grams.join(spine, "doc_id", "left_semi")
+        stat = (
+            g.withColumn("c", F.count(F.lit(1)).over(w))
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_grams"),
+            )
+            .crossJoin(spine.agg(F.count(F.lit(1)).alias("n_docs")))
+            .select(
+                F.lit(i).alias("stage"),
+                F.lit(gate).alias("gate"),
+                "n_docs",
+                F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            )
+        )
+        out = stat if out is None else out.unionAll(stat)
+    return (
+        out.select(
+            "stage",
+            "gate",
+            "n_docs",
+            "n_grams",
+            "n_dup_grams",
+            F.coalesce(
+                F.expr("n_dup_grams * 1000000 div nullif(n_grams, 0)"), F.lit(0)
+            ).alias("dup_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
+QUERIES["q139_funnel_acceptance"] = q139_funnel_acceptance
+
+ORACLE["q139_funnel_acceptance"] = (
+    _Q134_STAGE_CTES
+    + f"""grams AS (
+        SELECT doc_id, {_DUCK_H60.format(expr="g")} AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - {MEM_NGRAM_N - 1}),
+                       i -> array_to_string(toks[i:i+{MEM_NGRAM_N - 1}], ' '))) AS g
+            FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+                  FROM documents) t
+            WHERE len(toks) >= {MEM_NGRAM_N}) q),
+"""
+    + "".join(
+        f"""stat{i} AS (
+        SELECT count(*)::bigint AS n_grams,
+               coalesce(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0)::bigint AS n_dup_grams
+        FROM (SELECT count(*) OVER (PARTITION BY h) AS cnt
+              FROM grams WHERE doc_id IN (SELECT doc_id FROM {src})) q),
+"""
+        for i, src in [(0, "documents"), (1, "s1"), (2, "s2"), (3, "s3"), (4, "s4"), (5, "s5")]
+    )
+    + """rows AS (
+    SELECT 0 AS stage, 'ingested' AS gate,
+           (SELECT count(*) FROM documents)::bigint AS n_docs,
+           (SELECT n_grams FROM stat0) AS n_grams,
+           (SELECT n_dup_grams FROM stat0) AS n_dup_grams
+    UNION ALL SELECT 1, 'holdout_carveout', (SELECT count(*) FROM s1)::bigint,
+           (SELECT n_grams FROM stat1), (SELECT n_dup_grams FROM stat1)
+    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::bigint,
+           (SELECT n_grams FROM stat2), (SELECT n_dup_grams FROM stat2)
+    UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)::bigint,
+           (SELECT n_grams FROM stat3), (SELECT n_dup_grams FROM stat3)
+    UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::bigint,
+           (SELECT n_grams FROM stat4), (SELECT n_dup_grams FROM stat4)
+    UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)::bigint,
+           (SELECT n_grams FROM stat5), (SELECT n_dup_grams FROM stat5))
+SELECT stage, gate, n_docs, n_grams, n_dup_grams,
+       coalesce(n_dup_grams * 1000000 // nullif(n_grams, 0), 0)::bigint AS dup_ppm
+FROM rows ORDER BY stage"""
+)

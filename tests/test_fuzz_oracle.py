@@ -69,6 +69,7 @@ FUZZ_QUERIES = [
     "q133_shingle_containment",  # containment arithmetic on hostile/degenerate shingle sets
     "q134_curation_funnel",  # cumulative-gate funnel incl. components on hostile corpora
     "q135_incremental_curation",  # snapshot-delta gates on hostile corpora (r9)
+    "q139_funnel_acceptance",  # per-stage dup-gram mass on hostile corpora (r10)
     "q136_curriculum_shards",  # rank decomposition + round-robin on hostile grids (r9)
     "q120_budget_selection",        # budget boundary on hostile token counts
     "q121_source_diversity_report", # concentration arithmetic on tiny corpora

@@ -2502,3 +2502,46 @@ def test_q138_padded_batch_manifest_recount_and_invariants(spark, sf_dir):
     for (padded, shard), members in groups.items():
         idxs = sorted(b for (p, s, b) in out if (p, s) == (padded, shard))
         assert idxs == list(range(len(idxs)))
+
+
+def test_q139_funnel_acceptance_parity_and_planted_drop(spark, sf_dir, tmp_path):
+    """q139's two drift-guards: per-stage n_docs equals q134's funnel
+    (the restated spines cannot diverge) and the stage-0 census equals
+    q137's corpus totals. Then the semantics on a planted corpus: an
+    exact duplicate doc carries shared 13-gram mass at ingest that
+    exact_dedup erases — dup_ppm falls to zero from stage 2 on."""
+    from engine.text import (
+        q134_curation_funnel,
+        q137_dup_ngram_report,
+        q139_funnel_acceptance,
+    )
+
+    acc = {r.stage: r for r in q139_funnel_acceptance(spark, sf_dir).collect()}
+    fun = {r.stage: r for r in q134_curation_funnel(spark, sf_dir).collect()}
+    assert set(acc) == set(fun) == set(range(6))
+    for i in range(6):
+        assert acc[i].n_docs == fun[i].n_docs, i
+        assert acc[i].gate == fun[i].gate, i
+    rep = q137_dup_ngram_report(spark, sf_dir).collect()
+    assert acc[0].n_grams == sum(r.n_grams for r in rep)
+    assert acc[0].n_dup_grams == sum(r.n_dup_grams for r in rep)
+
+    # planted: doc 1 and its exact copy (id 2) share every 13-gram;
+    # the rest are unique docs long enough to survive the quality gate
+    long_a = " ".join(f"w{i}" for i in range(120))
+    rows = [
+        (1, long_a, "en", "web"),
+        (2, long_a, "en", "web"),          # exact copy -> dropped at s2
+        (3, " ".join(f"u{i}" for i in range(110)), "en", "web"),
+        (100, " ".join(f"e{i}" for i in range(40)), "en", "web"),  # holdout
+    ]
+    d = str(tmp_path / "q139")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.stage: r for r in q139_funnel_acceptance(spark, d).collect()}
+    assert out[0].n_dup_grams == 2 * 108  # both copies' positions count
+    assert out[1].n_dup_grams == 2 * 108  # holdout carve touches neither
+    assert out[2].n_dup_grams == 0        # exact_dedup erased the mass
+    assert out[2].dup_ppm == 0 and out[5].dup_ppm == 0
+    assert out[2].n_docs == out[1].n_docs - 1

@@ -45,6 +45,7 @@ EAGER_SKIP = {
     "ml_misclassified_inverse",
     "ml_adaptive_tuning",
     "q62_brp_lsh_join",
+    "q139_funnel_acceptance",  # connected-components collect at build (q134's class)
     "q65_knn_ivf",
     "q75_semantic_dedup",
     "q76_pq_ann",
