@@ -150,8 +150,21 @@ def _duck_ser(col: str, kind: str) -> str:
     return f"coalesce(CAST({col} AS VARCHAR), '{NULL_S}')"
 
 
+# members whose runtime default is the PINNED (eager io.materialize)
+# path since r10: the composites exist to re-prove the member's pure-
+# Catalyst machinery as one lazy plan, so their legs call the lazy
+# variant explicitly — byte-identical output (pinned vs lazy equality
+# is asserted by tests/test_plans.py::test_checkpoint_collapses_scans)
+# and no pin jobs run during composite construction.
+_LAZY_LEG_KWARGS = {
+    "q124_hybrid_rrf": {"checkpointed": False},
+    "q125_length_outliers": {"checkpointed": False},
+    "q135_incremental_curation": {"checkpointed": False},
+}
+
+
 def _leg_frame(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = MEMBER_QUERIES[name](spark, sf_dir)
+    df = MEMBER_QUERIES[name](spark, sf_dir, **_LAZY_LEG_KWARGS.get(name, {}))
     k = F.concat_ws("|", *[_spark_ser(c, kind) for c, kind in _LEGS[name]])
     return df.select(F.lit(name).alias("shape"), k.alias("k"))
 

@@ -607,30 +607,47 @@ Q62_INPUT_BOUND = 50_000
 
 
 def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH approx similarity self-join
-    (seeded). Rows-only: the model's hyperplanes are internal RNG.
+    """MLlib BucketedRandomProjectionLSH similarity self-join (seeded)
+    — the LIBRARY-PARITY tier. Rows-only: the model's hyperplanes are
+    internal RNG. Output is the exact approxSimilarityJoin result set
+    (same seeded model, same candidate rule, same distance, same
+    strict < threshold), but computed with the r10 keys-only plan:
 
-    This is the LIBRARY-PARITY tier, and r8's bench/shuffle watch
-    priced it honestly: ~20 s and **781 MB shuffled for 4,000 input
-    vectors** at sf0.1 (SHUFFLE_AUDIT.md top row) — MLlib's
-    approxSimilarityJoin explodes each side per hash table and
-    shuffles the FULL dense vector with every exploded row, ~195 KB
-    of movement per input vector. At 100 TB this shape is the
-    documented anti-pattern; the engine's own scale path is q61
-    (derived-knob multi-probe LSH: 16-byte banded keys shuffle, the
-    vectors stay in the scan) and q66 — kept side by side so the
-    trade is measured, not asserted.
+    r8's shuffle watch priced the library call honestly: ~20 s and
+    **781 MB shuffled for 4,000 input vectors** at sf0.1 —
+    ``approxSimilarityJoin`` explodes each side per hash table and
+    runs its pair-``distinct`` over rows that still CARRY the full
+    dense vector + hash structs, so the dedup exchange moves ~195 KB
+    per input vector. The guide-§8 restructure keeps the identical
+    candidate semantics while shuffling only ids: posexplode the
+    model's hashes to 24-byte (vec_id, entry, bucket) rows, self-join
+    on (entry, bucket) with vec_a < vec_b, ``distinct`` on the 16-byte
+    id pair (map-side partial dedup), then evaluate MLlib's own
+    keyDistance — sqrt of the ascending-index sum of squared deltas,
+    reproduced bit-for-bit by a vectorized numpy kernel over the
+    broadcast corpus matrix (bounded: the input is ≤ Q62_INPUT_BOUND
+    by the demo bound) — with the library's strict ``dist <
+    threshold``. Candidate generation, dedup, distance
+    and filter are the library's semantics exactly; pairs and
+    distances are verified multiset-identical to approxSimilarityJoin
+    at sf0.001/0.01/0.1 (tools/verify_q62_parity receipt in
+    OPTIMIZATION_r10.md).
 
-    BOUNDED DEMO (r8 verdict item 7): the shuffle grows quadratically
-    with corpus size at fixed threshold, so the input is asserted ≤
-    Q62_INPUT_BOUND — beyond it the call refuses loudly instead of
-    melting the cluster; route real workloads to q61/q66. The
-    "scale path loses nothing" claim is MEASURED, not asserted:
-    ann_recall_report carries brp/lsh threshold-join recall rows at
-    the identical euclidean threshold (see _threshold_join_recall)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    BOUNDED DEMO (r8 verdict item 7): candidate count still grows
+    quadratically with corpus size at fixed threshold (that is the
+    library tier's *algorithm*, unchanged here — only its movement
+    cost shrank), so the input is asserted ≤ Q62_INPUT_BOUND — beyond
+    it the call refuses loudly instead of melting the cluster; route
+    real workloads to q61/q66. The "scale path loses nothing" claim
+    is MEASURED, not asserted: ann_recall_report carries brp/lsh
+    threshold-join recall rows at the identical euclidean threshold
+    (see _threshold_join_recall)."""
+    from pyspark.ml.functions import vector_to_array
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
     )
+    e = emb.select("vec_id", array_to_vector(F.col("arr")).alias("features"))
     # bounded probe: limit(BOUND+1).count() stops the scan after at most
     # BOUND+1 rows — enforcing the demo bound must not itself cost a
     # full pass over an unboundedly large corpus (and it doubles as the
@@ -644,22 +661,65 @@ def q62_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n > Q62_INPUT_BOUND:
         raise ValueError(
             f"q62 is the bounded library-parity demo: >{n - 1} input vectors exceed "
-            f"Q62_INPUT_BOUND={Q62_INPUT_BOUND}. approxSimilarityJoin shuffles the "
-            "full dense vector per (row, hash table) — ~195 KB/vector measured at "
-            "sf0.1 — and grows quadratically with corpus at fixed threshold. "
+            f"Q62_INPUT_BOUND={Q62_INPUT_BOUND}. Its candidate set grows "
+            "quadratically with corpus at fixed threshold. "
             "Use q61 (multi-probe LSH) or q66 (banded near-dup) at scale."
         )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     ).fit(e)
-    pairs = lsh.approxSimilarityJoin(e, e, threshold=BRP_THRESHOLD, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("dist", 6).alias("euclidean_dist"),
+    # 24-byte hash rows — the ONLY thing the candidate join and the
+    # pair-distinct ever move (null/hashless rows drop in posexplode,
+    # matching approxSimilarityJoin's explode of the hash array)
+    h = (
+        lsh.transform(e)
+        .select("vec_id", F.posexplode("hashes").alias("entry", "hv"))
+        .select("vec_id", "entry", vector_to_array(F.col("hv")).getItem(0).alias("bucket"))
+    )
+    pairs = (
+        h.alias("a")
+        .join(
+            F.broadcast(h.alias("b")),
+            (F.col("a.entry") == F.col("b.entry"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # MLlib BRP keyDistance is sqrt(Vectors.sqdist): an ascending-index
+    # scalar fold of squared deltas. np.cumsum is the same sequential
+    # left fold (it must produce every prefix), and IEEE subtract/
+    # square/sqrt are single exact ops — so the vectorized kernel below
+    # is bit-identical to the library loop (verified vs the literal
+    # approxSimilarityJoin at all three SFs). The corpus matrix is a
+    # bounded driver object (≤ Q62_INPUT_BOUND × dim doubles — the
+    # same bytes the old plan broadcast), shipped once per executor;
+    # the candidate frame that crosses the Python boundary is two
+    # 8-byte ids per row. A JVM zip_with/aggregate fold computes the
+    # identical doubles but interprets 2·dim lambda calls per pair —
+    # measured 2.7× slower than this kernel at sf0.1.
+    rows = emb.filter(F.col("arr").isNotNull()).collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    mat = np.array([r.arr for r in rows], dtype=np.float64)[order]
+    b_ids = spark.sparkContext.broadcast(ids_sorted)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    @F.pandas_udf("double")
+    def pair_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        key, m = b_ids.value, b_mat.value
+        ia = np.searchsorted(key, a.to_numpy())
+        ib = np.searchsorted(key, b.to_numpy())
+        d2 = (m[ia] - m[ib]) ** 2
+        out = np.sqrt(np.cumsum(d2, axis=1)[:, -1]) if len(d2) else np.empty(0)
+        return pd.Series(out)
+
+    return (
+        pairs.withColumn("dist", pair_dist("vec_a", "vec_b"))
+        .filter(F.col("dist") < BRP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("dist", 6).alias("euclidean_dist"))
     )
 
 

@@ -332,7 +332,7 @@ def q135_incremental_curation(
     spark: SparkSession,
     sf_dir: str,
     index_table: str | None = None,
-    checkpointed: bool = False,
+    checkpointed: bool = True,
     index_is_corpus: bool = False,
     return_survivors: bool = False,
 ) -> DataFrame:
@@ -393,9 +393,11 @@ def q135_incremental_curation(
     summary; this is the admission leg's input (the funnel numbers are
     unchanged, it is the same s5 spine).
 
-    ``checkpointed=True`` (opt-in, q124/q125's shared-subtree fix):
-    Catalyst plans the stage chain once PER COUNT LEG — 57 FileScans
-    in the default returned plan (PLANS.json). The pin materializes
+    ``checkpointed=True`` (the r10 DEFAULT — measured ×0.67 at sf0.1;
+    q124/q125's shared-subtree fix): Catalyst plans the stage chain
+    once PER COUNT LEG — 57 FileScans in the lazy returned plan
+    (PLANS.json still snapshots that variant via
+    tools/plan_snapshot.py's lazy-variant hook). The pin materializes
     each narrow per-stage doc_id spine (delta-sized, tiny) via
     io.materialize, so every count leg reads a pinned frame and each
     stage build replans from the previous pin + one corpus scan:
@@ -4635,7 +4637,7 @@ RRF_POOL = 20    # per-leg candidate pool fused per query
 
 
 def q124_hybrid_rrf(
-    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+    spark: SparkSession, sf_dir: str, checkpointed: bool = True
 ) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion: two independent
     rankers over the same fixed query workload — q116's Okapi BM25 and
@@ -4670,8 +4672,10 @@ def q124_hybrid_rrf(
     pins, and the corpus is scanned exactly TWICE — q116's inherent
     floor — with ZERO corpus FileScans left in the returned plan
     (tests/test_plans.py::test_checkpoint_collapses_scans pins shape
-    and byte-identical output; the default stays un-pinned so the
-    driver exercises the pure-Catalyst plan)."""
+    and byte-identical output). r10: the pin IS the default (wall-
+    neutral at sf0.1 — ×1.00 warm — while halving corpus scans); the
+    pure-Catalyst plan stays watched via the lazy variant in
+    tools/plan_snapshot.py."""
     qterms, tot, tfd = _retrieval_frames(spark, sf_dir)
     if checkpointed:
         from . import io as _io
@@ -4855,7 +4859,7 @@ def _med2_of(cen: DataFrame, val_col: str) -> DataFrame:
 
 
 def q125_length_outliers(
-    spark: SparkSession, sf_dir: str, checkpointed: bool = False
+    spark: SparkSession, sf_dir: str, checkpointed: bool = True
 ) -> DataFrame:
     """Per-language robust length-outlier report — median / MAD
     (median absolute deviation) of the token count with a
@@ -4888,8 +4892,10 @@ def q125_length_outliers(
     and every leg reads the pin — the corpus is then scanned exactly
     ONCE, and the returned plan has ZERO corpus FileScans
     (tests/test_plans.py::test_checkpoint_collapses_scans proves the
-    shape AND byte-identical output; the default stays un-pinned so
-    the driver exercises the pure-Catalyst plan). Output is
+    shape AND byte-identical output). r10: the pin IS the default —
+    measured ×0.86 at sf0.1 on top of the 4×→1 scan win — and the
+    pure-Catalyst plan stays watched via the lazy variant in
+    tools/plan_snapshot.py. Output is
     ≤|langs| rows: (lang, n_docs, med2_tokens, mad2_tokens, max_dev2,
     n_outliers, outlier_ppm)."""
     d = table(spark, sf_dir, "documents")
@@ -5876,29 +5882,75 @@ def q139_funnel_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_Q134_STAGE_CTES — the assembled q134 string stayed
     byte-identical through the split).
 
-    Scale shape: the gram stream (_gram_hash_frame — only 8-byte
-    hashes leave the scan) is derived once and semi-joined per stage
-    on 8-byte doc_ids; each stage census is the q137 window + one-row
-    agg. Six stages ⇒ six gram-stream evaluations in the default lazy
-    plan (Catalyst's no-subplan-dedup, the q134/q135 honesty note);
-    the checkpoint-the-narrow-frame fix documented there applies
-    unchanged if the audit runs hot."""
+    Scale shape (r10 rewrite, output byte-identical — gated by the
+    strict q139 oracle at all three SFs and the q134/q137 cross-pins
+    in tests/test_text.py): the r9 form ran SIX window censuses, each
+    semi-joining a re-derived gram stream against a re-derived stage
+    spine — Catalyst plans shared subtrees once per use, so s5's
+    census re-planned s4's whole chain, s4's re-planned s3's, …: 52
+    corpus FileScans, 128 exchanges, and six window sorts over the
+    gram stream in one returned plan (plans/r10/*_before.txt),
+    measured 9.3 s at sf0.1. The rewrite computes the same numbers
+    with ONE pass over the gram stream and NO window:
+
+    * the stage spines (pinned narrow doc_id frames — io.materialize,
+      the q124/q125/q135 shared-subtree fix; each stage chain runs
+      once from the previous pin) fold into a per-doc ``stage_max``
+      flag frame: the stages are nested by construction, so the
+      highest surviving gate fully encodes membership in every gate;
+    * the gram stream (_gram_hash_frame — only 8-byte hashes leave
+      the scan) is derived ONCE, joins the flag frame on doc_id, and
+      ONE hash aggregation per gram hash produces the six per-stage
+      occurrence counts cnt_i = Σ(stage_max ≥ i) — map-side partials
+      collapse the shuffle to distinct-hash rows (the window form
+      shuffled and SORTED every gram row six times);
+    * per stage, n_grams = Σ_h cnt_i and n_dup_grams = Σ_h cnt_i·
+      [cnt_i > 1] (a gram row is duplicated within stage i iff its
+      hash occurs more than once among stage-i survivors — exactly
+      the window-count predicate), so one more one-row aggregation
+      plus the six spine counts assembles the report."""
+    from .io import materialize
     d = table(spark, sf_dir, "documents")
-    # --- q134's stage spines, restated (see docstring) ---
+    # --- q134's stage spines, restated (see docstring). Pins are
+    # placed where a subtree would otherwise re-run per use AND costs
+    # a corpus pass: s2 (feeds the candidate restriction, s3 and the
+    # flag frame), s4 (feeds s5 and the flag frame), and the final
+    # flag frame (read by the census and the n_docs agg). s1 needs no
+    # frame at all — holdout membership is a pure doc_id expression —
+    # and s3/s5 are cheap derivations of pinned parents (an anti-join
+    # against a driver-sized frame resp. the q48 verdict), left lazy
+    # so construction stays a handful of jobs. ---
     s1 = d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
-    s2 = (
-        s1.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    pairs = (
-        q54_minhash_candidates(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    comps = connected_components(pairs)
+    # the q48 contamination verdict is independent of the dedup chain:
+    # overlap its (pinned) evaluation with the s2 → candidates →
+    # components jobs from a driver thread (guide-§2.6 back-fill —
+    # actions are only sequential because the driver calls them
+    # sequentially), instead of paying it serially inside the flag
+    # frame's pin
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        contaminated_fut = pool.submit(
+            lambda: materialize(
+                q48_decontaminate(spark, sf_dir)
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
+        )
+        s2 = materialize(
+            s1.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        pairs = (
+            q54_minhash_candidates(spark, sf_dir)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        comps = connected_components(pairs)
+        contaminated = contaminated_fut.result()
     s3 = s2.join(
         comps.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
         "doc_id",
@@ -5914,47 +5966,78 @@ def q139_funnel_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         )
     )
-    s4 = (
+    s4 = materialize(
         s3.join(d, "doc_id")
         .withColumn("quality", quality)
         .filter(F.col("quality") >= 0.5)
         .select("doc_id")
     )
-    contaminated = q48_decontaminate(spark, sf_dir).filter(
-        F.col("contaminated")
-    ).select("doc_id")
     s5 = s4.join(contaminated, "doc_id", "left_anti")
 
-    grams = _gram_hash_frame(d)
-    w = Window.partitionBy("h")
-    out = None
-    for i, gate, spine in [
-        (0, "ingested", d.select("doc_id")),
-        (1, "holdout_carveout", s1.select("doc_id")),
-        (2, "exact_dedup", s2),
-        (3, "near_dup", s3),
-        (4, "quality", s4),
-        (5, "decontaminated", s5),
-    ]:
-        g = grams.join(spine, "doc_id", "left_semi")
-        stat = (
-            g.withColumn("c", F.count(F.lit(1)).over(w))
-            .agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_grams"),
-            )
-            .crossJoin(spine.agg(F.count(F.lit(1)).alias("n_docs")))
-            .select(
-                F.lit(i).alias("stage"),
-                F.lit(gate).alias("gate"),
-                "n_docs",
-                F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
-                F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+    # per-doc stage_max: nested gates ⇒ the highest surviving stage
+    # encodes membership in every stage (stage_max ≥ i ⇔ doc ∈ s_i);
+    # stage 1 is the inline holdout predicate, no join needed
+    spines = [(2, s2), (3, s3), (4, s4), (5, s5)]
+    flags = d.select(
+        "doc_id", (F.col("doc_id") % DECON_HOLDOUT_MOD != 0).alias("in1")
+    )
+    for i, sp in spines:
+        flags = flags.join(
+            sp.select("doc_id", F.lit(True).alias(f"in{i}")), "doc_id", "left"
+        )
+    stage_max = F.when(F.col("in1"), 1).otherwise(0)
+    for i, _ in spines:
+        stage_max = F.when(F.col(f"in{i}"), i).otherwise(stage_max)
+    flags = materialize(flags.select("doc_id", stage_max.alias("stage_max")))
+
+    # one gram pass, one hash agg per gram hash: cnt_i = occurrences
+    # of this hash among stage-i survivors
+    per_h = (
+        _gram_hash_frame(d)
+        .join(flags, "doc_id")
+        .groupBy("h")
+        .agg(
+            *[
+                F.sum(F.when(F.col("stage_max") >= i, 1).otherwise(0)).alias(f"c{i}")
+                for i in range(6)
+            ]
+        )
+    )
+    census = per_h.agg(
+        *[F.sum(F.col(f"c{i}")).alias(f"g{i}") for i in range(6)],
+        *[
+            F.sum(F.when(F.col(f"c{i}") > 1, F.col(f"c{i}")).otherwise(0)).alias(f"d{i}")
+            for i in range(6)
+        ],
+    )
+    n_docs = flags.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("stage_max") >= i, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(6)
+        ]
+    )
+    gates = [
+        "ingested",
+        "holdout_carveout",
+        "exact_dedup",
+        "near_dup",
+        "quality",
+        "decontaminated",
+    ]
+    stack = ", ".join(
+        f"{i}, '{gate}', n{i}, coalesce(g{i}, 0L), coalesce(d{i}, 0L)"
+        for i, gate in enumerate(gates)
+    )
+    return (
+        census.crossJoin(n_docs)
+        .select(
+            F.expr(
+                f"stack(6, {stack}) AS (stage, gate, n_docs, n_grams, n_dup_grams)"
             )
         )
-        out = stat if out is None else out.unionAll(stat)
-    return (
-        out.select(
+        .select(
             "stage",
             "gate",
             "n_docs",

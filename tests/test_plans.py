@@ -186,10 +186,15 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
     io.materialize — the corpus FileScan count in the returned plan
     must drop to 0 (q125/q124: every leg reads the pin) resp. 1
     (q129: only the doc_id spine), with byte-identical output."""
-    # default plans really do multiply the corpus subtree — the fact
-    # that makes the fix worth pinning
-    assert _plan(text.q125_length_outliers(spark, sf_dir)).count("FileScan") == 4
-    assert _plan(text.q124_hybrid_rrf(spark, sf_dir)).count("FileScan") == 4
+    # lazy plans really do multiply the corpus subtree — the fact
+    # that makes the fix worth pinning (r10: the pin IS the default
+    # for q124/q125/q135; the lazy variant stays the reference shape)
+    assert _plan(
+        text.q125_length_outliers(spark, sf_dir, checkpointed=False)
+    ).count("FileScan") == 4
+    assert _plan(
+        text.q124_hybrid_rrf(spark, sf_dir, checkpointed=False)
+    ).count("FileScan") == 4
 
     from engine import multimodal
 
@@ -200,7 +205,7 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
         # q131: the pin means payloads are DECODED once, not twice —
         # no FileScan and no MapInPandas subtree left in the plan
         (multimodal.q131_phash_neardup, 0),
-        # q135: 57 default FileScans (6 count legs × the stage chain)
+        # q135: 57 lazy FileScans (6 count legs × the stage chain)
         # drop to zero — every leg reads a pinned doc_id spine
         (text.q135_incremental_curation, 0),
     ):
@@ -208,9 +213,9 @@ def test_checkpoint_collapses_scans(spark, sf_dir):
         plan = _plan(ck)
         assert plan.count("FileScan") == n_scans, fn.__name__
         assert "ExistingRDD" in plan, fn.__name__  # the pinned frames
-        default = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        lazy = [tuple(r) for r in fn(spark, sf_dir, checkpointed=False).collect()]
         pinned = [tuple(r) for r in ck.collect()]
-        assert pinned == default, fn.__name__
+        assert pinned == lazy, fn.__name__
 
 
 def test_band_index_consumers_probe_shared_store(spark, sf_dir):

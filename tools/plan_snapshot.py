@@ -67,6 +67,25 @@ EAGER_SKIP = {
 }
 
 
+# Queries whose RUNTIME default is the pinned/eager path (r10 flipped
+# checkpointed=True on): the snapshot audits the LAZY pure-Catalyst
+# variant instead, so the plan-watch coverage of the un-pinned shape
+# (the one whose drift matters — the pins read ExistingRDD frames) is
+# kept while the driver/bench run the pinned default.
+def _lazy_variants():
+    from engine import text
+
+    return {
+        "q124_hybrid_rrf": lambda s, d: text.q124_hybrid_rrf(s, d, checkpointed=False),
+        "q125_length_outliers": lambda s, d: text.q125_length_outliers(
+            s, d, checkpointed=False
+        ),
+        "q135_incremental_curation": lambda s, d: text.q135_incremental_curation(
+            s, d, checkpointed=False
+        ),
+    }
+
+
 def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
     """Audit the FINAL (post-AQE) physical plan of every static query.
 
@@ -85,11 +104,12 @@ def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
     import __spark_entry__ as contract
     from explain_audit import CODEGEN_RE, audit
 
+    lazy = _lazy_variants()
     out: dict = {}
     for name, fn in contract.queries().items():
         if name in EAGER_SKIP:
             continue
-        df = fn(spark, sf_dir)
+        df = lazy.get(name, fn)(spark, sf_dir)
         entry = audit(df._jdf.queryExecution().executedPlan().toString())
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
