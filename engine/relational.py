@@ -2393,6 +2393,12 @@ PR_DAMPING = 0.85
 PR_OUT_DEGREE = 3  # synthetic fixture graph: every page has 3 out-links
 PR_TOP = 20
 PR_ID_RANGES = 32  # range partitions for the dense-id assignment
+# node frames at/below this row count provably fit the broadcast cap
+# (~16 B/row → ≤160 MB; Spark's hard relation cap is 8 GB / 512M
+# rows): below it the power-iteration joins broadcast the node-sized
+# side, above it they keep the shuffle form (web-scale node frames
+# do not broadcast)
+PR_BROADCAST_MAX_NODES = 10_000_000
 
 
 def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
@@ -2421,6 +2427,19 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
     2 jobs per round where 1 suffices, ~20%). Σrank = 1 is invariant
     every round (asserted in tests)."""
     n_row = nodes.count()
+    # localCheckpointed frames carry no size statistics, so the
+    # planner sort-merge-joins the node-sized ranks/contribs frames
+    # every round (2 extra exchanges + sorts per iteration). Below
+    # PR_BROADCAST_MAX_NODES the node frame provably fits the
+    # broadcast cap (~16 B/row → ≤160 MB) and we hint what the
+    # optimizer would choose with statistics: broadcast ranks into
+    # the edge join (edges never shuffle) and contribs into the
+    # damping join (nodes never shuffle) — one exchange per round
+    # (the contribution agg). Above it the shuffle form stays: at
+    # web scale node frames do not broadcast. Float effect: only the
+    # FETCH order into the dst-sum changes, which the contract
+    # already treats as noise (rows-only + 1e-9 numpy parity test).
+    bc = F.broadcast if n_row <= PR_BROADCAST_MAX_NODES else (lambda df: df)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edges_deg = (
         edges.join(deg, "src")
@@ -2439,7 +2458,7 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
     )
     for _ in range(iters):
         contribs = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            edges_deg.join(bc(ranks), edges_deg["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
@@ -2449,7 +2468,7 @@ def pagerank(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(bc(contribs), nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",

@@ -19,12 +19,45 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .session import load_events
+
+# State-store partition count for the bounded stream REPLAYS whose
+# outputs are exact (id/timestamp columns only — the interval join and
+# the near-dup probe; the float-agg pipelines keep the session
+# default untouched). A streaming query snapshots
+# spark.sql.shuffle.partitions at START and every stateful operator
+# then maintains one state store (plus per-batch checkpoint delta
+# files) PER partition PER store — the interval join keeps four
+# stores, so the session's 32 partitions meant 128 store instances
+# committing twice per replay while the join itself costs less than a
+# second (measured: the 0-input watermark-finalization batch alone
+# took 4 s). State sizing is a real deployment decision (it is frozen
+# into the checkpoint, and operators size it to state volume, not to
+# cluster cores); for these benchmark-scale replays the state is a
+# few MB, so a small fixed width bounds the store-commit overhead at
+# ANY driver core count — env-overridable for a deployment replaying
+# real volumes.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 0):
+    """Scope spark.sql.shuffle.partitions around a streaming-query
+    START (the query pins the value for its lifetime; the session
+    value is restored immediately, so batch twins are unaffected)."""
+    n = n or STREAM_STATE_PARTITIONS
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -510,13 +543,16 @@ def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
 
     joined = click_to_purchase(_typed("click"), _typed("purchase"))
     name = "stream_join_out"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # exact-valued output (ids + timestamps): state width is safe to
+    # size to the replay (see STREAM_STATE_PARTITIONS)
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name)
 
@@ -739,8 +775,17 @@ def run_neardup_stream_demo(
     # index_table= (opt-in): the history leg probes the persisted
     # text.build_band_index store — per micro-batch the stream-static
     # join reads the bucketed store co-located instead of re-deriving
-    # the standing corpus's band rows on every trigger.
-    bands = spark.table(index_table) if index_table else _banded_signatures(d)
+    # the standing corpus's band rows on every trigger. The inline
+    # path pins the derived band rows once (localCheckpoint): a
+    # stream-static join re-evaluates its static side EVERY trigger,
+    # so without the pin the shingle/minhash subtree ran per
+    # micro-batch (and thrice more for the batch staging writes and
+    # the median probe below).
+    bands = (
+        spark.table(index_table)
+        if index_table
+        else _banded_signatures(d).localCheckpoint(eager=True)
+    )
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
 
@@ -783,15 +828,18 @@ def run_neardup_stream_demo(
     batch_pairs = streaming_neardup_state(stream)
 
     sinks = {}
-    for name, src in (("nd_hist_pairs", hist_pairs), ("nd_batch_pairs", batch_pairs)):
-        sinks[name] = (
-            src.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(out_dir, "ckpt_" + name))
-            .trigger(availableNow=True)
-            .start()
-        )
+    # exact-valued outputs (id pairs): state width is safe to size to
+    # the replay (see STREAM_STATE_PARTITIONS)
+    with _state_partitions(spark):
+        for name, src in (("nd_hist_pairs", hist_pairs), ("nd_batch_pairs", batch_pairs)):
+            sinks[name] = (
+                src.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(out_dir, "ckpt_" + name))
+                .trigger(availableNow=True)
+                .start()
+            )
     for q in sinks.values():
         q.awaitTermination(120)
 

@@ -249,22 +249,41 @@ def q134_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each gate is the member's documented plan; the
     funnel adds only doc_id semi/anti joins (16-byte keys) and a
     six-row final frame. The component input is the verified
-    candidate list (output-scale, q80's argument)."""
+    candidate list (output-scale, q80's argument). r10: the s2/s4
+    spines are pinned (io.materialize — Catalyst otherwise replans
+    the nested stage chain once per count leg, q139's measured
+    O(stages²) recompute: 20 corpus scans / 44 exchanges in the lazy
+    plan) and the independent q48 verdict leg overlaps the dedup
+    chain on a driver thread (guide-§2.6 back-fill); output is
+    byte-identical — the strict q134 oracle gates the refactor."""
     d = table(spark, sf_dir, "documents")
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .io import materialize
+
     s1 = d.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
-    s2 = (
-        s1.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    pairs = (
-        q54_minhash_candidates(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    comps = connected_components(pairs)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        contaminated_fut = pool.submit(
+            lambda: materialize(
+                q48_decontaminate(spark, sf_dir)
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
+        )
+        s2 = materialize(
+            s1.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        pairs = (
+            q54_minhash_candidates(spark, sf_dir)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        comps = connected_components(pairs)
+        contaminated = contaminated_fut.result()
     s3 = s2.join(
         comps.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
         "doc_id",
@@ -280,15 +299,12 @@ def q134_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         )
     )
-    s4 = (
+    s4 = materialize(
         s3.join(d, "doc_id")
         .withColumn("quality", quality)
         .filter(F.col("quality") >= 0.5)
         .select("doc_id")
     )
-    contaminated = q48_decontaminate(spark, sf_dir).filter(
-        F.col("contaminated")
-    ).select("doc_id")
     s5 = s4.join(contaminated, "doc_id", "left_anti")
 
     stages = [
