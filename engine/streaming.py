@@ -635,10 +635,18 @@ def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_pipeline_batch(
+    spark: SparkSession, sf_dir: str, staged: DataFrame | None = None
+) -> DataFrame:
     """Batch twin of the streaming ingest pipeline: fingerprint dedup →
-    quality gate → per-lang census."""
-    return _doc_quality_census(_staged_docs(spark, sf_dir).dropDuplicates(["fingerprint"]))
+    quality gate → per-lang census. ``staged`` lets a caller that
+    already materialized the (deterministic) _staged_docs frame — the
+    stream leg stages it to parquet anyway — reuse it instead of
+    re-deriving the normalization/langid projection; the dedup+census
+    machinery under comparison is unchanged (tests/test_streaming.py
+    keeps the fully independent twin)."""
+    src = staged if staged is not None else _staged_docs(spark, sf_dir)
+    return _doc_quality_census(src.dropDuplicates(["fingerprint"]))
 
 
 def run_doc_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
@@ -662,13 +670,17 @@ def run_doc_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
     )
     agg = _doc_quality_census(stream)
     name = "doc_stream_out"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # exact-valued output (counts + integer token sums; the quality
+    # gate is a row-local filter): state width is safe to size to the
+    # replay (see STREAM_STATE_PARTITIONS)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -934,9 +946,17 @@ def _stream_eq_pair(
             q74b_stream_decontaminate(spark, sf_dir, eval_shingles=ev),
         )
     if name == "dedup_quality_census":
+        out = os.path.join(tmp, "c")
+        sdf = run_doc_stream_demo(spark, sf_dir, out)
+        # the batch twin reads the staged frame the stream leg just
+        # wrote (same invocation, deterministic projection) — the
+        # dedup + census machinery under comparison recomputes in
+        # full; the fully independent twin stays in the test suite
         return (
-            run_doc_stream_demo(spark, sf_dir, os.path.join(tmp, "c")),
-            doc_pipeline_batch(spark, sf_dir),
+            sdf,
+            doc_pipeline_batch(
+                spark, sf_dir, staged=spark.read.parquet(os.path.join(out, "in"))
+            ),
         )
     if name == "incremental_neardup":
         from .text import q118_incremental_neardup

@@ -3498,8 +3498,13 @@ def dedup_recall_report(
         < F.lit(frac_ppm)
     )
     n_sample = sampled.groupBy().agg(F.count(F.lit(1)).alias("sample_docs"))
-    sh = _with_shingles(sampled).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    # pinned: sizes, the a-side and the b-side all read this frame —
+    # un-materialized, the sample scan + shingle explode + hash would
+    # run three times in one plan (the cand-frame argument above)
+    sh = (
+        _with_shingles(sampled)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
