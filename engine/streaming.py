@@ -750,7 +750,11 @@ def streaming_neardup_state(stream: DataFrame, cap: int | None = None) -> DataFr
 
 
 def run_neardup_stream_demo(
-    spark: SparkSession, sf_dir: str, out_dir: str, index_table: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_table: str | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """q118's streaming twin as a REAL two-query readStream run — the
     continuous-crawl ingest probing near-dups against the standing
@@ -793,11 +797,12 @@ def run_neardup_stream_demo(
     # so without the pin the shingle/minhash subtree ran per
     # micro-batch (and thrice more for the batch staging writes and
     # the median probe below).
-    bands = (
-        spark.table(index_table)
-        if index_table
-        else _banded_signatures(d).localCheckpoint(eager=True)
-    )
+    if bands is None:
+        bands = (
+            spark.table(index_table)
+            if index_table
+            else _banded_signatures(d).localCheckpoint(eager=True)
+        )
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
 
@@ -959,11 +964,20 @@ def _stream_eq_pair(
             ),
         )
     if name == "incremental_neardup":
-        from .text import q118_incremental_neardup
+        from .session import table as _table
+        from .text import _banded_signatures, q118_incremental_neardup
 
+        # pin the deterministic band-signature projection ONCE and hand
+        # it to both legs (the census-twin precedent): the stream-static
+        # probe, the stateful kernel and the batch band joins — the
+        # machinery under comparison — all recompute in full; the fully
+        # independent twin comparison stays in tests/test_streaming.py
+        bands = _banded_signatures(
+            _table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
         return (
-            run_neardup_stream_demo(spark, sf_dir, os.path.join(tmp, "n")),
-            q118_incremental_neardup(spark, sf_dir),
+            run_neardup_stream_demo(spark, sf_dir, os.path.join(tmp, "n"), bands=bands),
+            q118_incremental_neardup(spark, sf_dir, bands=bands),
         )
     raise ValueError(f"unknown stream-equivalence pipeline: {name}")
 

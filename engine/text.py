@@ -610,6 +610,37 @@ def q53_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id", "seed")
 
 
+def _per_doc_sig_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — the per-doc minhash signature in
+    ONE aggregation: the N_MINHASH per-seed minima are N_MINHASH
+    aggregate expressions over the base-hash rows (identical affine
+    arithmetic to minhash_signatures, exact int64, so sig[i] is
+    bit-identical to the row form's seed-i minhash), assembled into
+    the array inside the agg. The r9 shape exploded every shingle
+    hash ×N_MINHASH and paid TWO shuffles (min per (doc, seed), then
+    collect_list+sort per doc); this is one map-side-partial agg over
+    shingle rows with no row explosion — the shuffle carries
+    N_MINHASH longs per doc per map partition (guide §2.3 "aggregate
+    before you shuffle"). q54's candidates and every _banded_signatures
+    consumer (q118/q135/the stream twin/the band store) inherit it;
+    q53 keeps the row-form output unchanged."""
+    sh = _with_shingles(df)
+    base = sh.select(
+        "doc_id", (F.expr(_SPARK_H60.format(expr="shingle")) % F.lit(MINHASH_M)).alias("h0")
+    )
+    return base.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h0") + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_M)
+                )
+                for i in range(N_MINHASH)
+            ]
+        ).alias("sig")
+    )
+
+
 def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: N_BANDS bands × 2 rows; docs sharing any band key
     become candidates; est_jaccard = matching signature fraction.
@@ -625,11 +656,12 @@ def q54_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-band xxhash64 collision (≈2⁻⁶⁴ per key pair) could only ADD
     a candidate, which the q52 exact-verify stage filters — the
     standard LSH false-positive path. (Measured: md5 band keys were
-    the q54 r2 regression; xxhash64 restores it, see BENCH_COMPARE.)"""
-    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
-    per_doc = sigs.groupBy("doc_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)").alias("sig")
-    )
+    the q54 r2 regression; xxhash64 restores it, see BENCH_COMPARE.)
+
+    r10: the per-doc signature comes from _per_doc_sig_frame — one
+    aggregation, no ×N_MINHASH row explosion, bit-identical sig
+    values (strict oracle re-verified at all three SFs)."""
+    per_doc = _per_doc_sig_frame(table(spark, sf_dir, "documents"))
     rows_per_band = N_MINHASH // N_BANDS
     bands = per_doc.select(
         "doc_id",
@@ -3984,13 +4016,9 @@ def _batch_band_candidates(batch: DataFrame, cap: int = NEARDUP_BAND_CAP) -> Dat
 def _banded_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, sig, band_key) — q54's per-doc signature + banding,
     factored out so the incremental probe (q118) and the batch
-    candidate join (q54) share one definition of the band key."""
-    sigs = minhash_signatures(d)
-    per_doc = sigs.groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(seed, minhash))), s -> s.minhash)"
-        ).alias("sig")
-    )
+    candidate join (q54) share one definition of the band key.
+    Signatures via _per_doc_sig_frame (one agg, bit-identical)."""
+    per_doc = _per_doc_sig_frame(d)
     rows_per_band = N_MINHASH // N_BANDS
     return per_doc.select(
         "doc_id",
@@ -4063,7 +4091,10 @@ def append_band_index(spark: SparkSession, table_name: str, docs: DataFrame) -> 
 
 
 def q118_incremental_neardup(
-    spark: SparkSession, sf_dir: str, index_table: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup ingest dedup — q102's continuous-crawl
     shape at MinHash granularity: the newly ingested batch
@@ -4104,9 +4135,14 @@ def q118_incremental_neardup(
     reads the bucketed table co-located (zero history-side exchange,
     SelectedBucketsCount in the scan — plan-pinned), and the corpus
     text is never re-shingled. Output byte-identical to the default
-    path (the index rows ARE ``_banded_signatures``)."""
+    path (the index rows ARE ``_banded_signatures``). ``bands=`` lets
+    a caller that already materialized exactly that frame (the
+    stream-equivalence harness pins it for its stream leg) pass it in
+    — same rows, so output is unchanged; the default path keeps
+    deriving in-plan."""
     d = table(spark, sf_dir, "documents")
-    bands = spark.table(index_table) if index_table else _banded_signatures(d)
+    if bands is None:
+        bands = spark.table(index_table) if index_table else _banded_signatures(d)
     batch = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
     hist = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
     n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), t -> t))")
