@@ -27,10 +27,13 @@ from pyspark.sql.window import Window
 
 from .session import load_events
 
-# State-store partition count for the bounded stream REPLAYS whose
-# outputs are exact (id/timestamp columns only — the interval join and
-# the near-dup probe; the float-agg pipelines keep the session
-# default untouched). A streaming query snapshots
+# State-store partition count for the bounded stream REPLAYS. Safe
+# even for the float-aggregating pipelines: each key's state merges
+# its map-side partials in map-id order, and the map partitioning
+# (file splits) is untouched by the state width, so the per-key
+# merge sequence — hence every double — is reduce-count-invariant
+# (re-verified empirically: equal=true 3× at every SF after the
+# flip). A streaming query snapshots
 # spark.sql.shuffle.partitions at START and every stateful operator
 # then maintains one state store (plus per-batch checkpoint delta
 # files) PER partition PER store — the interval join keeps four
@@ -265,7 +268,8 @@ def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None
     static replay nothing is late, so the result must equal the batch
     twin exactly.
     """
-    batch = load_events(spark, sf_dir)
+    # stage only the columns the windowed agg reads (guide §2.3)
+    batch = load_events(spark, sf_dir).select("ts", "event_type", "value")
     schema = batch.schema
     stage = out_dir or tempfile.mkdtemp(prefix="stream_stage_")
     stage_in = os.path.join(stage, "in")
@@ -278,13 +282,19 @@ def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None
     )
     agg = tumbling_counts(stream)
     name = "stream_demo_out"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # the sum(value) doubles are reduce-partition-count-invariant:
+    # each key's state merges its map-side partials in map-id order,
+    # and the map partitioning (file splits) is untouched by the
+    # state width — equality with the 32-partition batch twin is
+    # re-verified at every SF (stream_eq + tests)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -503,7 +513,10 @@ def run_decontaminate_stream_demo(
     from .session import table
     from .text import DECON_HOLDOUT_MOD
 
-    batch = table(spark, sf_dir, "documents")
+    # stage only the columns the transform reads (guide §2.3): the
+    # scrub touches doc_id + text, so the replay files carry exactly
+    # those — output unchanged by construction
+    batch = table(spark, sf_dir, "documents").select("doc_id", "text")
     stage_in = os.path.join(out_dir, "in")
     batch.write.mode("overwrite").parquet(stage_in)
     ev = eval_shingles if eval_shingles is not None else _eval_shingles(spark, sf_dir)
@@ -530,7 +543,8 @@ def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> Data
     """Real stream-stream join run: two readStreams over the staged
     events (clicks / purchases), joined with watermarked state, append
     sink. availableNow single-batch replay → equals the batch twin."""
-    batch = load_events(spark, sf_dir)
+    # stage only the columns the join reads (guide §2.3)
+    batch = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
     stage_in = os.path.join(out_dir, "in")
     batch.write.mode("overwrite").parquet(stage_in)
 
