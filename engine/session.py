@@ -83,7 +83,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = table(spark, sf_dir, "events")
+    return _normalize_event_ts(table(spark, sf_dir, "events"))
+
+
+def _normalize_event_ts(e: DataFrame) -> DataFrame:
+    """The ts-normalization transform of ``load_events``, factored so a
+    ``readStream`` over the same files (engine/streaming.py replays the
+    source parquet directly instead of re-staging a projection of it)
+    applies the identical conversion."""
+    from pyspark.sql import functions as F
+
     ts_type = dict(e.dtypes).get("ts")
     if ts_type == "bigint":
         # integer div: double division loses µs exactness at ~1.7e18 ns
@@ -91,6 +100,37 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type != "timestamp":
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` file source over one testdata table's OWN parquet
+    directory — the streaming replays read the source files directly
+    (one footer read for the schema, then the stream scan prunes
+    columns like any parquet scan). Staging a projection of the table
+    to a temp dir first was a full extra write per replay for zero
+    semantic difference under a one-shot availableNow trigger
+    (guide §1.2: remove passes; measured in OPTIMIZATION_r11.md).
+
+    The file-stream source only takes directories; a single-file
+    table (the fixture layout) is read via its parent directory with
+    a ``pathGlobFilter`` pinned to exactly that file."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(
+        os.path.dirname(path) or "."
+    )
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_events``: same source files, same
+    defensive confs, same ts normalization — the frame a replay's
+    transform sees is column-identical to the batch twin's."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _normalize_event_ts(stream_table(spark, sf_dir, "events"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .session import load_events
+from .session import load_events, load_events_stream, stream_table
 
 # State-store partition count for the bounded stream REPLAYS. Safe
 # even for the float-aggregating pipelines: each key's state merges
@@ -46,7 +46,7 @@ from .session import load_events
 # few MB, so a small fixed width bounds the store-commit overhead at
 # ANY driver core count — env-overridable for a deployment replaying
 # real volumes.
-STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
 
 
 @contextmanager
@@ -61,6 +61,42 @@ def _state_partitions(spark: SparkSession, n: int = 0):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+@contextmanager
+def _stream_scan_splits(spark: SparkSession, *source_paths: str):
+    """Scope spark.sql.files.maxPartitionBytes around a replay whose
+    file source is the SOURCE table itself (guide §6 input split
+    size, made scale-adaptive per the round rules): a fixture table
+    is one small parquet file, which at the 128 MB default is ONE
+    scan split — any in-stream compute (the ingest projection, the
+    row-wise scrub) would run serial. Derive the split size from the
+    actual input bytes so the replay scan yields ~2 tasks per core,
+    clamped to [1 MB, the 128 MB default] — a 100 TB source keeps the
+    default (never raised), a 2 MB fixture file splits ~32 ways.
+    Scoped around start→awaitTermination because the conf is read at
+    each micro-batch's scan planning, not pinned at query start."""
+    cores = spark.sparkContext.defaultParallelism
+    total = sum(_dir_bytes(p) for p in source_paths)
+    target = min(max(total // max(2 * cores, 1), 1 << 20), 128 << 20)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -267,19 +303,15 @@ def run_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str | None = None
     checks. Late rows beyond the watermark would be dropped — with a
     static replay nothing is late, so the result must equal the batch
     twin exactly.
-    """
-    # stage only the columns the windowed agg reads (guide §2.3)
-    batch = load_events(spark, sf_dir).select("ts", "event_type", "value")
-    schema = batch.schema
-    stage = out_dir or tempfile.mkdtemp(prefix="stream_stage_")
-    stage_in = os.path.join(stage, "in")
-    batch.write.mode("overwrite").parquet(stage_in)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_in)
-        .withWatermark("ts", "1 day")
-    )
+    The file source is the SOURCE parquet itself (r11, guide §1.2):
+    under a one-shot availableNow trigger a staged copy replays the
+    same rows through the same runtime, so the staging write was a
+    full extra pass per check; the stream scan prunes to the columns
+    the agg reads just like the batch scan does. ``out_dir`` is kept
+    for callers that pass one (unused now).
+    """
+    stream = load_events_stream(spark, sf_dir).withWatermark("ts", "1 day")
     agg = tumbling_counts(stream)
     name = "stream_demo_out"
     # the sum(value) doubles are reduce-partition-count-invariant:
@@ -507,24 +539,16 @@ def run_decontaminate_stream_demo(
     out_dir: str,
     eval_shingles: list[str] | None = None,
 ) -> DataFrame:
-    """Real readStream run of the row-wise scrub: stage documents as a
-    file stream, apply the identical transform, append-mode memory
-    sink (stateless ⇒ no watermark needed), availableNow replay."""
-    from .session import table
+    """Real readStream run of the row-wise scrub: the documents table
+    replayed as a file stream, the identical transform, append-mode
+    memory sink (stateless ⇒ no watermark needed), availableNow
+    replay. The file source is the source parquet itself (r11, see
+    run_stream_demo) — the stream scan prunes to doc_id + text."""
     from .text import DECON_HOLDOUT_MOD
 
-    # stage only the columns the transform reads (guide §2.3): the
-    # scrub touches doc_id + text, so the replay files carry exactly
-    # those — output unchanged by construction
-    batch = table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage_in = os.path.join(out_dir, "in")
-    batch.write.mode("overwrite").parquet(stage_in)
     ev = eval_shingles if eval_shingles is not None else _eval_shingles(spark, sf_dir)
-
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(stage_in)
-        .filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DECON_HOLDOUT_MOD != 0
     )
     out = decontaminate_rowwise(stream, ev)
     name = "stream_decon_out"
@@ -540,20 +564,14 @@ def run_decontaminate_stream_demo(
 
 
 def run_stream_join_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Real stream-stream join run: two readStreams over the staged
-    events (clicks / purchases), joined with watermarked state, append
-    sink. availableNow single-batch replay → equals the batch twin."""
-    # stage only the columns the join reads (guide §2.3)
-    batch = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
-    stage_in = os.path.join(out_dir, "in")
-    batch.write.mode("overwrite").parquet(stage_in)
+    """Real stream-stream join run: two readStreams over the SOURCE
+    events parquet (clicks / purchases), joined with watermarked
+    state, append sink. availableNow single-batch replay → equals the
+    batch twin. No staging write (r11, see run_stream_demo); the two
+    stream scans prune to the columns the join reads."""
 
     def _typed(kind: str) -> DataFrame:
-        return (
-            spark.readStream.schema(batch.schema)
-            .parquet(stage_in)
-            .filter(F.col("event_type") == kind)
-        )
+        return load_events_stream(spark, sf_dir).filter(F.col("event_type") == kind)
 
     joined = click_to_purchase(_typed("click"), _typed("purchase"))
     name = "stream_join_out"
@@ -598,29 +616,16 @@ def _doc_quality_census(docs: DataFrame) -> DataFrame:
     )
 
 
-def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + normalized text, content fingerprint (q51 semantics)
-    and a synthetic deterministic event time (streaming needs one; the
-    fixture table has none).
-
-    Two properties make the downstream census keeper-invariant and
-    the stream/batch twins provably equal at ANY scale factor:
-
-    - ``lang`` is content-ID'd from the normalized text (the q56
-      marker heuristic), not taken from the fixture label — a crawl
-      ingest has no labels, and fingerprint-duplicate rows can carry
-      different labels, which would make the census depend on which
-      duplicate survives dedup.
-    - ``ts`` is derived from the fingerprint, so all members of a
-      duplicate group are co-timed and the dedup watermark window
-      always covers the whole group. (A real crawl has dups spread
-      over time; beyond-watermark dups are by design NOT caught by
-      streaming dedup — that is the periodic batch-compaction path's
-      job, q50/q80.)
-    """
-    from .session import table
-
-    d = table(spark, sf_dir, "documents")
+def _ingest_projection(d: DataFrame) -> DataFrame:
+    """The ingest projection over a documents frame (batch OR stream):
+    normalized text, content fingerprint (q51 semantics) and a
+    synthetic deterministic event time (streaming needs one; the
+    fixture table has none). Row-local expressions only, so the same
+    transform runs identically on a readStream frame — which is how
+    run_doc_stream_demo applies it (r11): the stream leg computes the
+    projection THROUGH the streaming runtime instead of reading a
+    pre-staged copy, so the two equivalence legs derive it
+    independently again (r10 ADVICE)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
     d = d.select("doc_id", norm.alias("norm"), F.md5(norm).alias("fingerprint"))
     # content-derived language (same marker argmax as q56, over norm)
@@ -649,6 +654,29 @@ def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_ingest_projection`` over the documents table.
+
+    Two properties make the downstream census keeper-invariant and
+    the stream/batch twins provably equal at ANY scale factor:
+
+    - ``lang`` is content-ID'd from the normalized text (the q56
+      marker heuristic), not taken from the fixture label — a crawl
+      ingest has no labels, and fingerprint-duplicate rows can carry
+      different labels, which would make the census depend on which
+      duplicate survives dedup.
+    - ``ts`` is derived from the fingerprint, so all members of a
+      duplicate group are co-timed and the dedup watermark window
+      always covers the whole group. (A real crawl has dups spread
+      over time; beyond-watermark dups are by design NOT caught by
+      streaming dedup — that is the periodic batch-compaction path's
+      job, q50/q80.)
+    """
+    from .session import table
+
+    return _ingest_projection(table(spark, sf_dir, "documents"))
+
+
 def doc_pipeline_batch(
     spark: SparkSession, sf_dir: str, staged: DataFrame | None = None
 ) -> DataFrame:
@@ -671,14 +699,15 @@ def run_doc_stream_demo(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
 
     This is the shape a continuous crawl-ingest runs at 100 TB: dedup
     state holds only the watermark window's fingerprints (16-byte
-    keys), the census is an incremental streaming aggregation."""
-    staged = _staged_docs(spark, sf_dir)
-    stage_in = os.path.join(out_dir, "in")
-    staged.write.mode("overwrite").parquet(stage_in)
+    keys), the census is an incremental streaming aggregation.
 
+    The file source is the documents parquet itself and the ingest
+    projection runs IN-STREAM (r11): no staging write, and the stream
+    leg derives norm/fingerprint/lang through the streaming runtime —
+    independently of the batch twin (restores the independence the
+    r10 staged-frame sharing had weakened; r10 ADVICE item 2)."""
     stream = (
-        spark.readStream.schema(staged.schema)
-        .parquet(stage_in)
+        _ingest_projection(stream_table(spark, sf_dir, "documents"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
@@ -965,17 +994,14 @@ def _stream_eq_pair(
             q74b_stream_decontaminate(spark, sf_dir, eval_shingles=ev),
         )
     if name == "dedup_quality_census":
-        out = os.path.join(tmp, "c")
-        sdf = run_doc_stream_demo(spark, sf_dir, out)
-        # the batch twin reads the staged frame the stream leg just
-        # wrote (same invocation, deterministic projection) — the
-        # dedup + census machinery under comparison recomputes in
-        # full; the fully independent twin stays in the test suite
+        # both legs derive the ingest projection independently (the
+        # stream leg in-stream, the batch twin from the source table)
+        # — r11 restores the full twin independence the r10 staged-
+        # frame sharing had weakened (r10 ADVICE item 2), and the
+        # staging write it bought is gone entirely
         return (
-            sdf,
-            doc_pipeline_batch(
-                spark, sf_dir, staged=spark.read.parquet(os.path.join(out, "in"))
-            ),
+            run_doc_stream_demo(spark, sf_dir, os.path.join(tmp, "c")),
+            doc_pipeline_batch(spark, sf_dir),
         )
     if name == "incremental_neardup":
         from .session import table as _table
